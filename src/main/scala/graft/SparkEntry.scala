@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from one QueryModule per SURVEY.md
+  * §2.2 family; module key sets are disjoint (checked at class-init so a
+  * collision fails fast in every sbt test run).
+  */
 object SparkEntry {
+
+  private val modules: Seq[QueryModule] = Seq(
+    operators.Flagship,
+    operators.Scans)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Flagship.q00(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries.toSeq)
+    require(all.size == all.map(_._1).distinct.size,
+      s"duplicate query ids across modules: ${all.map(_._1).diff(all.map(_._1).distinct)}")
+    all.toMap
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver's weaker rows-only check
+    * (those are covered by unit/property/golden tests instead). */
+  val oracleSql: Map[String, String] = {
+    val all = modules.flatMap(_.oracles.toSeq)
+    val orphans = all.map(_._1).filterNot(queries.contains)
+    require(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+    all.toMap
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All relational queries go through here so scan concerns (schema quirks,
+  * pushdown-friendly column shapes) are solved once. At 100 TB these would be
+  * catalog tables; the parquet-dir indirection keeps the same call shape.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a raw long
+    * (legacy conf) and derive:
+    *   - ts      : long, epoch nanos (raw)
+    *   - ts_ms   : long, epoch millis (floor)
+    *   - event_ts: timestamp at millisecond precision (UTC session).
+    * Event-time queries operate on ms precision so the DuckDB oracle
+    * (which reads full nanos) can reproduce values exactly via
+    * epoch_ns(ts)//1000000.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("event_ts", timestamp_millis(expr("ts div 1000000")))
+  }
+
+  /** Total order over every output column in select order (DuckDB side:
+    * ORDER BY ALL). Needed because the synthetic lineitem has no unique
+    * key — (l_orderkey, l_linenumber) collides (TESTDATA sf0.001: 4599
+    * distinct of 6000). Identical duplicate rows then sort adjacently in
+    * both engines, making row-level outputs comparable.
+    */
+  def orderAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  /** Exact decimal image of a double column: deterministic accumulation
+    * regardless of partitioning / summation order. Aggregate contract
+    * (SURVEY.md §2.2): sum in DECIMAL(38,4), surface as DOUBLE.
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 4))
+}
+
+/** One SURVEY.md §2.2 family = one module: `queries` keys land in
+  * SparkEntry.queries, `oracles` (a subset of the keys) in oracleSql.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** RFC 4122 §4.3 name-based UUIDs (version 5, SHA-1).
+  *
+  * Reproduces the reference's identity scheme
+  * (/root/reference/src/lens/import_clinical_data.clj:267,229,187,157,128,113
+  * and /root/reference/src/lens/util.clj:32-43): every node id is
+  * v5(parentId, businessKey); command ids hash a *sequence* of parts by
+  * concatenating each part's UTF-8 bytes (keywords keep their leading colon,
+  * e.g. ":odm-import/insert-subject"). Golden vector:
+  * gen-cmd-id test (/root/reference/test/lens/import_clinical_data_test.clj:261-267).
+  *
+  * Pure + deterministic, so the Spark UDF stays deterministic (safe for
+  * partial aggregation pushes and re-execution on task retry).
+  */
+object Uuid5 {
+  val NilUuid: UUID = new UUID(0L, 0L)
+
+  private def bytes(u: UUID): Array[Byte] =
+    ByteBuffer.allocate(16)
+      .putLong(u.getMostSignificantBits)
+      .putLong(u.getLeastSignificantBits)
+      .array()
+
+  /** v5 over raw name bytes. */
+  def uuid5(namespace: UUID, name: Array[Byte]): UUID = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(bytes(namespace))
+    md.update(name)
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val bb = ByteBuffer.wrap(h, 0, 16)
+    new UUID(bb.getLong, bb.getLong)
+  }
+
+  def uuid5(namespace: UUID, name: String): UUID = uuid5(namespace, name.getBytes(UTF_8))
+
+  def uuid5(namespace: String, name: String): String =
+    uuid5(UUID.fromString(namespace), name).toString
+
+  /** Sequence hashing: concatenated UTF-8 byte arrays of each part
+    * (reference util.clj:38-43 Seqable extension). */
+  def uuid5Seq(namespace: UUID, parts: Seq[String]): UUID = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(bytes(namespace))
+    parts.foreach(p => md.update(p.getBytes(UTF_8)))
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte
+    val bb = ByteBuffer.wrap(h, 0, 16)
+    new UUID(bb.getLong, bb.getLong)
+  }
+
+  /** Reference gen-cmd-id (import_clinical_data.clj:288-289):
+    * v5(batchCmdId, name :: flatten(sortBy(key, params))) — key-order
+    * independent because params are sorted by key before hashing.
+    * Keys/name are keyword-shaped strings WITH the leading colon.
+    */
+  def genCmdId(batchCmdId: UUID, name: String, params: Seq[(String, String)]): UUID =
+    uuid5Seq(batchCmdId, name +: params.sortBy(_._1).flatMap { case (k, v) => Seq(k, v) })
+
+  /** Column API: uuid5(namespaceUuidString, name) → canonical lowercase string. */
+  val uuid5Udf = udf((ns: String, name: String) =>
+    if (ns == null || name == null) null else uuid5(ns, name))
+
+  def uuid5Col(ns: Column, name: Column): Column = uuid5Udf(ns, name)
+
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("uuid5", (ns: String, name: String) =>
+      if (ns == null || name == null) null else uuid5(ns, name))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans / sources / sinks (SURVEY.md §2.2 s01-s05) and scalar
+  * projection/filter operators (p01-p04).
+  *
+  * Scale notes: s02/s03 exist to pin the pushdown contract — the parquet
+  * scan must show ReadSchema limited to referenced columns and
+  * PushedFilters for the shipdate predicate (asserted in PlanSpec). At
+  * 100 TB these two properties are the difference between reading ~2
+  * columns' row-groups and reading the world.
+  */
+object Scans extends QueryModule {
+
+  def s01(spark: SparkSession, dir: String): DataFrame =
+    Tables.orderAll(Tables.lineitem(spark, dir))
+
+  def s02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .transform(Tables.orderAll)
+
+  def s03(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .transform(Tables.orderAll)
+
+  def s04(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** Sink round-trip: write parquet, re-read, produce a stable result.
+    * Exercises the write path itself; the oracle sees only the re-read. */
+  def s05(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s05_roundtrip"
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).orderBy("o_orderkey")
+  }
+
+  def p01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") + col("l_tax")).as("qty_plus_tax"))
+      .transform(Tables.orderAll)
+
+  def p02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        (col("l_quantity").between(10, 20) || col("l_returnflag").isin("A", "R"))
+          && !(col("l_linestatus") === "F")
+          && col("l_discount") =!= 0.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_discount")
+      .transform(Tables.orderAll)
+
+  /** Null semantics without relying on physical nulls in the data:
+    * nullif() manufactures them, <=> (null-safe eq) and isNull consume them. */
+  def p03(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+        expr("nullif(c_mktsegment, 'BUILDING') <=> 'AUTOMOBILE'").as("nse_auto"),
+        expr("nullif(c_mktsegment, 'BUILDING') IS NULL").as("was_building"))
+      .orderBy("c_custkey")
+
+  def p04(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("qty_band"),
+        when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0)).as("returned_price"))
+      .transform(Tables.orderAll)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_scan_parquet" -> s01,
+    "s02_scan_pruned" -> s02,
+    "s03_scan_filter_pushdown" -> s03,
+    "s04_source_json_props" -> s04,
+    "s05_sink_roundtrip" -> s05,
+    "p01_project_compute" -> p01,
+    "p02_filter_conj" -> p02,
+    "p03_filter_null" -> p03,
+    "p04_case_when" -> p04)
+
+  val oracles: Map[String, String] = Map(
+    "s01_scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY ALL",
+    "s02_scan_pruned" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY ALL",
+    "s03_scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' ORDER BY ALL""".stripMargin,
+    "s04_source_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s05_sink_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+    "p01_project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue,
+        |       l_quantity + l_tax AS qty_plus_tax
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "p02_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, l_discount
+        |FROM lineitem
+        |WHERE (l_quantity BETWEEN 10 AND 20 OR l_returnflag IN ('A','R'))
+        |  AND NOT (l_linestatus = 'F') AND l_discount <> 0.0
+        |ORDER BY ALL""".stripMargin,
+    "p03_filter_null" ->
+      """SELECT c_custkey,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |       nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE' AS nse_auto,
+        |       nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "p04_case_when" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+        |       CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS returned_price
+        |FROM lineitem ORDER BY ALL""".stripMargin)
+}
