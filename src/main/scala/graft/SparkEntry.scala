@@ -12,7 +12,11 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.Flagship,
-    operators.Scans)
+    operators.Scans,
+    operators.Joins,
+    operators.Aggregates,
+    operators.Windows,
+    operators.Scalars)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

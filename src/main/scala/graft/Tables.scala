@@ -44,6 +44,11 @@ object Tables {
       .withColumn("event_ts", timestamp_millis(expr("ts div 1000000")))
   }
 
+  /** Epoch milliseconds of a (ntz) timestamp column under the UTC session —
+    * the cross-engine-portable image of a time value (DuckDB: epoch_ms). */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast("timestamp"))
+
   /** Total order over every output column in select order (DuckDB side:
     * ORDER BY ALL). Needed because the synthetic lineitem has no unique
     * key — (l_orderkey, l_linenumber) collides (TESTDATA sf0.001: 4599

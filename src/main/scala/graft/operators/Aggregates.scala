@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.2 a01-a09).
+  *
+  * All double-valued aggregates accumulate in DECIMAL(38,4) (exact,
+  * order-independent) and surface as DOUBLE; Catalyst still produces
+  * partial (map-side) + final HashAggregate pairs, so the shuffle carries
+  * one row per group per partition — the layout that survives 100 TB.
+  * a09's moment statistics are derived from exact decimal power sums in
+  * plain SQL so both engines compute identical IEEE results.
+  */
+object Aggregates extends QueryModule {
+
+  def a01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity"))).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def a02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        sum_distinct(dec(col("l_quantity"))).cast("double").as("sum_dist_qty"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct — engine-specific, no DuckDB oracle; accuracy
+    * asserted in AggregateSpec (within 5% of exact at rsd=0.01). */
+  def a03(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  private def gkey(c: String): org.apache.spark.sql.Column =
+    coalesce(col(c), lit("__ALL__"))
+
+  def a04(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_a04_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
+        |       coalesce(l_linestatus, '__ALL__') AS ls,
+        |       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM graft_a04_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+  }
+
+  def a05(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(gkey("l_returnflag").as("rf"), gkey("l_linestatus").as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  def a06(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(gkey("l_returnflag").as("rf"), gkey("l_linestatus").as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Re-nesting (inverse of the ODM explode cascade R7): children collected
+    * into sorted arrays for determinism. */
+  def a07(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(
+        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+        array_sort(collect_set(col("l_returnflag"))).as("flags"))
+      .orderBy("l_orderkey")
+
+  def a08(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))))
+          .cast("double").as("qty_a"),
+        sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))))
+          .cast("double").as("qty_r"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"))
+      .orderBy("l_linestatus")
+
+  /** Moment statistics from exact decimal power sums: var/stddev/corr are
+    * then pure IEEE arithmetic on identical inputs in both engines.
+    * median over integer cents: interpolation midpoints are exact halves. */
+  def a09(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"),
+        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)").as("median_cents"))
+      .withColumn("var_qty",
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 8))
+      .withColumn("stddev_qty", round(sqrt(
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 8))
+      .withColumn("corr_qty_price",
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 8))
+      .select("l_returnflag", "n", "sx", "sy", "var_qty", "stddev_qty",
+        "corr_qty_price", "median_cents")
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_agg_hash" -> a01,
+    "a02_agg_distinct" -> a02,
+    "a03_agg_approx_distinct" -> a03,
+    "a04_agg_grouping_sets" -> a04,
+    "a05_agg_rollup" -> a05,
+    "a06_agg_cube" -> a06,
+    "a07_agg_collect" -> a07,
+    "a08_agg_filtered" -> a08,
+    "a09_agg_stats" -> a09)
+
+  val oracles: Map[String, String] = Map(
+    "a01_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a02_agg_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a04_agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
+        |       coalesce(l_linestatus, '__ALL__') AS ls,
+        |       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "a05_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
+        |       coalesce(l_linestatus, '__ALL__') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "a06_agg_cube" ->
+      """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
+        |       coalesce(l_linestatus, '__ALL__') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "a07_agg_collect" ->
+      """SELECT l_orderkey,
+        |       list_sort(list(l_linenumber)) AS line_numbers,
+        |       list_sort(list(DISTINCT l_returnflag)) AS flags
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a08_agg_filtered" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_a,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_r,
+        |       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "a09_agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |         quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS median_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sy,
+        |       round((sxx - sx * sx / n) / (n - 1), 8) AS var_qty,
+        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 8) AS stddev_qty,
+        |       round((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 8) AS corr_qty_price,
+        |       median_cents
+        |FROM s ORDER BY l_returnflag""".stripMargin)
+}

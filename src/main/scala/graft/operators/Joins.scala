@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.{dec, epochMs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.2 j01-j12): every logical flavor (inner/outer/semi/
+  * anti/theta/asof/interval/self) with the physical strategy each deserves.
+  *
+  * Scale posture:
+  *  - j01 pins BroadcastHashJoin via an explicit broadcast() hint (dims are
+  *    known-small; never let a 100 TB fact shuffle for a 5-row dim).
+  *  - j02/j03 are shuffle joins on the fact keys — the one unavoidable
+  *    exchange; AQE handles skew/coalesce at runtime.
+  *  - j10 (as-of) is union+window: ONE shuffle by key, no row explosion —
+  *    the theta-join+row_number alternative is quadratic per key group and
+  *    would not survive 100×.
+  *  - j07/j08 use left_semi/left_anti (no payload materialization, no
+  *    distinct-after-join).
+  */
+object Joins extends QueryModule {
+
+  def j01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand")
+
+  def j02(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** Star join: fact ⋈ 4 dims. Catalyst broadcasts the small dims and
+    * CBO/AQE orders the rest; we only pin region/nation broadcasts. */
+  def j03(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("r_name", "o_year")
+
+  private def bigOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_totalprice") > 350000.0)
+
+  def j04(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(bigOrders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_big"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("big_total"))
+      .orderBy("c_custkey")
+
+  def j05(spark: SparkSession, dir: String): DataFrame =
+    bigOrders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_big"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("big_total"))
+      .orderBy("c_custkey")
+
+  /** Full outer over partially-overlapping key sets; both null sides appear. */
+  def j06(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_acctbal") > 7500.0)
+      .select(col("c_custkey").as("key_a")).distinct()
+    val b = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("key_b")).distinct()
+    a.join(b, col("key_a") === col("key_b"), "full")
+      .orderBy(coalesce(col("key_a"), col("key_b")), col("key_a").asc_nulls_first)
+  }
+
+  def j07(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  def j08(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Theta (non-equi) join: nation pairs within a region. Equi part keys the
+    * shuffle; the inequality stays a post-join predicate. */
+  def j09(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"), col("n_regionkey").as("r1"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"), col("n_regionkey").as("r2"))
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .select("r1", "k1", "k2", "name1", "name2")
+      .orderBy("r1", "k1", "k2")
+  }
+
+  /** As-of join: latest order at-or-before each event's timestamp, per
+    * customer. Union + ordered window with last(ignoreNulls) — one shuffle,
+    * linear. Orders are pre-deduped per (custkey, orderdate) so ties are
+    * deterministic (mirrors DuckDB ASOF's greatest-ts-wins, made total).
+    */
+  def j10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("uid"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("ok"))
+      .select(col("uid"), epochMs(col("o_orderdate")).as("t"),
+        lit(0).as("src"), col("ok"), lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("uid"), col("ts_ms").as("t"),
+        lit(1).as("src"), lit(null).cast("long").as("ok"), col("event_id"))
+    val w = Window.partitionBy("uid").orderBy(col("t"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("o_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts_ms"), col("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Interval join: lines of an order shipped within [orderdate, +30d). */
+  def j11(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_quick_lines"))
+      .orderBy("o_orderkey")
+
+  /** Self join: pairs of events of the same user within one hour. */
+  def j12(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts_ms")
+    val e1 = e.select(col("event_id").as("id1"), col("user_id"), col("ts_ms").as("t1"))
+    val e2 = e.select(col("event_id").as("id2"), col("user_id").as("uid2"), col("ts_ms").as("t2"))
+    e1.join(e2,
+        col("user_id") === col("uid2") && col("id1") < col("id2")
+          && abs(col("t1") - col("t2")) <= 3600000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j01_join_broadcast" -> j01,
+    "j02_join_shuffle" -> j02,
+    "j03_join_multiway" -> j03,
+    "j04_join_left" -> j04,
+    "j05_join_right" -> j05,
+    "j06_join_full" -> j06,
+    "j07_join_semi" -> j07,
+    "j08_join_anti" -> j08,
+    "j09_join_theta" -> j09,
+    "j10_join_asof" -> j10,
+    "j11_join_interval" -> j11,
+    "j12_self_join" -> j12)
+
+  private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "j01_join_broadcast" ->
+      s"""SELECT p_brand, COUNT(*) AS n_lines, $revenue AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j02_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j03_join_multiway" ->
+      s"""SELECT r_name, EXTRACT(year FROM o_orderdate) AS o_year, COUNT(*) AS n_lines, $revenue AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+    "j04_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+        |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 0.0) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j05_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+        |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 0.0) AS big_total
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+        |  RIGHT JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j06_join_full" ->
+      """SELECT key_a, key_b FROM
+        |  (SELECT DISTINCT c_custkey AS key_a FROM customer WHERE c_acctbal > 7500.0) a
+        |  FULL JOIN
+        |  (SELECT DISTINCT o_custkey AS key_b FROM orders WHERE o_orderstatus = 'P') b
+        |  ON key_a = key_b
+        |ORDER BY COALESCE(key_a, key_b), key_a NULLS FIRST""".stripMargin,
+    "j07_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j08_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "j09_join_theta" ->
+      """SELECT n1.n_regionkey AS r1, n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+        |       n1.n_name AS name1, n2.n_name AS name2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY r1, k1, k2""".stripMargin,
+    "j10_join_asof" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS uid, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.uid AND e.ts_ms >= epoch_ms(o.o_orderdate)
+        |ORDER BY event_id""".stripMargin,
+    "j11_join_interval" ->
+      """SELECT o_orderkey, COUNT(*) AS n_quick_lines
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "j12_self_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms FROM events)
+        |SELECT e1.user_id, COUNT(*) AS n_pairs
+        |FROM e e1 JOIN e e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        | AND abs(e1.ts_ms - e2.ts_ms) <= 3600000
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin)
+}

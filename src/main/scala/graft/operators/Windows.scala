@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.{dec, epochMs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.2 w01-w05), sort/limit/top-k (o01-o03)
+  * and set operations (u01-u04).
+  *
+  * Determinism rules: row_number/ntile only over a UNIQUE ordering;
+  * rank/dense_rank over the tie-carrying key alone (ties then rank
+  * identically in any engine). Top-k per group is window row_number ≤ k —
+  * never a per-group sort-and-take, which would centralize group state.
+  */
+object Windows extends QueryModule {
+
+  def w01(spark: SparkSession, dir: String): DataFrame = {
+    val unique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ties = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(unique).as("rn"),
+        rank().over(ties).as("rk"),
+        dense_rank().over(ties).as("drk"),
+        ntile(4).over(unique).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def w02(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("first_key"),
+        last(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def w03(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Range frame over epoch-ms: trailing 30-day spend per customer. Frames
+    * by VALUE (not row count), so equal timestamps share a frame — engine-
+    * order independent by construction. */
+  def w04(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("t"))
+      .rangeBetween(-30L * 86400000L, 0L)
+    Tables.orders(spark, dir)
+      .withColumn("t", epochMs(col("o_orderdate")))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("t"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey", "t")
+  }
+
+  /** Latest-wins dedup — the relational core of upsert merge (R15/S40). */
+  def w05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts_ms", "event_type")
+      .orderBy("user_id")
+  }
+
+  def o01(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_totalprice").desc, col("o_orderkey"))
+
+  def o02(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  def o03(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def f(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_custkey")
+  private def o(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select("o_custkey")
+
+  def u01(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).unionByName(o(spark, dir)).orderBy("o_custkey")
+
+  def u02(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).union(o(spark, dir)).distinct().orderBy("o_custkey")
+
+  def u03(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).intersect(o(spark, dir)).orderBy("o_custkey")
+
+  def u04(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).except(o(spark, dir)).orderBy("o_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_win_rank" -> w01,
+    "w02_win_analytic" -> w02,
+    "w03_win_frame_rows" -> w03,
+    "w04_win_frame_range" -> w04,
+    "w05_win_latest_wins" -> w05,
+    "o01_sort_multi" -> o01,
+    "o02_limit" -> o02,
+    "o03_topk_per_group" -> o03,
+    "u01_union" -> u01,
+    "u02_union_distinct" -> u02,
+    "u03_intersect" -> u03,
+    "u04_except" -> u04)
+
+  val oracles: Map[String, String] = Map(
+    "w01_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+        |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk,
+        |       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w02_win_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w03_win_frame_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS running_total,
+        |       COUNT(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w04_win_frame_range" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS t,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+        |         PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+        |         RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey, t""".stripMargin,
+    "w05_win_latest_wins" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "o01_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC, o_orderkey""".stripMargin,
+    "o02_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "o03_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "u01_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u02_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u03_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u04_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correctness of the non-oracled aggregate surfaces. */
+class AggregateSpec extends SparkSuite {
+
+  test("a03: HLL approx distinct within 5% of exact at rsd=0.01") {
+    val approx = operators.Aggregates.a03(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"flag $k: approx $a vs exact $e")
+    }
+  }
+
+  test("hash functions: golden vectors (sha1/xxhash64/crc32 not oracled)") {
+    val row = spark.sql(
+      """SELECT md5('abc') AS m, sha1('abc') AS s1, sha2('abc', 256) AS s2,
+        |       crc32(CAST('abc' AS BINARY)) AS c, xxhash64('abc') AS x""".stripMargin)
+      .head()
+    assert(row.getAs[String]("m") === "900150983cd24fb0d6963f7d28e17f72")
+    assert(row.getAs[String]("s1") === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(row.getAs[String]("s2") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(row.getAs[Long]("c") === 891568578L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Plan-shape assertions (SURVEY.md §5.2): the physical properties that make
+  * these operators survive 100 TB, pinned as tests so a regression in query
+  * construction (or a Spark upgrade) fails loudly.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("s02: parquet scan prunes to referenced columns only") {
+    val plan = planString(operators.Scans.s02(spark, sf))
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"
+    assert(plan.contains(readSchema), s"expected pruned ReadSchema, got:\n$plan")
+  }
+
+  test("s03: shipdate predicate pushed into parquet scan") {
+    val plan = planString(operators.Scans.s03(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed filter, got:\n$plan")
+  }
+
+  test("j01: dim join is a BroadcastHashJoin") {
+    val plan = planString(operators.Joins.j01(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+  }
+
+  test("j02: fact-fact join is a shuffle join when broadcast is disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planString(operators.Joins.j02(spark, sf))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffle join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("j07/j08: semi/anti joins stay semi/anti (no distinct-after-join)") {
+    assert(planString(operators.Joins.j07(spark, sf)).contains("LeftSemi"))
+    assert(planString(operators.Joins.j08(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("o02: global limit after sort becomes TakeOrderedAndProject") {
+    val plan = planString(operators.Windows.o02(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("flagship: aggregation is partial+final hash aggregate with codegen") {
+    val df = operators.Flagship.q00(spark, sf)
+    val plan = planString(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final pair")
+    df.collect() // materialize so AQE finalizes the plan, then check codegen
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) HashAggregate" in the final plan
+    assert(executed.contains("*(") && executed.contains(") HashAggregate"),
+      s"aggregate path fell out of codegen:\n$executed")
+  }
+}

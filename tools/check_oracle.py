@@ -27,13 +27,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            # Decimal / lists / None-mix
+            # Decimal / lists / dates / None-mix
             head = s.dropna()
-            if len(head) and type(head.iloc[0]).__name__ == "Decimal":
+            if len(head) and type(head.iloc[0]).__name__ == "date":
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            elif len(head) and type(head.iloc[0]).__name__ == "Decimal":
                 df[c] = s.astype("float64")
             elif len(head) and isinstance(head.iloc[0], (list, np.ndarray)):
-                df[c] = s.apply(lambda v: tuple(np.asarray(v, dtype="float64").round(6))
-                                if v is not None else None)
+                def conv(v):
+                    if v is None:
+                        return None
+                    arr = np.asarray(v)
+                    if arr.dtype.kind in "fiu":
+                        return tuple(arr.astype("float64").round(6))
+                    return tuple(str(x) for x in arr)
+                df[c] = s.apply(conv)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
