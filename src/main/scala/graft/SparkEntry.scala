@@ -16,7 +16,9 @@ object SparkEntry {
     operators.Joins,
     operators.Aggregates,
     operators.Windows,
-    operators.Scalars)
+    operators.Scalars,
+    operators.EventTime,
+    llm.Llm)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,298 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over documents/embeddings
+  * (SURVEY.md §2.2 l01-l05 + text-analysis extensions l06-l09).
+  *
+  * Everything here is expressed in relational Spark (no UDFs): hashing via
+  * md5-hex→bigint (portable to DuckDB: CAST('0x'||substr(md5(..),1,15) AS
+  * BIGINT) ≡ conv(substr(md5(..),1,15),16,10)), folds via higher-order
+  * array functions (left-to-right in both engines).
+  *
+  * Scale posture: l02's MinHash-LSH is the standard shingle → K minhashes →
+  * banded buckets → candidate-pair join → exact-Jaccard verify pipeline.
+  * Work is linear in corpus size until the bucket join, which only pairs
+  * documents sharing a band signature — the 100 TB-safe alternative to the
+  * quadratic all-pairs similarity join. Skewed buckets (boilerplate docs)
+  * would be handled by AQE skew splitting + a bucket-size cap at real scale.
+  */
+object Llm extends QueryModule {
+
+  def l01(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** Word-3-shingles of lowered text, distinct per doc. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
+        .as("sh"))
+      .distinct()
+
+  private val NumHashes = 8
+  private val RowsPerBand = 2 // 4 bands
+
+  def l02(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    // K independent hash functions: seed-prefixed md5, low 60 bits as long
+    val hashed = sh
+      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .withColumn("hv", expr("CAST(conv(substr(md5(concat(CAST(h AS STRING), '|', sh)), 1, 15), 16, 10) AS BIGINT)"))
+    val minsig = hashed.groupBy("doc_id", "h").agg(min("hv").as("mh"))
+    val bands = minsig
+      .withColumn("band", expr(s"h div $RowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(
+        min(when(col("h") % 2 === 0, col("mh"))).as("m0"),
+        min(when(col("h") % 2 === 1, col("mh"))).as("m1"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
+          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
+        col("b") === col("b2") && col("sha") === col("shb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force cosine top-k vs a probe vector — the exact baseline; the
+    * LSH-bucketed scale path for all-pairs is l02's shape applied to
+    * random-hyperplane signatures. Probe is a 1-row broadcast, so this is
+    * a map-only scan at any corpus size. */
+  def l03(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def l04(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        round(expr("aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + length(t)) / size(toks)"), 6).as("avg_wlen"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+      .orderBy("doc_id")
+
+  /** Multimodal struct column: text + embedding + metadata bundled, then a
+    * flattened projection (the oracle sees only flat columns). */
+  def l05(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .withColumn("bundle", struct(
+        struct(col("text"), col("lang"), col("source")).as("doc"),
+        col("embedding").as("vec"),
+        struct(col("n_chars"), col("label")).as("meta")))
+      .select(
+        col("doc_id"),
+        col("bundle.doc.lang").as("lang"),
+        size(col("bundle.vec")).cast("long").as("dim"),
+        col("bundle.meta.label").as("label"),
+        length(col("bundle.doc.text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+
+  private val enStops = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+  private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "por")
+  private val deStops = Seq("der", "die", "und", "das", "ist", "von", "mit", "ein")
+
+  private def stopHits(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("t IN (", ", ", ")")
+
+  /** Language-ID heuristic: stopword voting (n-gram profile stand-in that
+    * stays oracle-able). */
+  def l06(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("s_en", expr(s"size(filter(toks, t -> ${stopHits(enStops)}))").cast("long"))
+      .withColumn("s_es", expr(s"size(filter(toks, t -> ${stopHits(esStops)}))").cast("long"))
+      .withColumn("s_de", expr(s"size(filter(toks, t -> ${stopHits(deStops)}))").cast("long"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .select("doc_id", "lang", "s_en", "s_es", "s_de", "pred_lang")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/stopword/uniqueness ratios → one score. */
+  def l07(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("stop_ratio", round(
+        expr(s"size(filter(toks, t -> ${stopHits(enStops)}))") / col("n_tok"), 6))
+      .withColumn("uniq_ratio", round(size(array_distinct(col("toks"))) / col("n_tok"), 6))
+      .withColumn("len_score",
+        round(least(col("n_tok") / 100.0, lit(1.0)), 6))
+      .withColumn("quality", round(
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("len_score")
+          + lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0)), 6))
+      .select("doc_id", "stop_ratio", "uniq_ratio", "len_score", "quality")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace vs a BPE-ish regex segmentation. */
+  def l08(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpeish_tokens"),
+        (length(col("text")) / lit(4)).cast("long").as("len4_estimate"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: order-independent 64-bit sketches over the
+    * token multiset (min-hash + xor-fold + unique count). */
+  def l09(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(
+        min("hv").as("minhash"),
+        expr("bit_xor(DISTINCT hv)").as("xor_fingerprint"),
+        countDistinct(col("t")).as("n_uniq_tokens"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l01_dedup_exact" -> l01,
+    "l02_dedup_near" -> l02,
+    "l03_sim_topk" -> l03,
+    "l04_text_stats" -> l04,
+    "l05_multimodal_cols" -> l05,
+    "l06_langid" -> l06,
+    "l07_quality_score" -> l07,
+    "l08_token_count" -> l08,
+    "l09_fingerprint" -> l09)
+
+  private val duckShingles =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "l01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "l02_dedup_near" ->
+      s"""WITH $duckShingles,
+         |hashed AS (
+         |  SELECT doc_id, sh, hs.h,
+         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
+         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+         |bands AS (
+         |  SELECT doc_id, h // $RowsPerBand AS band,
+         |         MIN(CASE WHEN h % 2 = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % 2 = 1 THEN mh END) AS m1
+         |  FROM minsig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, COUNT(*) AS c
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+         |              JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY c.a, c.b)
+         |SELECT common.a, common.b,
+         |       round(c / (na.n + nb.n - c), 6) AS jaccard
+         |FROM common JOIN sizes na ON na.doc_id = common.a
+         |            JOIN sizes nb ON nb.doc_id = common.b
+         |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
+         |ORDER BY a, b""".stripMargin,
+    "l03_sim_topk" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       round(
+        |         list_sum(list_transform(range(1, len(embedding) + 1),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings CROSS JOIN p
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "l04_text_stats" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       round(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+        |             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS avg_wlen,
+        |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_uniq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l05_multimodal_cols" ->
+      """SELECT doc_id, lang, CAST(len(embedding) AS BIGINT) AS dim, label,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "l06_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |   CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for'))) AS BIGINT) AS s_en,
+        |   CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','por'))) AS BIGINT) AS s_es,
+        |   CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist','von','mit','ein'))) AS BIGINT) AS s_de
+        | FROM t)
+        |SELECT doc_id, lang, s_en, s_es, s_de,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "l07_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |   CAST(len(toks) AS DOUBLE) AS n_tok,
+        |   round(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |   round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS uniq_ratio,
+        |   round(least(len(toks) / 100.0, 1.0), 6) AS len_score
+        | FROM t)
+        |SELECT doc_id, stop_ratio, uniq_ratio, len_score,
+        |       round(0.4 * uniq_ratio + 0.3 * len_score + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "l08_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        |       length(text) // 4 AS len4_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l09_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, t,
+        |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok)
+        |SELECT doc_id, MIN(hv) AS minhash,
+        |       bit_xor(DISTINCT hv) AS xor_fingerprint,
+        |       COUNT(DISTINCT t) AS n_uniq_tokens
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

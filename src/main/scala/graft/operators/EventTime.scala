@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time semantics, expressed batch-first over the events table
+  * (SURVEY.md §2.2 t01-t06). The same transformations lift unchanged onto
+  * readStream (graft.streaming.StreamingLift + StreamingSpec assert
+  * streaming output == these batch results).
+  *
+  * All event-time arithmetic runs at millisecond precision (Tables.events
+  * derives event_ts by flooring the raw nanos) so the DuckDB oracle —
+  * which sees the original TIMESTAMP_NS — reproduces values exactly via
+  * epoch_ns(ts)//1000000.
+  */
+object EventTime extends QueryModule {
+
+  def t01(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("event_ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start_ms", "event_type")
+
+  def t02(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("n"), col("sum_value"))
+      .orderBy("win_start_ms")
+
+  /** Session windows (30-min gap) per user. Spark merges while
+    * next < last + gap, i.e. a gap of exactly 30 min starts a new session —
+    * the oracle's islands flag uses >= to match. */
+  def t03(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("event_ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_ms")
+
+  /** Watermark semantics, batch analogue: drop events more than 1h older
+    * than the observed max event time (late-data cutoff). */
+  def t04(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val mx = e.agg(max("ts_ms").as("mx_ms"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts_ms") >= col("mx_ms") - 3600000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("min_ms"), max(col("ts_ms")).as("max_ms"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic event-time dedup: earliest event per (user, type) —
+    * the batch image of dropDuplicatesWithinWatermark. */
+  def t05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_ms")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Stream-static enrichment: events against the customer dimension —
+    * always a broadcast join (the dim is the small side at any scale
+    * where it's still a dim). */
+  def t06(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_tumbling" -> t01,
+    "t02_sliding" -> t02,
+    "t03_session" -> t03,
+    "t04_late_data" -> t04,
+    "t05_stateful_dedup" -> t05,
+    "t06_stream_join" -> t06)
+
+  val oracles: Map[String, String] = Map(
+    "t01_tumbling" ->
+      """SELECT (epoch_ns(ts)//1000000 // 600000) * 600000 AS win_start_ms,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY win_start_ms, event_type
+        |ORDER BY win_start_ms, event_type""".stripMargin,
+    "t02_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+        |w AS (SELECT ((ts_ms - o.o) // 600000) * 600000 + o.o AS win_start_ms, value
+        |      FROM e CROSS JOIN (VALUES (0), (300000)) o(o))
+        |SELECT win_start_ms, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start_ms ORDER BY win_start_ms""".stripMargin,
+    "t03_session" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ns(ts)//1000000 AS ts_ms, event_id FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w >= 1800000
+        |                 OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_ms) AS session_start_ms, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "t04_late_data" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms FROM events)
+        |SELECT event_type, COUNT(*) AS n, MIN(ts_ms) AS min_ms, MAX(ts_ms) AS max_ms
+        |FROM e WHERE ts_ms >= (SELECT MAX(ts_ms) FROM e) - 3600000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t05_stateful_dedup" ->
+      """SELECT user_id, event_type, event_id, ts_ms FROM (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts)//1000000 AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ns(ts)//1000000, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "t06_stream_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)
+}
