@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Windows,
     operators.Scalars,
     operators.EventTime,
-    llm.Llm)
+    llm.Llm,
+    odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -60,6 +60,55 @@ object Uuid5 {
     new UUID(bb.getLong, bb.getLong)
   }
 
+  /** Sequence hashing over pre-encoded parts (UUIDs contribute their 16
+    * raw bytes, exactly like clj-uuid's UUIDNameBytes). */
+  def uuid5Parts(namespace: UUID, parts: Seq[Array[Byte]]): UUID = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(bytes(namespace))
+    parts.foreach(md.update)
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte
+    val bb = ByteBuffer.wrap(h, 0, 16)
+    new UUID(bb.getLong, bb.getLong)
+  }
+
+  private val UuidRe =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+
+  /** Command-envelope id over a flat JSON params object (the Spark-side
+    * image of gen-cmd-id): keys go snake→kebab keyword form (":study-id"),
+    * the typed value_* union collapses to ":value", UUID-valued params hash
+    * as 16 raw bytes, the data-type value hashes as a keyword (":string").
+    * Sorted by keyword key, name first — byte-identical to the reference
+    * for string/uuid params (golden: test :261-267).
+    */
+  def genCmdIdJson(batchCmdId: String, name: String, paramsJson: String,
+      fileOid: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(paramsJson)
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getValue.isNull) {
+        val rawKey = e.getKey
+        val key = if (rawKey.startsWith("value_")) "value"
+          else rawKey.replace('_', '-')
+        val v = e.getValue.asText()
+        val vb =
+          if (key == "data-type") (":" + v).getBytes(UTF_8)
+          else if (UuidRe.matches(v)) bytes(UUID.fromString(v))
+          else v.getBytes(UTF_8)
+        kvs += ((":" + key) -> vb)
+      }
+    }
+    kvs += (":file-oid" -> fileOid.getBytes(UTF_8))
+    val parts = (":" + name).getBytes(UTF_8) +:
+      kvs.sortBy(_._1).flatMap { case (k, vb) => Seq(k.getBytes(UTF_8), vb) }.toSeq
+    uuid5Parts(UUID.fromString(batchCmdId), parts).toString
+  }
+
   /** Reference gen-cmd-id (import_clinical_data.clj:288-289):
     * v5(batchCmdId, name :: flatten(sortBy(key, params))) — key-order
     * independent because params are sorted by key before hashing.

@@ -1,0 +1,311 @@
+package graft.odm
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import graft.functions.Uuid5
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference-semantics ODM import pipeline (SURVEY.md §2.3), Spark-first.
+  *
+  * Reference behavior being reproduced
+  * (/root/reference/src/lens/import_clinical_data.clj):
+  *  - 6-level tree: file → clinical-data → subject → study-event → form →
+  *    item-group → item (:275-286, :265-269, :222-263, :179-220, :150-177,
+  *    :121-148, :102-119) — here a 6-level explode cascade.
+  *  - tx-type dispatch with parent inheritance, default :insert (:92-100) —
+  *    here coalesce(own, parent, 'insert') carried down the explode chain.
+  *  - UUIDv5 identity chain (:267,:229,:187,:157,:128,:113) — uuid5 UDF.
+  *  - per-level command constructors (:24-69); update emits only at the
+  *    item leaf (:111-114 vs :139-143,:168-172,:211-215,:254-258); remove
+  *    emits and never cascades (:116-119,:145-148,:174-177,:217-220,
+  *    :260-263, test :208-219).
+  *  - file-oid stamped into every command's params (:271-273) and command
+  *    envelope id = gen-cmd-id(batch-id, name, sorted params) (:288-297).
+  *
+  * Documented deviation: the reference has no :upsert method below the
+  * study-event level (:150-177) — a node inheriting :upsert there would
+  * throw. Here inherited/explicit upsert below study-event degrades to
+  * insert (the relational latest-wins merge makes replays converge anyway,
+  * because ids are deterministic).
+  *
+  * Scale posture: one row per ODM file at the top; every stage is a
+  * narrow projection or explode (no shuffle until a sink partitions by
+  * file_oid/level). The reference's per-node round-trip gating (R15)
+  * becomes `gate()` — a left_semi join chain against a success-event table,
+  * level by level — so a 100 TB command log replays as joins, not
+  * sequential awaits.
+  */
+object OdmPipeline {
+
+  /** Explicit schema: every level an array (inference would collapse
+    * single-child containers into structs). */
+  val odmSchema: StructType = {
+    val item = StructType(Seq(
+      StructField("_ItemOID", StringType),
+      StructField("_DataType", StringType),
+      StructField("_TransactionType", StringType),
+      StructField("_Value", StringType)))
+    val itemGroup = StructType(Seq(
+      StructField("ItemData", ArrayType(item)),
+      StructField("_ItemGroupOID", StringType),
+      StructField("_TransactionType", StringType)))
+    val form = StructType(Seq(
+      StructField("ItemGroupData", ArrayType(itemGroup)),
+      StructField("_FormOID", StringType),
+      StructField("_TransactionType", StringType)))
+    val studyEvent = StructType(Seq(
+      StructField("FormData", ArrayType(form)),
+      StructField("_StudyEventOID", StringType),
+      StructField("_TransactionType", StringType)))
+    val subject = StructType(Seq(
+      StructField("StudyEventData", ArrayType(studyEvent)),
+      StructField("_SubjectKey", StringType),
+      StructField("_TransactionType", StringType)))
+    val clinicalData = StructType(Seq(
+      StructField("SubjectData", ArrayType(subject)),
+      StructField("_StudyOID", StringType)))
+    StructType(Seq(
+      StructField("ClinicalData", ArrayType(clinicalData)),
+      StructField("_FileOID", StringType)))
+  }
+
+  def readOdm(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "ODM").schema(odmSchema).load(path)
+
+  /** The shipped test fixture (FIXTURES.md §3), materialized from the jar. */
+  def fixturePath(): String = {
+    val in = getClass.getResourceAsStream("/odm/sample_clinical_data.xml")
+    val tmp = Files.createTempFile("graft_odm", ".xml")
+    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    tmp.toString
+  }
+
+  private def txNorm(c: Column): Column = lower(c)
+
+  /** eff_tx = coalesce(own, parent_eff); 'insert' is the snapshot default
+    * at the subject level (reference :97-98). */
+  private def effTx(own: Column, parent: Column): Column =
+    coalesce(txNorm(own), parent)
+
+  private val u5 = Uuid5.uuid5Udf
+
+  /** Explodes the tree into the six normalized entity tables
+    * (FIXTURES.md §2) joined flat: one row per item plus carrying every
+    * ancestor's id/oid/eff_tx. Children of removed nodes are pruned at each
+    * level (R17: remove never cascades). */
+  def exploded(spark: SparkSession, path: String): ExplodedLevels = {
+    val files = readOdm(spark, path)
+      .select(col("_FileOID").as("file_oid"), explode(col("ClinicalData")).as("cd"))
+
+    val studies = files.select(
+      col("file_oid"),
+      col("cd._StudyOID").as("study_oid"),
+      u5(lit(Uuid5.NilUuid.toString), col("cd._StudyOID")).as("study_id"),
+      col("cd.SubjectData").as("subjects"))
+
+    val subjects = studies
+      .select(col("file_oid"), col("study_oid"), col("study_id"),
+        explode(col("subjects")).as("s"))
+      .select(
+        col("file_oid"), col("study_oid"), col("study_id"),
+        col("s._SubjectKey").as("subject_key"),
+        u5(col("study_id"), col("s._SubjectKey")).as("subject_id"),
+        effTx(col("s._TransactionType"), lit("insert")).as("tx"),
+        col("s.StudyEventData").as("study_events"))
+
+    val studyEvents = subjects
+      .filter(col("tx") =!= "remove")
+      .select(col("file_oid"), col("study_id"), col("subject_key"),
+        col("subject_id"), col("tx").as("parent_tx"),
+        explode(col("study_events")).as("se"))
+      .select(
+        col("file_oid"), col("study_id"), col("subject_key"), col("subject_id"),
+        col("se._StudyEventOID").as("study_event_oid"),
+        u5(col("subject_id"), col("se._StudyEventOID")).as("study_event_id"),
+        effTx(col("se._TransactionType"), col("parent_tx")).as("tx"),
+        col("se.FormData").as("forms"))
+
+    val forms = studyEvents
+      .filter(col("tx") =!= "remove")
+      .select(col("file_oid"), col("study_event_oid"), col("study_event_id"),
+        col("tx").as("parent_tx"), explode(col("forms")).as("f"))
+      .select(
+        col("file_oid"), col("study_event_oid"), col("study_event_id"),
+        col("f._FormOID").as("form_oid"),
+        u5(col("study_event_id"), col("f._FormOID")).as("form_id"),
+        // documented deviation: upsert degrades to insert below study-event
+        when(effTx(col("f._TransactionType"), col("parent_tx")) === "upsert", "insert")
+          .otherwise(effTx(col("f._TransactionType"), col("parent_tx"))).as("tx"),
+        col("f.ItemGroupData").as("item_groups"))
+
+    val itemGroups = forms
+      .filter(col("tx") =!= "remove")
+      .select(col("file_oid"), col("form_oid"), col("form_id"),
+        col("tx").as("parent_tx"), explode(col("item_groups")).as("ig"))
+      .select(
+        col("file_oid"), col("form_oid"), col("form_id"),
+        col("ig._ItemGroupOID").as("item_group_oid"),
+        u5(col("form_id"), col("ig._ItemGroupOID")).as("item_group_id"),
+        effTx(col("ig._TransactionType"), col("parent_tx")).as("tx"),
+        col("ig.ItemData").as("items"))
+
+    val items = itemGroups
+      .filter(col("tx") =!= "remove")
+      .select(col("file_oid"), col("item_group_oid"), col("item_group_id"),
+        col("tx").as("parent_tx"), explode(col("items")).as("i"))
+      .select(
+        col("file_oid"), col("item_group_oid"), col("item_group_id"),
+        col("i._ItemOID").as("item_oid"),
+        u5(col("item_group_id"), col("i._ItemOID")).as("item_id"),
+        effTx(col("i._TransactionType"), col("parent_tx")).as("tx"),
+        col("i._DataType").as("data_type"),
+        // the tagged union (§1.5): exactly one typed value column non-null
+        when(col("i._DataType") === "string", col("i._Value")).as("value_string"),
+        when(col("i._DataType") === "integer", col("i._Value").cast("long")).as("value_integer"),
+        when(col("i._DataType") === "float", col("i._Value").cast("double")).as("value_float"),
+        when(col("i._DataType") === "datetime", to_timestamp(col("i._Value"))).as("value_datetime"))
+
+    ExplodedLevels(studies.drop("subjects"), subjects.drop("study_events"),
+      studyEvents.drop("forms"), forms.drop("item_groups"),
+      itemGroups.drop("items"), items)
+  }
+
+  /** Per-level command projections (R11). `lvls` is any (possibly gated)
+    * subset of the exploded levels; emission rules per eff_tx:
+    * update emits nothing except at the item leaf; remove emits at its own
+    * level only (its subtree never reached the explode outputs). */
+  def commandsOf(lvls: ExplodedLevels): DataFrame = {
+    def cmd(level: Int, name: Column, params: Column)(df: DataFrame): DataFrame =
+      df.select(lit(level).as("level"), name.as("name"),
+        to_json(params).as("params_json"), col("file_oid"))
+
+    def verb(base: String, withUpsert: Boolean): Column = {
+      val v = when(col("tx") === "remove", s"remove-$base")
+      val v2 = if (withUpsert) v.when(col("tx") === "upsert", s"upsert-$base") else v
+      concat(lit("odm-import/"), v2.otherwise(s"insert-$base"))
+    }
+
+    val subjectCmds = lvls.subjects.filter(col("tx") =!= "update")
+      .transform(cmd(1, verb("subject", withUpsert = true),
+        struct(col("study_id"), col("subject_key"))))
+    val studyEventCmds = lvls.studyEvents.filter(col("tx") =!= "update")
+      .transform(cmd(2, verb("study-event", withUpsert = true),
+        struct(col("subject_id"), col("study_event_oid"))))
+    val formCmds = lvls.forms.filter(col("tx") =!= "update")
+      .transform(cmd(3, verb("form", withUpsert = false),
+        struct(col("study_event_id"), col("form_oid"))))
+    val itemGroupCmds = lvls.itemGroups.filter(col("tx") =!= "update")
+      .transform(cmd(4, verb("item-group", withUpsert = false),
+        struct(col("form_id"), col("item_group_oid"))))
+
+    // the leaf is the one level where update DOES emit (update-item, :111-114)
+    val itemValue = Seq(col("data_type"), col("value_string"),
+      col("value_integer"), col("value_float"), col("value_datetime"))
+    val itemInserts = lvls.items.filter(col("tx").isin("insert", "upsert"))
+      .transform(cmd(5, lit("odm-import/insert-item"),
+        struct(col("item_group_id") +: col("item_oid") +: itemValue: _*)))
+    val itemUpdates = lvls.items.filter(col("tx") === "update")
+      .transform(cmd(5, lit("odm-import/update-item"),
+        struct(col("item_id") +: itemValue: _*)))
+    val itemRemoves = lvls.items.filter(col("tx") === "remove")
+      .transform(cmd(5, lit("odm-import/remove-item"),
+        struct(col("item_group_id"), col("item_oid"))))
+
+    subjectCmds
+      .unionByName(studyEventCmds)
+      .unionByName(formCmds)
+      .unionByName(itemGroupCmds)
+      .unionByName(itemInserts)
+      .unionByName(itemUpdates)
+      .unionByName(itemRemoves)
+  }
+
+  /** Success-path command stream for an ODM file (every parent accepted). */
+  def commands(spark: SparkSession, path: String): DataFrame =
+    commandsOf(exploded(spark, path))
+
+  private def genIdUdf(batchCmdId: String) =
+    udf((name: String, paramsJson: String, fileOid: String) =>
+      Uuid5.genCmdIdJson(batchCmdId, name, paramsJson, fileOid))
+
+  /** Envelope (R13): deterministic cmd_id = gen-cmd-id(batchCmdId, name,
+    * params ∪ {file-oid}), sub inherited from the batch command —
+    * idempotent across replays, key-order free. Ordered by level so the
+    * downstream processor sees parents before children (the relational
+    * image of the reference's depth-wise await). */
+  def enveloped(spark: SparkSession, path: String, batchCmdId: String,
+      sub: String): DataFrame =
+    commands(spark, path)
+      .withColumn("id", genIdUdf(batchCmdId)(col("name"), col("params_json"), col("file_oid")))
+      .withColumn("sub", lit(sub))
+      .select("id", "name", "sub", "file_oid", "params_json", "level")
+      .orderBy("level", "name", "params_json")
+
+  /** Dependency gating (R15): given the downstream event log
+    * (cid, name), reproduce exactly the set of commands the reference
+    * would SEND — a child level is reached iff its parent entity either
+    * emitted no command (update pass-through, which cascades
+    * unconditionally) or its command's correlated event is
+    * <level>/created (insert path) or additionally <level>/updated
+    * (upsert path). Failed parents prune whole subtrees (test :40-53).
+    * Pure left_semi join chain — no sequential awaits.
+    */
+  def gatedCommands(spark: SparkSession, path: String, batchCmdId: String,
+      sub: String, events: DataFrame): DataFrame = {
+    val lv = exploded(spark, path)
+    val genId = genIdUdf(batchCmdId)
+    val ev = events.select(col("cid"), col("name").as("ev_name"))
+
+    // entities at a level that allow descent into their children
+    def descendants(df: DataFrame, entity: String, cmdName: Column, params: Column): DataFrame = {
+      val withId = df.withColumn("cmd_id",
+        genId(cmdName, to_json(params), col("file_oid")))
+      val passThrough = withId.filter(col("tx") === "update")
+      val gated = withId.filter(col("tx").isin("insert", "upsert"))
+        .join(ev,
+          col("cmd_id") === col("cid") &&
+            (col("ev_name") === s"$entity/created" ||
+              (col("tx") === "upsert" && col("ev_name") === s"$entity/updated")),
+          "left_semi")
+      passThrough.unionByName(gated)
+    }
+
+    val subjOk = descendants(lv.subjects, "subject",
+      concat(lit("odm-import/"), when(col("tx") === "upsert", "upsert-subject")
+        .otherwise("insert-subject")),
+      struct(col("study_id"), col("subject_key")))
+    val seSent = lv.studyEvents.join(
+      subjOk.select(col("subject_id").as("p")), col("subject_id") === col("p"), "left_semi")
+    val seOk = descendants(seSent, "study-event",
+      concat(lit("odm-import/"), when(col("tx") === "upsert", "upsert-study-event")
+        .otherwise("insert-study-event")),
+      struct(col("subject_id"), col("study_event_oid")))
+    val formsSent = lv.forms.join(
+      seOk.select(col("study_event_id").as("p")), col("study_event_id") === col("p"), "left_semi")
+    val formsOk = descendants(formsSent, "form", lit("odm-import/insert-form"),
+      struct(col("study_event_id"), col("form_oid")))
+    val igSent = lv.itemGroups.join(
+      formsOk.select(col("form_id").as("p")), col("form_id") === col("p"), "left_semi")
+    val igOk = descendants(igSent, "item-group", lit("odm-import/insert-item-group"),
+      struct(col("form_id"), col("item_group_oid")))
+    val itemsSent = lv.items.join(
+      igOk.select(col("item_group_id").as("p")), col("item_group_id") === col("p"), "left_semi")
+
+    commandsOf(lv.copy(studyEvents = seSent, forms = formsSent,
+      itemGroups = igSent, items = itemsSent))
+      .withColumn("id", genId(col("name"), col("params_json"), col("file_oid")))
+      .withColumn("sub", lit(sub))
+      .select("id", "name", "sub", "file_oid", "params_json", "level")
+      .orderBy("level", "name", "params_json")
+  }
+}
+
+final case class ExplodedLevels(
+    studies: DataFrame,
+    subjects: DataFrame,
+    studyEvents: DataFrame,
+    forms: DataFrame,
+    itemGroups: DataFrame,
+    items: DataFrame)

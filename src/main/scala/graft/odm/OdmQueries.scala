@@ -1,0 +1,31 @@
+package graft.odm
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-registry surface for the ODM domain layer. Inputs come from the
+  * shipped XML fixture (not the parquet star schema), so these are
+  * no-oracle: golden expectations live in OdmPipelineSpec.
+  */
+object OdmQueries extends QueryModule {
+
+  /** The reference test fixture batch-cmd id (#uuid "2a302e1b-…-db7831d81e69d",
+    * whose 13-hex-digit last group JDK 8 merged into these canonical bits). */
+  val BatchCmdId = "2a302e1b-3cb4-425e-bcad-b7831d81e69d"
+
+  /** ODM XML → exploded typed item table (reference R6+R7). */
+  def s06(spark: SparkSession, dir: String): DataFrame =
+    OdmPipeline.exploded(spark, OdmPipeline.fixturePath()).items
+      .orderBy("item_group_oid", "item_oid")
+
+  /** Full §2.3 command stream (success path), enveloped + level-ordered. */
+  def c01(spark: SparkSession, dir: String): DataFrame =
+    OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(), BatchCmdId, "importer-1")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_source_xml_odm" -> s06,
+    "c01_odm_commands" -> c01)
+
+  val oracles: Map[String, String] = Map.empty
+}
