@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Scalars,
     operators.EventTime,
     llm.Llm,
+    llm.MultimodalQueries,
     odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.Tables.dec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming lift of the event-time operators (SURVEY.md §7 M4).
+  *
+  * Each function takes *any* events DataFrame — batch or streaming — with
+  * columns (event_id, user_id, event_type, value, event_ts:timestamp) and
+  * declares the same logical plan the batch EventTime module uses; on a
+  * readStream source Spark runs it incrementally with state in the
+  * configured state store. StreamingSpec drives them through MemoryStream
+  * and asserts streaming output == the batch run (exactly-once append).
+  *
+  * Scale posture: watermarks bound state (old windows/sessions are
+  * evicted); keys partition the state store, so a 1000-executor cluster
+  * shards sessions by user_id with no global coordination.
+  */
+object StreamingLift {
+
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def session(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(session_window(col("event_ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: the dimension is a plain batch DataFrame;
+    * Spark re-broadcasts it per micro-batch. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.Welford
+import graft.llm.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+
+  test("m01: decode stage is deterministic, batched, and shuffle-free") {
+    val out1 = Multimodal.m01(spark, sf).collect()
+    val out2 = Multimodal.m01(spark, sf).collect()
+    assert(out1.toSeq === out2.toSeq)
+    assert(out1.length === 500)
+    // n_bytes equals the utf8 length of the source text
+    val joined = Multimodal.m01(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
+    assert(joined.count() === 0)
+    // decode is a narrow map: no Exchange in the plan before the sort
+    val plan = Multimodal.decode(Multimodal.mediaTable(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode stage shuffled:\n$plan")
+  }
+
+  test("decodeStub: fixed vectors") {
+    val (cs, feats) = Multimodal.decodeStub("abcdefgh".getBytes("UTF-8"))
+    assert(feats.length === 8)
+    assert(feats.forall(f => f >= 0f && f < 1f))
+    assert(cs === ('a'.toLong | 'b'.toLong << 8 | 'c'.toLong << 16 | 'd'.toLong << 24
+      | 'e'.toLong << 32 | 'f'.toLong << 40 | 'g'.toLong << 48 | 'h'.toLong << 56))
+  }
+
+  test("x02: Welford typed UDAF matches built-in avg/var_samp") {
+    Welford.register(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("graft_x02_li")
+    val rows = spark.sql(
+      """SELECT l_returnflag, welford(l_quantity) AS w,
+        |       avg(l_quantity) AS a, var_samp(l_quantity) AS v
+        |FROM graft_x02_li GROUP BY l_returnflag""".stripMargin).collect()
+    rows.foreach { r =>
+      val w = r.getStruct(r.fieldIndex("w"))
+      assert(math.abs(w.getDouble(0) - r.getDouble(2)) < 1e-9, "mean")
+      assert(math.abs(w.getDouble(1) - r.getDouble(3)) / r.getDouble(3) < 1e-9, "var")
+    }
+  }
+}
