@@ -18,8 +18,10 @@ object SparkEntry {
     operators.Windows,
     operators.Scalars,
     operators.EventTime,
+    operators.Extras,
     llm.Llm,
     llm.MultimodalQueries,
+    llm.MinHashLshMl,
     odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

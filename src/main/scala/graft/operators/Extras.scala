@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.dec
+import graft.functions.{Uuid5, Uuid5Expression, Welford}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UDF/UDAF surface (SURVEY.md §2.2 x01-x02) and scale-pattern operators:
+  * partitioned sink with partition pruning (s07) and the salted two-phase
+  * aggregation for skewed keys (j13).
+  */
+object Extras extends QueryModule {
+
+  /** x01: uuid5 as Scala UDF and as native codegen Expression — same
+    * values, different execution paths (ScalarsSpec asserts equality;
+    * here both are materialized side by side). */
+  def x01(spark: SparkSession, dir: String): DataFrame = {
+    Uuid5Expression.register(spark)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        Uuid5.uuid5Udf(lit(Uuid5.NilUuid.toString), col("c_name")).as("id_udf"),
+        Uuid5Expression.uuid5Native(lit(Uuid5.NilUuid.toString), col("c_name")).as("id_native"))
+      .withColumn("paths_agree", col("id_udf") === col("id_native"))
+      .orderBy("c_custkey")
+  }
+
+  def x02(spark: SparkSession, dir: String): DataFrame = {
+    Welford.register(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_x02_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |       round(welford(l_quantity).mean, 8) AS w_mean,
+        |       round(welford(l_quantity).varSamp, 8) AS w_var
+        |FROM graft_x02_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** s07: partitioned parquet sink + partition-pruned re-read. At 100 TB
+    * the o_year directory layout is what turns a year-filter into reading
+    * 1/7th of the data; PlanSpec asserts PartitionFilters is non-empty. */
+  def s07Write(spark: SparkSession, dir: String): String = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s07_partitioned"
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    tmp
+  }
+
+  def s07(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s07Write(spark, dir))
+      .filter(col("o_year") === 1997)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_year").cast("int").as("o_year"))
+      .orderBy("o_orderkey")
+
+  /** j13: salted two-phase aggregation. events has ~15 user_ids carrying
+    * 100k+ rows each at scale — a plain groupBy(user_id) funnels each hot
+    * key through one reducer. Phase 1 groups by (user_id, salt) spreading
+    * each key over 16 reducers; phase 2 combines the 16 partials. Result
+    * is identical to the direct aggregation (the oracle computes it
+    * directly). */
+  def j13(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"), sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_udf_uuid5" -> x01,
+    "x02_udaf_welford" -> x02,
+    "s07_sink_partitioned" -> s07,
+    "j13_join_skew_salted" -> j13)
+
+  val oracles: Map[String, String] = Map(
+    "s07_sink_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year
+        |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |ORDER BY o_orderkey""".stripMargin,
+    "j13_join_skew_salted" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

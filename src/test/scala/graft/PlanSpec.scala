@@ -48,6 +48,21 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
   }
 
+  test("s07: year filter becomes a partition filter (pruned directories)") {
+    val plan = planString(operators.Extras.s07(spark, sf))
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition pruning on o_year, got:\n$plan")
+  }
+
+  test("x01: uuid5_native participates in whole-stage codegen") {
+    val df = operators.Extras.x01(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), s"expected codegen span:\n$executed")
+    assert(df.filter(!col("paths_agree")).count() === 0,
+      "UDF and native expression disagree")
+  }
+
   test("flagship: aggregation is partial+final hash aggregate with codegen") {
     val df = operators.Flagship.q00(spark, sf)
     val plan = planString(df)
