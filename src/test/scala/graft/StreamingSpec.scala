@@ -86,6 +86,33 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table(name).select("event_id").distinct().count() === 200)
   }
 
+  test("flatMapGroupsWithState: final running state == batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = batchEvents.as[Ev].collect().sortBy(_.ts_ms)
+    val stream = MemoryStream[Ev]
+    val src = stream.toDS().map(e => (e.user_id, e.value))
+    val name = s"graft_state_${System.nanoTime()}"
+    val q = StreamingLift.runningPerUser(src).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the LAST emission per user must equal the batch aggregate
+    val finalState = spark.table(name)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n").desc)))
+      .filter(col("rn") === 1)
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("value").as("max_value"))
+    assert(sortedRows(finalState, "user_id", "n", "max_value") ===
+      sortedRows(batch, "user_id", "n", "max_value"))
+  }
+
   test("stream-static enrich: streaming == batch join") {
     val dim = Tables.customer(spark, sf)
     val streamed = runStream(StreamingLift.enrich(_, dim))
