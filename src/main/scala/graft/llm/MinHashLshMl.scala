@@ -24,8 +24,10 @@ object MinHashLshMl extends QueryModule {
         "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))")
         .as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val featurized = tf.transform(sh)
+      .setNumFeatures(1 << 16).setBinary(true)
+    // cached: the self approxSimilarityJoin consumes it as BOTH sides, and
+    // fit() makes a third pass — without cache the shingle explode runs 3×
+    val featurized = tf.transform(sh).cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(featurized)
