@@ -161,11 +161,14 @@ object OdmPipeline {
         u5(col("item_group_id"), col("i._ItemOID")).as("item_id"),
         effTx(col("i._TransactionType"), col("parent_tx")).as("tx"),
         col("i._DataType").as("data_type"),
-        // the tagged union (§1.5): exactly one typed value column non-null
+        col("i._Value").as("value_raw"),
+        // the tagged union (§1.5): exactly one typed value column non-null.
+        // try_* variants: ANSI mode would abort the whole file on one bad
+        // value; null here feeds the R21 validation-failed channel instead.
         when(col("i._DataType") === "string", col("i._Value")).as("value_string"),
-        when(col("i._DataType") === "integer", col("i._Value").cast("long")).as("value_integer"),
-        when(col("i._DataType") === "float", col("i._Value").cast("double")).as("value_float"),
-        when(col("i._DataType") === "datetime", to_timestamp(col("i._Value"))).as("value_datetime"))
+        when(col("i._DataType") === "integer", expr("try_cast(i._Value AS BIGINT)")).as("value_integer"),
+        when(col("i._DataType") === "float", expr("try_cast(i._Value AS DOUBLE)")).as("value_float"),
+        when(col("i._DataType") === "datetime", try_to_timestamp(col("i._Value"))).as("value_datetime"))
 
     ExplodedLevels(studies.drop("subjects"), subjects.drop("study_events"),
       studyEvents.drop("forms"), forms.drop("item_groups"),
@@ -309,3 +312,51 @@ final case class ExplodedLevels(
     forms: DataFrame,
     itemGroups: DataFrame,
     items: DataFrame)
+
+/** Typed command envelope (FIXTURES.md §2) — the Dataset[T] API boundary. */
+final case class OdmCommand(
+    id: String, name: String, sub: String, file_oid: String,
+    params_json: String, level: Int)
+
+/** Validation + sink surfaces of the ODM layer. */
+object OdmIo {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.functions._
+  import graft.functions.Uuid5
+
+  def envelopedDs(spark: SparkSession, path: String, batchCmdId: String,
+      sub: String): Dataset[OdmCommand] = {
+    import spark.implicits._
+    OdmPipeline.enveloped(spark, path, batchCmdId, sub).as[OdmCommand]
+  }
+
+  /** R21: the validation-failed channel. Items whose typed coercion lost a
+    * non-null raw value are rejected as `clinical-data-import/
+    * validation-failed` events (id = v5(item_id, event-name), mirroring
+    * validation_failed at import_clinical_data.clj:73-81); the reference
+    * instead aborts the whole file on first parse error — a side-output
+    * quarantine is the batch-native upgrade (R3's reject path).
+    */
+  def splitValidItems(items: DataFrame): (DataFrame, DataFrame) = {
+    val coerced = coalesce(col("value_string").cast("string"),
+      col("value_integer").cast("string"),
+      col("value_float").cast("string"),
+      col("value_datetime").cast("string"))
+    val bad = col("value_raw").isNotNull && coerced.isNull
+    val evName = "clinical-data-import/validation-failed"
+    val rejects = items.filter(bad).select(
+      Uuid5.uuid5Udf(col("item_id"), lit(evName)).as("id"),
+      lit(evName).as("name"),
+      col("item_oid"), col("data_type"), col("value_raw"), col("file_oid"))
+    (items.filter(!bad), rejects)
+  }
+
+  /** Command-log sink: partitioned by (file_oid, level) so a downstream
+    * replay of one file — the reference's unit of work — is a directory
+    * prune, and level ordering is free at read time. */
+  def writeCommandLog(cmds: DataFrame, path: String): Unit =
+    cmds.write.mode("overwrite").partitionBy("file_oid", "level").parquet(path)
+
+  def readCommandLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
