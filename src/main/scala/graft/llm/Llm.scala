@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Llm extends QueryModule {
 
+  /** Portable 6-decimal half-up rounding: round()'s tie-breaking differs
+    * between Spark (HALF_UP) and DuckDB on doubles; floor(x*1e6+0.5)/1e6
+    * is identical IEEE arithmetic in both engines. Inputs here are small
+    * rationals (token-count ratios), which DO land exactly on rounding
+    * boundaries. */
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1000000.0 + 0.5) / 1000000.0
+
   def l01(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("h"))
@@ -103,7 +111,7 @@ object Llm extends QueryModule {
         col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        round(expr("aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + length(t)) / size(toks)"), 6).as("avg_wlen"),
+        (floor(expr("aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + length(t)) / size(toks)") * 1000000.0 + 0.5) / 1000000.0).as("avg_wlen"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
       .orderBy("doc_id")
 
@@ -151,15 +159,20 @@ object Llm extends QueryModule {
     Tables.documents(spark, dir)
       .withColumn("toks", split(lower(col("text")), " "))
       .withColumn("n_tok", size(col("toks")).cast("double"))
-      .withColumn("stop_ratio", round(
-        expr(s"size(filter(toks, t -> ${stopHits(enStops)}))") / col("n_tok"), 6))
-      .withColumn("uniq_ratio", round(size(array_distinct(col("toks"))) / col("n_tok"), 6))
-      .withColumn("len_score",
-        round(least(col("n_tok") / 100.0, lit(1.0)), 6))
-      .withColumn("quality", round(
-        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("len_score")
-          + lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0)), 6))
-      .select("doc_id", "stop_ratio", "uniq_ratio", "len_score", "quality")
+      // raw (unrounded) ratios feed the composite: rounding first would
+      // park the weighted sum exactly on .5 ulp boundaries where Spark
+      // (HALF_UP) and DuckDB disagree
+      .withColumn("stop_raw",
+        expr(s"size(filter(toks, t -> ${stopHits(enStops)}))") / col("n_tok"))
+      .withColumn("uniq_raw", size(array_distinct(col("toks"))) / col("n_tok"))
+      .withColumn("len_raw", least(col("n_tok") / 100.0, lit(1.0)))
+      .select(
+        col("doc_id"),
+        r6(col("stop_raw")).as("stop_ratio"),
+        r6(col("uniq_raw")).as("uniq_ratio"),
+        r6(col("len_raw")).as("len_score"),
+        r6(lit(0.4) * col("uniq_raw") + lit(0.3) * col("len_raw")
+          + lit(0.3) * least(col("stop_raw") * 5.0, lit(1.0))).as("quality"))
       .orderBy("doc_id")
 
   /** Token counting: whitespace vs a BPE-ish regex segmentation. */
@@ -249,8 +262,8 @@ object Llm extends QueryModule {
       """SELECT doc_id, lang,
         |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
         |       CAST(length(text) AS BIGINT) AS n_chars_calc,
-        |       round(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
-        |             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS avg_wlen,
+        |       floor(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+        |             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_wlen,
         |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_uniq
         |FROM documents ORDER BY doc_id""".stripMargin,
     "l05_multimodal_cols" ->
@@ -272,13 +285,14 @@ object Llm extends QueryModule {
     "l07_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |r AS (SELECT doc_id,
-        |   CAST(len(toks) AS DOUBLE) AS n_tok,
-        |   round(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-        |   round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS uniq_ratio,
-        |   round(least(len(toks) / 100.0, 1.0), 6) AS len_score
+        |   len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for'))) / CAST(len(toks) AS DOUBLE) AS stop_raw,
+        |   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_raw,
+        |   least(len(toks) / CAST(100.0 AS DOUBLE), 1.0) AS len_raw
         | FROM t)
-        |SELECT doc_id, stop_ratio, uniq_ratio, len_score,
-        |       round(0.4 * uniq_ratio + 0.3 * len_score + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+        |SELECT doc_id, floor(stop_raw * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+        |       floor(uniq_raw * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+        |       floor(len_raw * 1000000.0 + 0.5) / 1000000.0 AS len_score,
+        |       floor((0.4 * uniq_raw + 0.3 * len_raw + 0.3 * least(stop_raw * 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
     "l08_token_count" ->
       """SELECT doc_id,
