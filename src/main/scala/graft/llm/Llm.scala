@@ -104,6 +104,45 @@ object Llm extends QueryModule {
       .limit(10)
   }
 
+  /** l03b: approximate nearest neighbors — the scale path for l03.
+    * Random-hyperplane LSH: 4 deterministic ±1 hyperplanes bucket vectors
+    * by the sign pattern of their projections (16 buckets); the probe only
+    * scores vectors in ITS bucket (an equi-join on the signature), then
+    * exact cosine ranks the bucket. At 100 TB this turns a full-corpus
+    * scan per probe into one bucket's worth of exact work; recall/latency
+    * trades via plane count and multi-probe. Hyperplanes are literal
+    * constants (seeded), so the DuckDB oracle replays bit-for-bit.
+    */
+  val Hyperplanes: Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  private def sigExprSpark(vcol: String): String =
+    Hyperplanes.zipWithIndex.map { case (h, j) =>
+      val arr = h.mkString("array(", "D, ", "D)")
+      s"CAST(aggregate(zip_with($vcol, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 AS INT) * ${1 << j}"
+    }.mkString(" + ")
+
+  def l03b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("sig", expr(sigExprSpark("embedding")))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p"), col("sig").as("psig"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("sig") === col("psig")) // bucket equi-join
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def l04(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(lower(col("text")), " "))
@@ -202,12 +241,32 @@ object Llm extends QueryModule {
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
     "l03_sim_topk" -> l03,
+    "l03b_sim_ann" -> l03b,
     "l04_text_stats" -> l04,
     "l05_multimodal_cols" -> l05,
     "l06_langid" -> l06,
     "l07_quality_score" -> l07,
     "l08_token_count" -> l08,
     "l09_fingerprint" -> l09)
+
+
+  /** Oracle for l03b, generated from the same literal hyperplanes. */
+  private def l03bOracle: String = {
+    val sig = Hyperplanes.zipWithIndex.map { case (h, j) =>
+      val arr = h.mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])) >= 0 AS INT) * ${1 << j}"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label, embedding, $sig AS sig FROM embeddings),
+       |p AS (SELECT embedding AS pe, sig AS psig FROM e WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |       round(
+       |         list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+       |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |            * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+       |FROM e JOIN p ON e.sig = p.psig
+       |WHERE vec_id <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   private val duckShingles =
     """t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -247,6 +306,8 @@ object Llm extends QueryModule {
          |            JOIN sizes nb ON nb.doc_id = common.b
          |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
          |ORDER BY a, b""".stripMargin,
+    "l03b_sim_ann" -> l03bOracle,
+    "l03b_sim_ann" -> l03bOracle,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
