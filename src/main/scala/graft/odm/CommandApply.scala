@@ -1,0 +1,61 @@
+package graft.odm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Command application: the downstream half of the reference system (its
+  * Transaction Processor) expressed relationally — given an ordered
+  * command log, materialize the current item state table.
+  *
+  * Semantics (per entity key = the command's natural key):
+  *   insert  → row exists with the inserted value
+  *   update  → value replaced (latest wins)
+  *   upsert  → insert-or-replace
+  *   remove  → row gone
+  * Resolution is one latest-wins window over (key) ordered by the log
+  * sequence — O(n log n) per key group, no iterative apply loop. This is
+  * the S40 merge that makes the reference's upsert semantics well-defined
+  * (SURVEY.md §2.1 quirks), and it is idempotent: replaying the same log
+  * yields the same state (cmd ids are deterministic).
+  *
+  * Scale: the log shuffles once on the entity key; with the command log
+  * partitioned by file_oid (OdmIo.writeCommandLog) per-file state rebuilds
+  * prune to one directory.
+  */
+object CommandApply {
+
+  /** Item-level state from a command log (columns: id, name, params_json,
+    * level, file_oid + a monotic `seq` ordering column). */
+  def itemState(spark: SparkSession, log: DataFrame): DataFrame = {
+    val items = log.filter(col("level") === 5)
+      .withColumn("p", from_json(col("params_json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          """item_group_id STRING, item_oid STRING, item_id STRING,
+            |data_type STRING, value_string STRING, value_integer BIGINT,
+            |value_float DOUBLE, value_datetime TIMESTAMP""".stripMargin)))
+      // update-item params carry item_id only; insert/remove carry the
+      // (group, oid) pair from which item_id is derivable — normalize key
+      .withColumn("key", coalesce(col("p.item_id"),
+        graft.functions.Uuid5.uuid5Udf(col("p.item_group_id"), col("p.item_oid"))))
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    items
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // latest command per item wins
+      .filter(!col("name").endsWith("remove-item")) // tombstones drop out
+      .select(
+        col("key").as("item_id"),
+        col("file_oid"),
+        col("p.data_type").as("data_type"),
+        col("p.value_string").as("value_string"),
+        col("p.value_integer").as("value_integer"),
+        col("p.value_float").as("value_float"),
+        col("p.value_datetime").as("value_datetime"))
+  }
+
+  /** Sequence-stamp a level-ordered command stream (the envelope's sort
+    * order is the reference's parent-before-child emission order). */
+  def sequenced(cmds: DataFrame): DataFrame =
+    cmds.withColumn("seq",
+      row_number().over(Window.orderBy(col("level"), col("name"), col("params_json"))))
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.odm.{CommandApply, OdmPipeline, OdmQueries}
+import org.apache.spark.sql.functions._
+
+/** Applying the command log reproduces the exploded item state: inserts
+  * materialize, leaf updates overwrite, removes tombstone, replay is
+  * idempotent. */
+class CommandApplySpec extends SparkSuite {
+
+  private lazy val log = CommandApply.sequenced(
+    OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(),
+      OdmQueries.BatchCmdId, "s"))
+
+  test("item state: inserts + updates materialize, removes drop out") {
+    val state = CommandApply.itemState(spark, log).cache()
+    // fixture: 6 inserted items (I1-I5, I7) + 1 updated (I9); I8 removed
+    assert(state.count() === 7)
+    // the removed item I8's id must be absent
+    val subj4 = graft.functions.Uuid5.uuid5(
+      graft.functions.Uuid5.uuid5(graft.functions.Uuid5.NilUuid, "S1"), "SK04")
+    val ig5 = graft.functions.Uuid5.uuid5(
+      graft.functions.Uuid5.uuid5(graft.functions.Uuid5.uuid5(subj4, "SE05"), "FM5"), "IG5")
+    val i8 = graft.functions.Uuid5.uuid5(ig5, "I8").toString
+    val i9 = graft.functions.Uuid5.uuid5(ig5, "I9").toString
+    assert(state.filter(col("item_id") === i8).count() === 0)
+    val i9row = state.filter(col("item_id") === i9).head()
+    assert(i9row.getAs[String]("data_type") === "float")
+    assert(i9row.getAs[Double]("value_float") === 1.5)
+    // typed values survived the round trip through params_json
+    assert(state.filter(col("value_integer") === 42L).count() === 1)
+  }
+
+  test("replay idempotence: applying the log twice equals once") {
+    val once = CommandApply.itemState(spark, log)
+    val twice = CommandApply.itemState(spark,
+      CommandApply.sequenced(log.drop("seq").union(log.drop("seq"))))
+    assert(once.orderBy("item_id").collect().toSeq ===
+      twice.orderBy("item_id").collect().toSeq)
+  }
+}
