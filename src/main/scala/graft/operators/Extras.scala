@@ -69,13 +69,31 @@ object Extras extends QueryModule {
       .agg(sum(col("n")).as("n_events"), sum(col("sv")).cast("double").as("sum_value"))
       .orderBy("user_id")
 
+  /** x03: table-generating surface — built-in posexplode IS the custom
+    * UDTF the reference's R7 cascade would otherwise need (SURVEY §2.2
+    * documents that no custom Generator is required). */
+  def x03(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos1"),
+        round(col("v").cast("double"), 6).as("v"))
+      .orderBy("vec_id", "pos1")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_udf_uuid5" -> x01,
+    "x03_udtf_generator" -> x03,
     "x02_udaf_welford" -> x02,
     "s07_sink_partitioned" -> s07,
     "j13_join_skew_salted" -> j13)
 
   val oracles: Map[String, String] = Map(
+    "x03_udtf_generator" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS pos1,
+        |       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+        |WHERE vec_id < 50
+        |ORDER BY vec_id, pos1""".stripMargin,
     "s07_sink_partitioned" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year
