@@ -129,7 +129,36 @@ object Scalars extends QueryModule {
         least(col("c_acctbal"), lit(5000.0)).as("bal_cap"))
       .orderBy("c_custkey")
 
+  def f09(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("lev_b33"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        repeat(lit("ab"), 3).as("rep"),
+        reverse(col("p_brand")).as("brand_rev"),
+        substring(col("p_name"), 1, 3).as("left3"),
+        col("p_name").substr(length(col("p_name")) - 1, lit(2)).as("right2"),
+        ascii(col("p_brand")).cast("long").as("first_ascii"),
+        col("p_type").startsWith("STANDARD").as("is_std"),
+        col("p_type").endsWith("ED").as("ends_ed"),
+        col("p_name").contains("gre").as("has_gre"))
+      .orderBy("p_partkey")
+
+  def f10(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow0"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f09_string_extended" -> f09,
+    "f10_date_extended" -> f10,
     "f01_string" -> f01,
     "f02_date" -> f02,
     "f03_math" -> f03,
@@ -140,6 +169,27 @@ object Scalars extends QueryModule {
     "f08_conditional" -> f08)
 
   val oracles: Map[String, String] = Map(
+    "f09_string_extended" ->
+      """SELECT p_partkey,
+        |       CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS lev_b33,
+        |       translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        |       repeat('ab', 3) AS rep,
+        |       reverse(p_brand) AS brand_rev,
+        |       left(p_name, 3) AS left3,
+        |       right(p_name, 2) AS right2,
+        |       CAST(ascii(p_brand) AS BIGINT) AS first_ascii,
+        |       starts_with(p_type, 'STANDARD') AS is_std,
+        |       suffix(p_type, 'ED') AS ends_ed,
+        |       contains(p_name, 'gre') AS has_gre
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f10_date_extended" ->
+      """SELECT o_orderkey,
+        |       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q,
+        |       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow0,
+        |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |       CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy,
+        |       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f01_string" ->
       """SELECT p_partkey,
         |       concat_ws('|', p_brand, p_type) AS brand_type,
