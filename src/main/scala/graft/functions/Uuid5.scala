@@ -83,9 +83,12 @@ object Uuid5 {
     * Sorted by keyword key, name first — byte-identical to the reference
     * for string/uuid params (golden: test :261-267).
     */
+  // shared, thread-safe for reads — building one per row would dominate
+  // the envelope stage at scale
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def genCmdIdJson(batchCmdId: String, name: String, paramsJson: String,
       fileOid: String): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(paramsJson)
     val kvs = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     val it = node.fields()

@@ -54,8 +54,12 @@ object CommandApply {
   }
 
   /** Sequence-stamp a level-ordered command stream (the envelope's sort
-    * order is the reference's parent-before-child emission order). */
+    * order is the reference's parent-before-child emission order).
+    * Sequenced PER FILE: an unpartitioned window would funnel the whole
+    * log through one task, and item keys never span files — the file is
+    * the reference's unit of work, so per-file order is the real order. */
   def sequenced(cmds: DataFrame): DataFrame =
     cmds.withColumn("seq",
-      row_number().over(Window.orderBy(col("level"), col("name"), col("params_json"))))
+      row_number().over(Window.partitionBy(col("file_oid"))
+        .orderBy(col("level"), col("name"), col("params_json"))))
 }
