@@ -107,8 +107,8 @@ object Llm extends QueryModule {
   /** l03b: approximate nearest neighbors — the scale path for l03.
     * Random-hyperplane LSH: 4 deterministic ±1 hyperplanes bucket vectors
     * by the sign pattern of their projections (16 buckets); the probe only
-    * scores vectors in ITS bucket (an equi-join on the signature), then
-    * exact cosine ranks the bucket. At 100 TB this turns a full-corpus
+    * scores vectors in its own bucket and the 4 at Hamming distance 1
+    * (multi-probe), then exact cosine ranks them. At 100 TB this turns a full-corpus
     * scan per probe into one bucket's worth of exact work; recall/latency
     * trades via plane count and multi-probe. Hyperplanes are literal
     * constants (seeded), so the DuckDB oracle replays bit-for-bit.
@@ -130,7 +130,9 @@ object Llm extends QueryModule {
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("p"), col("sig").as("psig"))
     emb.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe), col("sig") === col("psig")) // bucket equi-join
+      // multi-probe: own bucket + the 4 at Hamming distance 1 (5/16 of
+      // the space scanned; recall/latency dial = plane count + radius)
+      .join(broadcast(probe), expr("bit_count(sig ^ psig) <= 1"))
       .withColumn("dot", expr(
         "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .withColumn("na", expr(
@@ -141,6 +143,17 @@ object Llm extends QueryModule {
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Diagnostic for AnnSpec: how many vectors the multi-probe touches. */
+  def l03bProbedCount(spark: SparkSession, dir: String): Long = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("sig", expr(sigExprSpark("embedding")))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("sig").as("psig"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), expr("bit_count(sig ^ psig) <= 1"))
+      .count()
   }
 
   def l04(spark: SparkSession, dir: String): DataFrame =
@@ -263,7 +276,7 @@ object Llm extends QueryModule {
        |         list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
        |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |            * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
-       |FROM e JOIN p ON e.sig = p.psig
+       |FROM e JOIN p ON bit_count(xor(e.sig, p.psig)) <= 1
        |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
