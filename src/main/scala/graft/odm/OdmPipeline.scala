@@ -95,8 +95,14 @@ object OdmPipeline {
     * (FIXTURES.md §2) joined flat: one row per item plus carrying every
     * ancestor's id/oid/eff_tx. Children of removed nodes are pruned at each
     * level (R17: remove never cascades). */
-  def exploded(spark: SparkSession, path: String): ExplodedLevels = {
-    val files = readOdm(spark, path)
+  def exploded(spark: SparkSession, path: String): ExplodedLevels =
+    explodedFrom(readOdm(spark, path))
+
+  /** Same cascade over any (batch OR streaming) DataFrame with the odm
+    * top-level schema — the streaming ingest (OdmStreamIngest) feeds
+    * from_xml-parsed file contents through here unchanged. */
+  def explodedFrom(odmFiles: DataFrame): ExplodedLevels = {
+    val files = odmFiles
       .select(col("_FileOID").as("file_oid"), explode(col("ClinicalData")).as("cd"))
 
     val studies = files.select(
