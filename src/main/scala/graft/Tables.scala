@@ -44,6 +44,16 @@ object Tables {
       .withColumn("event_ts", timestamp_millis(expr("ts div 1000000")))
   }
 
+  /** Scratch path for sink round-trip queries, unique per input dir
+    * (md5-derived — Int hashCode collides across distinct dirs). Only the
+    * three fixed testdata SF dirs occur in practice, so accumulation in
+    * tmpdir is bounded. */
+  def scratchPath(name: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$h"
+  }
+
   /** Epoch milliseconds of a (ntz) timestamp column under the UTC session —
     * the cross-engine-portable image of a time value (DuckDB: epoch_ms). */
   def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -40,7 +40,7 @@ object Extras extends QueryModule {
     * the o_year directory layout is what turns a year-filter into reading
     * 1/7th of the data; PlanSpec asserts PartitionFilters is non-empty. */
   def s07Write(spark: SparkSession, dir: String): String = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s07_partitioned"
+    val tmp = Tables.scratchPath("s07_partitioned", dir)
     Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -40,7 +40,7 @@ object Scans extends QueryModule {
   /** Sink round-trip: write parquet, re-read, produce a stable result.
     * Exercises the write path itself; the oracle sees only the re-read. */
   def s05(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s05_roundtrip"
+    val tmp = Tables.scratchPath("s05_roundtrip", dir)
     Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 150000.0)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
