@@ -23,9 +23,28 @@ object OdmQueries extends QueryModule {
   def c01(spark: SparkSession, dir: String): DataFrame =
     OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(), BatchCmdId, "importer-1")
 
+  /** Dependency-gated command stream (R15): the event log here acknowledges
+    * every command except subject SK01's — its whole subtree must prune.
+    * Exercises the left_semi gating chain end-to-end in the driver env
+    * (OdmPipelineSpec pins the exact expected set). */
+  def c02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val env = OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(), BatchCmdId, "importer-1")
+    val events = env.collect().toSeq
+      .filter(r => !r.getAs[String]("params_json").contains("SK01"))
+      .map { r =>
+        val entity = r.getAs[String]("name").stripPrefix("odm-import/")
+          .stripPrefix("insert-").stripPrefix("upsert-").stripPrefix("remove-")
+        (r.getAs[String]("id"), s"$entity/created")
+      }.toDF("cid", "name")
+    OdmPipeline.gatedCommands(spark, OdmPipeline.fixturePath(), BatchCmdId,
+      "importer-1", events)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_source_xml_odm" -> s06,
-    "c01_odm_commands" -> c01)
+    "c01_odm_commands" -> c01,
+    "c02_odm_gated" -> c02)
 
   val oracles: Map[String, String] = Map.empty
 }
