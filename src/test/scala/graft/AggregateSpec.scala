@@ -18,6 +18,19 @@ class AggregateSpec extends SparkSuite {
     }
   }
 
+  test("percentile_approx tracks exact percentile within 1% (sketch path)") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("graft_pa_li")
+    val rows = spark.sql(
+      """SELECT l_returnflag,
+        |       percentile(l_extendedprice, 0.5) AS exact,
+        |       percentile_approx(l_extendedprice, 0.5, 10000) AS approx
+        |FROM graft_pa_li GROUP BY l_returnflag""".stripMargin).collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.01, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("hash functions: golden vectors (sha1/xxhash64/crc32 not oracled)") {
     val row = spark.sql(
       """SELECT md5('abc') AS m, sha1('abc') AS s1, sha2('abc', 256) AS s2,
