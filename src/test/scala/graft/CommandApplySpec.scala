@@ -31,6 +31,24 @@ class CommandApplySpec extends SparkSuite {
     assert(state.filter(col("value_integer") === 42L).count() === 1)
   }
 
+  test("cross-file convergence: the same study imported via two files yields one state") {
+    import java.nio.file.Files
+    // two files with different FileOIDs but the SAME study content — the
+    // uuid5 identity chain roots at the study oid, so state keys collide
+    // and the latest-wins merge converges to a single copy (idempotent
+    // replay across the file boundary, reference §1.3 rationale)
+    val template = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(OdmPipeline.fixturePath())), "UTF-8")
+    val dir = Files.createTempDirectory("graft_converge")
+    Files.writeString(dir.resolve("a.xml"), template)
+    Files.writeString(dir.resolve("b.xml"), template.replace("FILE-1", "FILE-2"))
+    val log2 = CommandApply.sequenced(OdmPipeline.enveloped(
+      spark, s"$dir/*.xml", OdmQueries.BatchCmdId, "s"))
+    val state = CommandApply.itemState(spark, log2)
+    assert(state.select("item_id").distinct().count() === 7)
+    assert(state.count() === 7)
+  }
+
   test("replay idempotence: applying the log twice equals once") {
     val once = CommandApply.itemState(spark, log)
     val twice = CommandApply.itemState(spark,

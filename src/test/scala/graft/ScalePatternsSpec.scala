@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-critical physical patterns pinned as plan assertions: bucketed
+  * co-located joins (no exchange), dynamic partition pruning, and the
+  * corrupt-record quarantine split (reference R2/R3 analogue).
+  */
+class ScalePatternsSpec extends SparkSuite {
+
+  test("bucketed tables join with NO exchange on either side") {
+    // warehouse.dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) and are dropped at the end
+    spark.sql("DROP TABLE IF EXISTS graft_li_b")
+    spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_li_b")
+        .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not shuffle: bucketing pre-partitioned both
+      // sides identically (only the final small aggregation exchanges)
+      val joinSection = plan.substring(0, plan.indexOf("HashAggregate",
+        plan.indexOf("SortMergeJoin").max(0)).max(plan.length - 1))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey")
+        && !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_li_b")
+      spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+    }
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val base = Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$base/orders_p")
+    val fact = spark.read.parquet(s"$base/orders_p")
+    val dim = spark.range(1, 3).select((col("id") + 1996).cast("int").as("d_year"),
+      concat(lit("y"), col("id")).as("d_name"))
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try {
+      val q = fact.join(dim, col("o_year") === col("d_year"))
+        .filter(col("d_name") === "y1")
+        .groupBy("d_name").agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning")
+        || plan.contains("dynamicpruningexpression"),
+        s"expected dynamic partition pruning:\n$plan")
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+  }
+
+  test("corrupt-record quarantine: bad JSON rows split to a dead-letter side (R2/R3)") {
+    val f = Files.createTempFile("graft_quarantine", ".jsonl")
+    Files.writeString(f,
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": "not-a-double"}
+        |this is not json at all
+        |{"id": 4, "v": 2.25}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id BIGINT, v DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(f.toString).cache()
+    val good = df.filter(col("_corrupt_record").isNull).select("id", "v")
+    val dead = df.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    assert(good.collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    assert(dead.count() === 2) // malformed value + non-json line
+  }
+}
