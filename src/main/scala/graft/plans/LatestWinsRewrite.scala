@@ -77,5 +77,11 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LatestWinsRewrite)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("uuid5_native"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Uuid5Expression].getName, "uuid5_native"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.Uuid5Expression(exprs.head, exprs(1))))
   }
 }
