@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * $SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (a bare .count() would let Catalyst prune projections and
-  * undercount the real work). Emits ONE JSON line.
+  * undercount the real work).
+  *
+  * Emits ONE compact JSON line: total seconds, the slowest 25 per-query
+  * times (3 decimals), query/failure counts, and a `failed` array. A
+  * query that throws is excluded from the total and listed in `failed` —
+  * a near-zero elapsed for a broken query must not read as a fast
+  * success. The line is kept well under 2 KB so a log-tail capture
+  * always contains it whole; the full per-query map goes to
+  * bench_full.json in the working directory.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,21 +38,40 @@ object Bench {
     // best-of-2: a single pass is at the mercy of one ill-timed GC pause
     // (observed 20× spikes); min-of-two is the standard stable estimator.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        name: String): Double = {
+        name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn, name), once(fn, name))
+      val best = (once(fn, name), once(fn, name)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case _ => None
+      }
+      name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (n, Some(t)) => n -> t }
+    val failed = results.collect { case (n, None) => n }
+    val total = ok.map(_._2).sum
+    def f3(d: Double) = f"$d%.3f"
+    def qsJson(entries: Seq[(String, Double)]) = entries
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val slowest = ok.sortBy(-_._2).take(25).sortBy(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":${qsJson(slowest)},"n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    // full per-query map for offline analysis (not size-constrained)
+    val full = s"""{"total":${f3(total)},"queries":${qsJson(ok)},""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Extras,
     operators.Pivots,
     llm.Llm,
+    llm.Dedup,
     llm.MultimodalQueries,
     llm.MinHashLshMl,
     odm.OdmQueries)

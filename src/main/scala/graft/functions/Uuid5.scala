@@ -73,15 +73,26 @@ object Uuid5 {
     new UUID(bb.getLong, bb.getLong)
   }
 
+  /** The params that carry uuid5 node ids in the command pipeline
+    * (kebab keyword form). ONLY these hash as 16 raw UUID bytes — the
+    * reference's params are typed (a java.util.UUID hashes via
+    * UUIDNameBytes, a string via its UTF-8 bytes), so the decision must
+    * be by key, not value shape: a value_string whose content happens to
+    * be UUID-shaped is still a plain string to the reference. */
+  private val UuidKeys = Set(
+    "study-id", "subject-id", "study-event-id", "form-id",
+    "item-group-id", "item-id")
+
   private val UuidRe =
     "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
 
   /** Command-envelope id over a flat JSON params object (the Spark-side
     * image of gen-cmd-id): keys go snake→kebab keyword form (":study-id"),
-    * the typed value_* union collapses to ":value", UUID-valued params hash
-    * as 16 raw bytes, the data-type value hashes as a keyword (":string").
-    * Sorted by keyword key, name first — byte-identical to the reference
-    * for string/uuid params (golden: test :261-267).
+    * the typed value_* union collapses to ":value", the known id params
+    * (UuidKeys) hash as 16 raw bytes, the data-type value hashes as a
+    * keyword (":string"). Sorted by keyword key, name first —
+    * byte-identical to the reference for string/uuid params
+    * (golden: test :261-267).
     */
   // shared, thread-safe for reads — building one per row would dominate
   // the envelope stage at scale
@@ -101,7 +112,7 @@ object Uuid5 {
         val v = e.getValue.asText()
         val vb =
           if (key == "data-type") (":" + v).getBytes(UTF_8)
-          else if (UuidRe.matches(v)) bytes(UUID.fromString(v))
+          else if (UuidKeys.contains(key) && UuidRe.matches(v)) bytes(UUID.fromString(v))
           else v.getBytes(UTF_8)
         kvs += ((":" + key) -> vb)
       }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.expressions.Aggregator
 object Welford {
 
   final case class Buf(n: Long, mean: Double, m2: Double)
-  final case class MeanVar(mean: Double, varSamp: Double)
+  // Option fields → nullable output columns: var_samp of a single element
+  // is NULL in Spark/DuckDB/ANSI, not NaN — keep oracle parity.
+  final case class MeanVar(mean: Option[Double], varSamp: Option[Double])
 
   val agg: Aggregator[Double, Buf, MeanVar] = new Aggregator[Double, Buf, MeanVar] {
     def zero: Buf = Buf(0L, 0.0, 0.0)
@@ -30,8 +32,9 @@ object Welford {
         Buf(n, a.mean + d * b.n / n, a.m2 + b.m2 + d * d * a.n * b.n / n)
       }
     }
-    def finish(b: Buf): MeanVar =
-      MeanVar(b.mean, if (b.n > 1) b.m2 / (b.n - 1) else Double.NaN)
+    def finish(b: Buf): MeanVar = MeanVar(
+      if (b.n > 0) Some(b.mean) else None,
+      if (b.n > 1) Some(b.m2 / (b.n - 1)) else None)
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[MeanVar] = Encoders.product[MeanVar]
   }

@@ -1,0 +1,266 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family beyond MinHash (l02/l02b): SimHash
+  * (l02c), character-n-gram Jaccard with rare-gram candidate generation
+  * (l02d), and embedding-cosine near-dup via LSH-bucket prefilter (l02e).
+  * Plus the IVF ANN variant (l03c) — the coarse-quantizer scale path next
+  * to l03b's hyperplane LSH.
+  *
+  * All pure relational Spark (portable md5-derived hashes, higher-order
+  * array functions), so every query has a bit-for-bit DuckDB oracle.
+  *
+  * Scale posture, per operator:
+  *  - l02c SimHash: fingerprints are one linear aggregation pass; the
+  *    candidate join is banded (4×12-bit bands, pigeonhole over Hamming
+  *    radius 3·k/48) so only same-band pairs meet — never all-pairs.
+  *  - l02d: rare-gram candidate generation is the classic set-similarity
+  *    prefilter; common grams (df > cap) generate no candidates, which is
+  *    what keeps the gram self-join from exploding on boilerplate.
+  *  - l02e: same-bucket hyperplane LSH prefilter → exact cosine verify;
+  *    recall dials via plane count (fewer planes = bigger buckets).
+  *  - l03c IVF: broadcast the centroid table, assign map-side, search
+  *    only the probe's nprobe=2 nearest lists (~2/K of the corpus).
+  */
+object Dedup extends QueryModule {
+
+  private val SimBits = 48 // stay clear of bigint sign in BOTH engines
+
+  /** l02c: SimHash near-dup pairs. 48-bit fingerprint over distinct
+    * word-3-shingles: bit b is the sign of Σ_shingles ±1 (± = bit b of
+    * the shingle's 60-bit md5-derived hash). Unigram features would NOT
+    * work here: docs sharing a vocabulary distribution collide at Hamming
+    * 0 (measured: 485 identical fingerprints over 500 docs); shingles
+    * separate true near-dups (hd ≤ 5) from topic-mates (hd ≥ 10) cleanly.
+    * Candidates share one of four 12-bit bands; verification keeps
+    * Hamming distance ≤ 6. */
+  def l02c(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
+        .as("t"))
+      .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+      // one aggregation pass, 48 conditional sums — NOT an explode(48)
+      // (which would 48× the shuffle and add a second aggregation)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(expr("(shiftright(hv, 0) & 1) = 1"), 1).otherwise(-1)).as("s0"),
+        (1 until SimBits).map(b =>
+          sum(when(expr(s"(shiftright(hv, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")): _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("band", expr("shiftright(fp, j * 12) & 4095"))
+    bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.band") === col("y.band")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.fp ^ y.fp)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("a", "b")
+  }
+
+  private val RareDf = 20 // grams in more docs than this generate no candidates
+  private val JaccMin = 0.5
+
+  /** l02d: exact character-trigram Jaccard over rare-gram candidates.
+    * A pair is comparable only if it shares a gram appearing in ≤ RareDf
+    * docs — boilerplate grams ('the', ' a ') never pair anyone. The
+    * Jaccard itself is exact, over each candidate pair's FULL gram sets. */
+  def l02d(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")).as("g"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RareDf && col("df") >= 2)
+    val cand = grams.as("x")
+      .join(rare.select("g"), "g")
+      .join(grams.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b2"), col("g").as("gb")),
+        col("b") === col("b2") && col("ga") === col("gb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= JaccMin)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // the synthetic embeddings are near-random (max pairwise cosine ≈ 0.51):
+  // 0.4 keeps the top few dozen global pairs; the same-bucket prefilter
+  // then keeps the ~20% of them whose 4-plane signatures agree — the
+  // standard recall-for-throughput trade, asserted in DedupSpec
+  private val CosMin = 0.4
+
+  /** l02e: embedding-cosine near-dup — hyperplane-LSH same-bucket
+    * prefilter (16 buckets from Llm.Hyperplanes), exact cosine ≥ CosMin
+    * verify. The bucket equi-join is the 100 TB-safe shape: shuffle on
+    * sig, never all-pairs. */
+  def l02e(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("sig", expr(Llm.sigExprSpark("embedding")))
+    emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("sig")).as("x")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("sig")).as("y"), "sig")
+      .filter(col("a") < col("b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= CosMin)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
+  private val NProbe = 2
+
+  /** l03c: IVF ANN. Coarse quantizer = 16 fixed centroids (vec_ids 1-16 —
+    * a deterministic stand-in for trained k-means centers; the plumbing is
+    * identical). Every vector is assigned map-side to its best centroid
+    * (broadcast); the probe searches only its NProbe nearest lists. */
+  def l03c(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def cosTo(v: String, c: String) = expr(
+      s"""aggregate(zip_with($v, $c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)
+         | / (sqrt(aggregate($v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |    * sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+    // assignment: best centroid per vector (map-side: centroids broadcast)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosTo("embedding", "cvec"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    // probe: nearest NProbe centroid lists
+    val probe = emb.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosTo("embedding", "cvec"))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(NProbe)
+      .select(col("cid").as("pcid"), col("embedding").as("p"))
+    assigned
+      .join(broadcast(probe), col("cid") === col("pcid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l02c_dedup_simhash" -> l02c,
+    "l02d_dedup_ngram_jaccard" -> l02d,
+    "l02e_dedup_embed" -> l02e,
+    "l03c_sim_ivf" -> l03c)
+
+  private def duckCos(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "l02c_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
+         |  FROM w),
+         |h AS (SELECT doc_id, t,
+         |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b.b,
+         |         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS b) b
+         |  GROUP BY doc_id, b.b),
+         |fp AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, fp, j.j, (fp >> (j.j * 12)) & 4095 AS band
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         |FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band
+         |  AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 6
+         |ORDER BY a, b""".stripMargin,
+    "l02d_dedup_ngram_jaccard" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, length(text) - 1),
+         |           i -> substr(text, CAST(i AS INTEGER), 3)))) AS g
+         |  FROM documents),
+         |rare AS (SELECT g FROM grams GROUP BY g
+         |         HAVING COUNT(*) <= $RareDf AND COUNT(*) >= 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM grams x JOIN rare USING (g)
+         |       JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, COUNT(*) AS c
+         |  FROM cand c JOIN grams sa ON sa.doc_id = c.a
+         |              JOIN grams sb ON sb.doc_id = c.b AND sb.g = sa.g
+         |  GROUP BY c.a, c.b)
+         |SELECT common.a, common.b,
+         |       round(c / (na.n + nb.n - c), 6) AS jaccard
+         |FROM common JOIN sizes na ON na.doc_id = common.a
+         |            JOIN sizes nb ON nb.doc_id = common.b
+         |WHERE round(c / (na.n + nb.n - c), 6) >= $JaccMin
+         |ORDER BY a, b""".stripMargin,
+    "l02e_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${Llm.sigExprDuck("embedding")} AS sig
+         |           FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(${duckCos("x.embedding", "y.embedding")}, 6) AS cosine
+         |FROM e x JOIN e y ON x.sig = y.sig AND x.vec_id < y.vec_id
+         |WHERE round(${duckCos("x.embedding", "y.embedding")}, 6) >= $CosMin
+         |ORDER BY a, b""".stripMargin,
+    "l03c_sim_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |assigned AS (
+         |  SELECT vec_id, label, embedding, cid FROM scored WHERE rn = 1),
+         |probe AS (
+         |  SELECT c.cid AS pcid, e.embedding AS p
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id = 0
+         |  ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cid
+         |  LIMIT $NProbe)
+         |SELECT a.vec_id, a.label,
+         |       round(${duckCos("a.embedding", "probe.p")}, 6) AS cosine
+         |FROM assigned a JOIN probe ON a.cid = probe.pcid
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+}

@@ -118,10 +118,17 @@ object Llm extends QueryModule {
     Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
   }
 
-  private def sigExprSpark(vcol: String): String =
+  def sigExprSpark(vcol: String): String =
     Hyperplanes.zipWithIndex.map { case (h, j) =>
       val arr = h.mkString("array(", "D, ", "D)")
       s"CAST(aggregate(zip_with($vcol, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 AS INT) * ${1 << j}"
+    }.mkString(" + ")
+
+  /** DuckDB image of sigExprSpark — same literal hyperplanes. */
+  def sigExprDuck(vcol: String): String =
+    Hyperplanes.zipWithIndex.map { case (h, j) =>
+      val arr = h.mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, 65), i -> CAST($vcol[i] AS DOUBLE) * ($arr)[i])) >= 0 AS INT) * ${1 << j}"
     }.mkString(" + ")
 
   def l03b(spark: SparkSession, dir: String): DataFrame = {
@@ -265,10 +272,7 @@ object Llm extends QueryModule {
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
   private def l03bOracle: String = {
-    val sig = Hyperplanes.zipWithIndex.map { case (h, j) =>
-      val arr = h.mkString("[", ", ", "]")
-      s"CAST(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])) >= 0 AS INT) * ${1 << j}"
-    }.mkString(" + ")
+    val sig = sigExprDuck("embedding")
     s"""WITH e AS (SELECT vec_id, label, embedding, $sig AS sig FROM embeddings),
        |p AS (SELECT embedding AS pe, sig AS psig FROM e WHERE vec_id = 0)
        |SELECT vec_id, label,
@@ -319,7 +323,6 @@ object Llm extends QueryModule {
          |            JOIN sizes nb ON nb.doc_id = common.b
          |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
          |ORDER BY a, b""".stripMargin,
-    "l03b_sim_ann" -> l03bOracle,
     "l03b_sim_ann" -> l03bOracle,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)

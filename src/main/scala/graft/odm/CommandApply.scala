@@ -1,6 +1,6 @@
 package graft.odm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,8 +26,19 @@ import org.apache.spark.sql.functions._
 object CommandApply {
 
   /** Item-level state from a command log (columns: id, name, params_json,
-    * level, file_oid + a monotic `seq` ordering column). */
-  def itemState(spark: SparkSession, log: DataFrame): DataFrame = {
+    * level, file_oid + a monotonic `seq` ordering column).
+    *
+    * Cross-file determinism: the uuid5 identity chain roots at the study
+    * OID, so the same item key CAN span files. `seq` is per-file, so the
+    * resolution window orders by (fileOrder, seq) — `fileOrder` defaults to
+    * `file_oid`, which is deterministic but arbitrary; a producer that
+    * knows real ingest order (e.g. the file source's modificationTime, or
+    * a batch sequence number) should pass that column so "latest file
+    * wins" is chronological, not lexical. */
+  def itemState(spark: SparkSession, log: DataFrame): DataFrame =
+    itemState(spark, log, col("file_oid"))
+
+  def itemState(spark: SparkSession, log: DataFrame, fileOrder: Column): DataFrame = {
     val items = log.filter(col("level") === 5)
       .withColumn("p", from_json(col("params_json"),
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -38,7 +49,7 @@ object CommandApply {
       // (group, oid) pair from which item_id is derivable — normalize key
       .withColumn("key", coalesce(col("p.item_id"),
         graft.functions.Uuid5.uuid5Udf(col("p.item_group_id"), col("p.item_oid"))))
-    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    val w = Window.partitionBy("key").orderBy(fileOrder.desc, col("seq").desc)
     items
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // latest command per item wins
@@ -53,13 +64,25 @@ object CommandApply {
         col("p.value_datetime").as("value_datetime"))
   }
 
-  /** Sequence-stamp a level-ordered command stream (the envelope's sort
-    * order is the reference's parent-before-child emission order).
-    * Sequenced PER FILE: an unpartitioned window would funnel the whole
-    * log through one task, and item keys never span files — the file is
-    * the reference's unit of work, so per-file order is the real order. */
-  def sequenced(cmds: DataFrame): DataFrame =
+  /** Sequence-stamp a level-ordered command stream. Sequenced PER FILE —
+    * an unpartitioned window would funnel the whole log through one task;
+    * the file is the reference's unit of work, and itemState adds the
+    * cross-file ordering component (item keys CAN span files because the
+    * uuid5 chain roots at the study OID).
+    *
+    * Within a file the order is (level, doc_pos): parents before children,
+    * then DOCUMENT order (the posexplode position path from OdmPipeline).
+    * The old (level, name, params_json) lexical order deviated from the
+    * reference for same-item sibling commands — remove-item sorts after
+    * insert-item, so a remove followed by a re-insert of the same item
+    * resolved to removed. Logs produced before doc_pos existed fall back
+    * to the lexical order. */
+  def sequenced(cmds: DataFrame): DataFrame = {
+    val inFileOrder =
+      if (cmds.columns.contains("doc_pos")) Seq(col("level"), col("doc_pos"))
+      else Seq(col("level"), col("name"), col("params_json"))
     cmds.withColumn("seq",
       row_number().over(Window.partitionBy(col("file_oid"))
-        .orderBy(col("level"), col("name"), col("params_json"))))
+        .orderBy(inFileOrder: _*)))
+  }
 }

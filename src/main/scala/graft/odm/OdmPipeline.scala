@@ -102,20 +102,28 @@ object OdmPipeline {
     * top-level schema — the streaming ingest (OdmStreamIngest) feeds
     * from_xml-parsed file contents through here unchanged. */
   def explodedFrom(odmFiles: DataFrame): ExplodedLevels = {
+    // posexplode at every level: `doc_pos` accumulates the positional path
+    // (array<int>, one index per ancestor) — the within-file DOCUMENT order
+    // the reference processes nodes in. Array ordering is lexicographic, so
+    // sorting by (level, doc_pos) reproduces the reference's emission order
+    // even when two sibling commands would tie on (name, params).
     val files = odmFiles
-      .select(col("_FileOID").as("file_oid"), explode(col("ClinicalData")).as("cd"))
+      .select(col("_FileOID").as("file_oid"),
+        posexplode(col("ClinicalData")).as(Seq("cd_i", "cd")))
 
     val studies = files.select(
       col("file_oid"),
+      array(col("cd_i")).as("doc_pos"),
       col("cd._StudyOID").as("study_oid"),
       u5(lit(Uuid5.NilUuid.toString), col("cd._StudyOID")).as("study_id"),
       col("cd.SubjectData").as("subjects"))
 
     val subjects = studies
-      .select(col("file_oid"), col("study_oid"), col("study_id"),
-        explode(col("subjects")).as("s"))
+      .select(col("file_oid"), col("doc_pos"), col("study_oid"), col("study_id"),
+        posexplode(col("subjects")).as(Seq("i", "s")))
       .select(
-        col("file_oid"), col("study_oid"), col("study_id"),
+        col("file_oid"), array_append(col("doc_pos"), col("i")).as("doc_pos"),
+        col("study_oid"), col("study_id"),
         col("s._SubjectKey").as("subject_key"),
         u5(col("study_id"), col("s._SubjectKey")).as("subject_id"),
         effTx(col("s._TransactionType"), lit("insert")).as("tx"),
@@ -123,11 +131,12 @@ object OdmPipeline {
 
     val studyEvents = subjects
       .filter(col("tx") =!= "remove")
-      .select(col("file_oid"), col("study_id"), col("subject_key"),
+      .select(col("file_oid"), col("doc_pos"), col("study_id"), col("subject_key"),
         col("subject_id"), col("tx").as("parent_tx"),
-        explode(col("study_events")).as("se"))
+        posexplode(col("study_events")).as(Seq("i", "se")))
       .select(
-        col("file_oid"), col("study_id"), col("subject_key"), col("subject_id"),
+        col("file_oid"), array_append(col("doc_pos"), col("i")).as("doc_pos"),
+        col("study_id"), col("subject_key"), col("subject_id"),
         col("se._StudyEventOID").as("study_event_oid"),
         u5(col("subject_id"), col("se._StudyEventOID")).as("study_event_id"),
         effTx(col("se._TransactionType"), col("parent_tx")).as("tx"),
@@ -135,10 +144,11 @@ object OdmPipeline {
 
     val forms = studyEvents
       .filter(col("tx") =!= "remove")
-      .select(col("file_oid"), col("study_event_oid"), col("study_event_id"),
-        col("tx").as("parent_tx"), explode(col("forms")).as("f"))
+      .select(col("file_oid"), col("doc_pos"), col("study_event_oid"), col("study_event_id"),
+        col("tx").as("parent_tx"), posexplode(col("forms")).as(Seq("i", "f")))
       .select(
-        col("file_oid"), col("study_event_oid"), col("study_event_id"),
+        col("file_oid"), array_append(col("doc_pos"), col("i")).as("doc_pos"),
+        col("study_event_oid"), col("study_event_id"),
         col("f._FormOID").as("form_oid"),
         u5(col("study_event_id"), col("f._FormOID")).as("form_id"),
         // documented deviation: upsert degrades to insert below study-event
@@ -148,10 +158,11 @@ object OdmPipeline {
 
     val itemGroups = forms
       .filter(col("tx") =!= "remove")
-      .select(col("file_oid"), col("form_oid"), col("form_id"),
-        col("tx").as("parent_tx"), explode(col("item_groups")).as("ig"))
+      .select(col("file_oid"), col("doc_pos"), col("form_oid"), col("form_id"),
+        col("tx").as("parent_tx"), posexplode(col("item_groups")).as(Seq("i", "ig")))
       .select(
-        col("file_oid"), col("form_oid"), col("form_id"),
+        col("file_oid"), array_append(col("doc_pos"), col("i")).as("doc_pos"),
+        col("form_oid"), col("form_id"),
         col("ig._ItemGroupOID").as("item_group_oid"),
         u5(col("form_id"), col("ig._ItemGroupOID")).as("item_group_id"),
         effTx(col("ig._TransactionType"), col("parent_tx")).as("tx"),
@@ -159,22 +170,23 @@ object OdmPipeline {
 
     val items = itemGroups
       .filter(col("tx") =!= "remove")
-      .select(col("file_oid"), col("item_group_oid"), col("item_group_id"),
-        col("tx").as("parent_tx"), explode(col("items")).as("i"))
+      .select(col("file_oid"), col("doc_pos"), col("item_group_oid"), col("item_group_id"),
+        col("tx").as("parent_tx"), posexplode(col("items")).as(Seq("i", "it")))
       .select(
-        col("file_oid"), col("item_group_oid"), col("item_group_id"),
-        col("i._ItemOID").as("item_oid"),
-        u5(col("item_group_id"), col("i._ItemOID")).as("item_id"),
-        effTx(col("i._TransactionType"), col("parent_tx")).as("tx"),
-        col("i._DataType").as("data_type"),
-        col("i._Value").as("value_raw"),
+        col("file_oid"), array_append(col("doc_pos"), col("i")).as("doc_pos"),
+        col("item_group_oid"), col("item_group_id"),
+        col("it._ItemOID").as("item_oid"),
+        u5(col("item_group_id"), col("it._ItemOID")).as("item_id"),
+        effTx(col("it._TransactionType"), col("parent_tx")).as("tx"),
+        col("it._DataType").as("data_type"),
+        col("it._Value").as("value_raw"),
         // the tagged union (§1.5): exactly one typed value column non-null.
         // try_* variants: ANSI mode would abort the whole file on one bad
         // value; null here feeds the R21 validation-failed channel instead.
-        when(col("i._DataType") === "string", col("i._Value")).as("value_string"),
-        when(col("i._DataType") === "integer", expr("try_cast(i._Value AS BIGINT)")).as("value_integer"),
-        when(col("i._DataType") === "float", expr("try_cast(i._Value AS DOUBLE)")).as("value_float"),
-        when(col("i._DataType") === "datetime", try_to_timestamp(col("i._Value"))).as("value_datetime"))
+        when(col("it._DataType") === "string", col("it._Value")).as("value_string"),
+        when(col("it._DataType") === "integer", expr("try_cast(it._Value AS BIGINT)")).as("value_integer"),
+        when(col("it._DataType") === "float", expr("try_cast(it._Value AS DOUBLE)")).as("value_float"),
+        when(col("it._DataType") === "datetime", try_to_timestamp(col("it._Value"))).as("value_datetime"))
 
     ExplodedLevels(studies.drop("subjects"), subjects.drop("study_events"),
       studyEvents.drop("forms"), forms.drop("item_groups"),
@@ -188,7 +200,7 @@ object OdmPipeline {
   def commandsOf(lvls: ExplodedLevels): DataFrame = {
     def cmd(level: Int, name: Column, params: Column)(df: DataFrame): DataFrame =
       df.select(lit(level).as("level"), name.as("name"),
-        to_json(params).as("params_json"), col("file_oid"))
+        to_json(params).as("params_json"), col("file_oid"), col("doc_pos"))
 
     def verb(base: String, withUpsert: Boolean): Column = {
       val v = when(col("tx") === "remove", s"remove-$base")
@@ -249,7 +261,7 @@ object OdmPipeline {
     commands(spark, path)
       .withColumn("id", genIdUdf(batchCmdId)(col("name"), col("params_json"), col("file_oid")))
       .withColumn("sub", lit(sub))
-      .select("id", "name", "sub", "file_oid", "params_json", "level")
+      .select("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
       .orderBy("level", "name", "params_json")
 
   /** Dependency gating (R15): given the downstream event log
@@ -306,7 +318,7 @@ object OdmPipeline {
       itemGroups = igSent, items = itemsSent))
       .withColumn("id", genId(col("name"), col("params_json"), col("file_oid")))
       .withColumn("sub", lit(sub))
-      .select("id", "name", "sub", "file_oid", "params_json", "level")
+      .select("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
       .orderBy("level", "name", "params_json")
   }
 }

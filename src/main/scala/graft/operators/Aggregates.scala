@@ -81,13 +81,16 @@ object Aggregates extends QueryModule {
       .orderBy("rf", "ls")
 
   /** Re-nesting (inverse of the ODM explode cascade R7): children collected
-    * into sorted arrays for determinism. */
+    * into sorted arrays for determinism, then serialized to a canonical
+    * comma-joined string — the harness's column hasher can't order raw
+    * array cells, and the string form is engine-portable. */
   def a07(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
       .agg(
-        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
-        array_sort(collect_set(col("l_returnflag"))).as("flags"))
+        array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+          _.cast("string")), ",").as("line_numbers"),
+        array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
       .orderBy("l_orderkey")
 
   def a08(spark: SparkSession, dir: String): DataFrame =
@@ -182,8 +185,8 @@ object Aggregates extends QueryModule {
         |ORDER BY rf, ls""".stripMargin,
     "a07_agg_collect" ->
       """SELECT l_orderkey,
-        |       list_sort(list(l_linenumber)) AS line_numbers,
-        |       list_sort(list(DISTINCT l_returnflag)) AS flags
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+        |       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "a08_agg_filtered" ->
       """SELECT l_linestatus,

@@ -26,7 +26,10 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
   * Applicability guards (conservative):
   *  - exactly one window expression, and it is row_number();
   *  - the filter is `rn = 1` (either literal side);
-  *  - every ORDER BY direction is DESC (max_by semantics);
+  *  - every ORDER BY direction is DESC NULLS LAST (the DESC default).
+  *    max_by compares null keys as smallest (struct ordering), so for
+  *    DESC NULLS FIRST row_number()=1 picks a null-key row while max_by
+  *    picks the non-null max — such plans must NOT be rewritten;
   *  - every involved type is orderable (struct comparator requirement).
   *
   * The max_by key is struct(orderCols ++ remaining output) — a total
@@ -53,7 +56,7 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
         if alias.exprId == rnAttr.exprId
           && part.nonEmpty
           && order.nonEmpty
-          && order.forall(_.direction == Descending)
+          && order.forall(o => o.direction == Descending && o.nullOrdering == NullsLast)
           && spec.partitionSpec == part
           && child.output.forall(a => TypeUtils.checkForOrderingExpr(a.dataType, "latest-wins").isSuccess) =>
       val partAttrs = AttributeSet(part.flatMap(_.references))

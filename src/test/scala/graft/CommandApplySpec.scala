@@ -49,6 +49,60 @@ class CommandApplySpec extends SparkSuite {
     assert(state.count() === 7)
   }
 
+  test("within-file document order: remove then re-insert of the same item resolves to inserted") {
+    import java.nio.file.Files
+    // same _ItemOID twice in one group: Remove first, Insert second — the
+    // reference processes siblings in document order, so the item survives.
+    // (Lexical (name, params) ordering would sort remove-item last and drop it.)
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<ODM FileOID="FILE-R">
+        |  <ClinicalData StudyOID="S1">
+        |    <SubjectData SubjectKey="SK10">
+        |      <StudyEventData StudyEventOID="SE10">
+        |        <FormData FormOID="FM10">
+        |          <ItemGroupData ItemGroupOID="IG10">
+        |            <ItemData ItemOID="IX" DataType="string" Value="old" TransactionType="Remove"/>
+        |            <ItemData ItemOID="IX" DataType="string" Value="new"/>
+        |          </ItemGroupData>
+        |        </FormData>
+        |      </StudyEventData>
+        |    </SubjectData>
+        |  </ClinicalData>
+        |</ODM>""".stripMargin
+    val f = Files.createTempFile("graft_reinsert", ".xml")
+    Files.writeString(f, xml)
+    val log2 = CommandApply.sequenced(OdmPipeline.enveloped(
+      spark, f.toString, OdmQueries.BatchCmdId, "s"))
+    val state = CommandApply.itemState(spark, log2)
+    val rows = state.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("value_string") === "new")
+  }
+
+  test("cross-file conflicts resolve deterministically by file order") {
+    import java.nio.file.Files
+    // same study in two files with DIFFERENT values for item I1; the
+    // resolution window orders by (file_oid desc, seq desc), so FILE-9
+    // (lexically greatest) must win — on every run, regardless of task
+    // scheduling.
+    val template = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(OdmPipeline.fixturePath())), "UTF-8")
+    val dir = Files.createTempDirectory("graft_conflict")
+    Files.writeString(dir.resolve("a.xml"),
+      template.replace("FILE-1", "FILE-0").replace("Value=\"x\"", "Value=\"from0\""))
+    Files.writeString(dir.resolve("b.xml"),
+      template.replace("FILE-1", "FILE-9").replace("Value=\"x\"", "Value=\"from9\""))
+    val log2 = CommandApply.sequenced(OdmPipeline.enveloped(
+      spark, s"$dir/*.xml", OdmQueries.BatchCmdId, "s"))
+    val winners = (1 to 3).map { _ =>
+      CommandApply.itemState(spark, log2)
+        .filter(col("value_string").startsWith("from"))
+        .head().getAs[String]("value_string")
+    }
+    assert(winners.forall(_ === "from9"), s"non-deterministic or wrong winner: $winners")
+  }
+
   test("replay idempotence: applying the log twice equals once") {
     val once = CommandApply.itemState(spark, log)
     val twice = CommandApply.itemState(spark,

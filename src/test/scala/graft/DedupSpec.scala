@@ -1,0 +1,67 @@
+package graft
+
+import graft.llm.{Dedup, Llm}
+import org.apache.spark.sql.functions._
+
+/** The extended near-dup family (l02c/l02d/l02e) and IVF ANN (l03c):
+  * each approximate method must agree with an exact ground truth on this
+  * corpus's planted near-dup pairs, and prune real work while doing it. */
+class DedupSpec extends SparkSuite {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("l02c SimHash pairs substantially agree with MinHash-LSH pairs (same planted dups)") {
+    val sim = pairs(Dedup.l02c(spark, sf))
+    val mh = pairs(Llm.l02(spark, sf))
+    assert(sim.nonEmpty, "SimHash found no pairs")
+    val overlap = sim.intersect(mh).size
+    info(s"simhash=${sim.size} minhash=${mh.size} overlap=$overlap")
+    // two different sketches of the same corpus: most SimHash pairs are
+    // real near-dups the MinHash pipeline also surfaces
+    assert(overlap * 2 >= sim.size, s"only $overlap of ${sim.size} SimHash pairs confirmed by MinHash")
+  }
+
+  test("l02d n-gram Jaccard is exact on candidates: spot-check one pair against direct computation") {
+    val got = Dedup.l02d(spark, sf).collect()
+    assert(got.nonEmpty)
+    val (a, b, j) = (got.head.getLong(0), got.head.getLong(1), got.head.getDouble(2))
+    def grams(id: Long): Set[String] = {
+      val text = Tables.documents(spark, sf).filter(col("doc_id") === id)
+        .head().getAs[String]("text")
+      text.sliding(3).toSet
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
+    assert(math.abs(j - expect) < 1e-6, s"pair ($a,$b): got $j expected $expect")
+  }
+
+  test("l02e bucket-prefiltered cosine pairs are a subset of the exact >=0.4 pairs") {
+    val bucketed = Dedup.l02e(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "no same-bucket pairs survived")
+    // exact (no prefilter) pairs at the same threshold
+    val emb = Tables.embeddings(spark, sf)
+    val exact = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
+      .withColumn("cosine", expr(
+        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+          | / (sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |    * sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin))
+      .filter(round(col("cosine"), 6) >= 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), s"false positives: ${bucketed.diff(exact)}")
+    info(s"LSH-bucket recall: ${bucketed.size}/${exact.size}")
+    assert(bucketed.size * 10 >= exact.size, "recall collapsed below 10%")
+  }
+
+  test("l03c IVF searches a fraction of the corpus with useful recall vs exact top-10") {
+    val exact = Llm.l03(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Dedup.l03c(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size
+    info(s"IVF recall@10 = $recall/10")
+    assert(recall >= 2, s"IVF recall collapsed: $recall/10")
+  }
+}

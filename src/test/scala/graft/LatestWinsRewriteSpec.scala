@@ -49,6 +49,25 @@ class LatestWinsRewriteSpec extends SparkSuite {
     }
   }
 
+  test("rule is conservative: DESC NULLS FIRST keeps the window") {
+    // max_by's struct ordering treats null keys as smallest, so for
+    // NULLS FIRST the window form picks a null-key row while max_by
+    // would pick the non-null max — the rule must not fire.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ LatestWinsRewrite
+    try {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc_nulls_first)
+      val df = Tables.events(spark, sf)
+        .select("user_id", "event_id", "value")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      assert(df.queryExecution.optimizedPlan.toString.contains("Window"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == LatestWinsRewrite)
+    }
+  }
+
   test("rule is conservative: ascending order keeps the window") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ LatestWinsRewrite

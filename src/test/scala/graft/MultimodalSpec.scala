@@ -43,4 +43,20 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(w.getDouble(1) - r.getDouble(3)) / r.getDouble(3) < 1e-9, "var")
     }
   }
+
+  test("x02: Welford single-element group yields NULL varSamp (var_samp parity)") {
+    Welford.register(spark)
+    import spark.implicits._
+    Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
+      .createOrReplaceTempView("graft_welford_single")
+    val rows = spark.sql(
+      """SELECT k, welford(x) AS w, var_samp(x) AS v
+        |FROM graft_welford_single GROUP BY k ORDER BY k""".stripMargin).collect()
+    val a = rows(0).getStruct(1)
+    assert(a.getDouble(0) === 1.0)
+    assert(a.isNullAt(1), "n=1 group must yield NULL varSamp, like var_samp")
+    assert(rows(0).isNullAt(2), "sanity: built-in var_samp is NULL for n=1")
+    val b = rows(1).getStruct(1)
+    assert(math.abs(b.getDouble(1) - 2.0) < 1e-12)
+  }
 }

@@ -36,6 +36,24 @@ class Uuid5Spec extends AnyFunSuite {
     assert(id.toString === "75e752d9-c2bf-53dc-82dd-97f4c05363ec")
   }
 
+  test("gen-cmd-id: UUID-shaped value_string hashes as a plain string, not 16 raw bytes") {
+    // the reference's params are TYPED — only the id params are UUIDs;
+    // a value_string that merely looks like a UUID stays a string
+    val u = "2a302e1b-3cb4-425e-bcad-b7831d81e69d"
+    val json = s"""{"item_id":"$u","value_string":"$u"}"""
+    val got = Uuid5.genCmdIdJson(batchCmdId.toString, "odm-import/update-item", json, "F1")
+    // expected: item-id as raw UUID bytes, value as UTF-8 string bytes
+    val expected = Uuid5.uuid5Parts(batchCmdId, Seq(
+      ":odm-import/update-item".getBytes("UTF-8"),
+      ":file-oid".getBytes("UTF-8"), "F1".getBytes("UTF-8"),
+      ":item-id".getBytes("UTF-8"),
+      java.nio.ByteBuffer.allocate(16)
+        .putLong(java.util.UUID.fromString(u).getMostSignificantBits)
+        .putLong(java.util.UUID.fromString(u).getLeastSignificantBits).array(),
+      ":value".getBytes("UTF-8"), u.getBytes("UTF-8"))).toString
+    assert(got === expected)
+  }
+
   test("gen-cmd-id param order does not matter (test :268-270)") {
     assert(Uuid5.genCmdId(batchCmdId, ":foo", Seq(":a" -> "1", ":b" -> "2")) ===
       Uuid5.genCmdId(batchCmdId, ":foo", Seq(":b" -> "2", ":a" -> "1")))
