@@ -74,12 +74,16 @@ object OdmPipeline {
   def readOdm(spark: SparkSession, path: String): DataFrame =
     spark.read.format("xml").option("rowTag", "ODM").schema(odmSchema).load(path)
 
-  /** The shipped test fixture (FIXTURES.md §3), materialized from the jar. */
-  def fixturePath(): String = {
+  /** The shipped test fixture (FIXTURES.md §3), materialized from the jar.
+    * Memoized: a fresh temp path per call would give every consumer a
+    * distinct logical plan, defeating cache sharing across the repeated
+    * exploded() traversals (c01/c02 each walk the cascade many times). */
+  lazy val fixturePath: () => String = {
     val in = getClass.getResourceAsStream("/odm/sample_clinical_data.xml")
     val tmp = Files.createTempFile("graft_odm", ".xml")
     Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-    tmp.toString
+    val p = tmp.toString
+    () => p
   }
 
   private def txNorm(c: Column): Column = lower(c)
@@ -94,31 +98,45 @@ object OdmPipeline {
   /** Explodes the tree into the six normalized entity tables
     * (FIXTURES.md §2) joined flat: one row per item plus carrying every
     * ancestor's id/oid/eff_tx. Children of removed nodes are pruned at each
-    * level (R17: remove never cascades). */
+    * level (R17: remove never cascades).
+    *
+    * Batch path caches every level: the consumers (commandsOf's 7 unioned
+    * projections, gatedCommands' join chain) each traverse the whole
+    * cascade, so without the cache the XML parse + uuid5 chain re-executes
+    * once per projection (~13× for c02). The streaming path
+    * (explodedFrom) stays uncached — caching is illegal on streaming DFs
+    * and micro-batches are single-pass anyway. */
   def exploded(spark: SparkSession, path: String): ExplodedLevels =
-    explodedFrom(readOdm(spark, path))
+    explodedFrom(readOdm(spark, path), cacheLevels = true)
 
   /** Same cascade over any (batch OR streaming) DataFrame with the odm
     * top-level schema — the streaming ingest (OdmStreamIngest) feeds
     * from_xml-parsed file contents through here unchanged. */
-  def explodedFrom(odmFiles: DataFrame): ExplodedLevels = {
+  def explodedFrom(odmFiles: DataFrame): ExplodedLevels =
+    explodedFrom(odmFiles, cacheLevels = false)
+
+  def explodedFrom(odmFiles: DataFrame, cacheLevels: Boolean): ExplodedLevels = {
+    // each level builds on the CACHED parent when cacheLevels is set, so
+    // a consumer touching all six levels parses the XML once, not once
+    // per downstream projection
+    def c(df: DataFrame): DataFrame = if (cacheLevels) df.cache() else df
     // posexplode at every level: `doc_pos` accumulates the positional path
     // (array<int>, one index per ancestor) — the within-file DOCUMENT order
     // the reference processes nodes in. Array ordering is lexicographic, so
     // sorting by (level, doc_pos) reproduces the reference's emission order
     // even when two sibling commands would tie on (name, params).
-    val files = odmFiles
+    val files = c(odmFiles
       .select(col("_FileOID").as("file_oid"),
-        posexplode(col("ClinicalData")).as(Seq("cd_i", "cd")))
+        posexplode(col("ClinicalData")).as(Seq("cd_i", "cd"))))
 
-    val studies = files.select(
+    val studies = c(files.select(
       col("file_oid"),
       array(col("cd_i")).as("doc_pos"),
       col("cd._StudyOID").as("study_oid"),
       u5(lit(Uuid5.NilUuid.toString), col("cd._StudyOID")).as("study_id"),
-      col("cd.SubjectData").as("subjects"))
+      col("cd.SubjectData").as("subjects")))
 
-    val subjects = studies
+    val subjects = c(studies
       .select(col("file_oid"), col("doc_pos"), col("study_oid"), col("study_id"),
         posexplode(col("subjects")).as(Seq("i", "s")))
       .select(
@@ -127,9 +145,9 @@ object OdmPipeline {
         col("s._SubjectKey").as("subject_key"),
         u5(col("study_id"), col("s._SubjectKey")).as("subject_id"),
         effTx(col("s._TransactionType"), lit("insert")).as("tx"),
-        col("s.StudyEventData").as("study_events"))
+        col("s.StudyEventData").as("study_events")))
 
-    val studyEvents = subjects
+    val studyEvents = c(subjects
       .filter(col("tx") =!= "remove")
       .select(col("file_oid"), col("doc_pos"), col("study_id"), col("subject_key"),
         col("subject_id"), col("tx").as("parent_tx"),
@@ -140,9 +158,9 @@ object OdmPipeline {
         col("se._StudyEventOID").as("study_event_oid"),
         u5(col("subject_id"), col("se._StudyEventOID")).as("study_event_id"),
         effTx(col("se._TransactionType"), col("parent_tx")).as("tx"),
-        col("se.FormData").as("forms"))
+        col("se.FormData").as("forms")))
 
-    val forms = studyEvents
+    val forms = c(studyEvents
       .filter(col("tx") =!= "remove")
       .select(col("file_oid"), col("doc_pos"), col("study_event_oid"), col("study_event_id"),
         col("tx").as("parent_tx"), posexplode(col("forms")).as(Seq("i", "f")))
@@ -154,9 +172,9 @@ object OdmPipeline {
         // documented deviation: upsert degrades to insert below study-event
         when(effTx(col("f._TransactionType"), col("parent_tx")) === "upsert", "insert")
           .otherwise(effTx(col("f._TransactionType"), col("parent_tx"))).as("tx"),
-        col("f.ItemGroupData").as("item_groups"))
+        col("f.ItemGroupData").as("item_groups")))
 
-    val itemGroups = forms
+    val itemGroups = c(forms
       .filter(col("tx") =!= "remove")
       .select(col("file_oid"), col("doc_pos"), col("form_oid"), col("form_id"),
         col("tx").as("parent_tx"), posexplode(col("item_groups")).as(Seq("i", "ig")))
@@ -166,9 +184,9 @@ object OdmPipeline {
         col("ig._ItemGroupOID").as("item_group_oid"),
         u5(col("form_id"), col("ig._ItemGroupOID")).as("item_group_id"),
         effTx(col("ig._TransactionType"), col("parent_tx")).as("tx"),
-        col("ig.ItemData").as("items"))
+        col("ig.ItemData").as("items")))
 
-    val items = itemGroups
+    val items = c(itemGroups
       .filter(col("tx") =!= "remove")
       .select(col("file_oid"), col("doc_pos"), col("item_group_oid"), col("item_group_id"),
         col("tx").as("parent_tx"), posexplode(col("items")).as(Seq("i", "it")))
@@ -186,7 +204,7 @@ object OdmPipeline {
         when(col("it._DataType") === "string", col("it._Value")).as("value_string"),
         when(col("it._DataType") === "integer", expr("try_cast(it._Value AS BIGINT)")).as("value_integer"),
         when(col("it._DataType") === "float", expr("try_cast(it._Value AS DOUBLE)")).as("value_float"),
-        when(col("it._DataType") === "datetime", try_to_timestamp(col("it._Value"))).as("value_datetime"))
+        when(col("it._DataType") === "datetime", try_to_timestamp(col("it._Value"))).as("value_datetime")))
 
     ExplodedLevels(studies.drop("subjects"), subjects.drop("study_events"),
       studyEvents.drop("forms"), forms.drop("item_groups"),
@@ -293,26 +311,34 @@ object OdmPipeline {
       passThrough.unionByName(gated)
     }
 
-    val subjOk = descendants(lv.subjects, "subject",
+    // every *Sent level feeds BOTH the next gate and a command projection
+    // in commandsOf, and itemsSent's lineage would stack four join+UDF
+    // levels — deep enough that Catalyst re-analysis per consumer costs
+    // more than the data. localCheckpoint (eager) truncates the lineage at
+    // each gate: downstream plans see a flat LogicalRDD, and each gate
+    // level executes exactly once. (At scale this trades executor-local
+    // storage for not re-running a 5-level join chain 7×.)
+    def gate(df: DataFrame): DataFrame = df.localCheckpoint()
+    val subjOk = gate(descendants(lv.subjects, "subject",
       concat(lit("odm-import/"), when(col("tx") === "upsert", "upsert-subject")
         .otherwise("insert-subject")),
-      struct(col("study_id"), col("subject_key")))
-    val seSent = lv.studyEvents.join(
-      subjOk.select(col("subject_id").as("p")), col("subject_id") === col("p"), "left_semi")
-    val seOk = descendants(seSent, "study-event",
+      struct(col("study_id"), col("subject_key"))))
+    val seSent = gate(lv.studyEvents.join(
+      subjOk.select(col("subject_id").as("p")), col("subject_id") === col("p"), "left_semi"))
+    val seOk = gate(descendants(seSent, "study-event",
       concat(lit("odm-import/"), when(col("tx") === "upsert", "upsert-study-event")
         .otherwise("insert-study-event")),
-      struct(col("subject_id"), col("study_event_oid")))
-    val formsSent = lv.forms.join(
-      seOk.select(col("study_event_id").as("p")), col("study_event_id") === col("p"), "left_semi")
-    val formsOk = descendants(formsSent, "form", lit("odm-import/insert-form"),
-      struct(col("study_event_id"), col("form_oid")))
-    val igSent = lv.itemGroups.join(
-      formsOk.select(col("form_id").as("p")), col("form_id") === col("p"), "left_semi")
-    val igOk = descendants(igSent, "item-group", lit("odm-import/insert-item-group"),
-      struct(col("form_id"), col("item_group_oid")))
-    val itemsSent = lv.items.join(
-      igOk.select(col("item_group_id").as("p")), col("item_group_id") === col("p"), "left_semi")
+      struct(col("subject_id"), col("study_event_oid"))))
+    val formsSent = gate(lv.forms.join(
+      seOk.select(col("study_event_id").as("p")), col("study_event_id") === col("p"), "left_semi"))
+    val formsOk = gate(descendants(formsSent, "form", lit("odm-import/insert-form"),
+      struct(col("study_event_id"), col("form_oid"))))
+    val igSent = gate(lv.itemGroups.join(
+      formsOk.select(col("form_id").as("p")), col("form_id") === col("p"), "left_semi"))
+    val igOk = gate(descendants(igSent, "item-group", lit("odm-import/insert-item-group"),
+      struct(col("form_id"), col("item_group_oid"))))
+    val itemsSent = gate(lv.items.join(
+      igOk.select(col("item_group_id").as("p")), col("item_group_id") === col("p"), "left_semi"))
 
     commandsOf(lv.copy(studyEvents = seSent, forms = formsSent,
       itemGroups = igSent, items = itemsSent))
