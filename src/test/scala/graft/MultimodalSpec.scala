@@ -30,6 +30,47 @@ class MultimodalSpec extends SparkSuite {
       | 'e'.toLong << 32 | 'f'.toLong << 40 | 'g'.toLong << 48 | 'h'.toLong << 56))
   }
 
+  test("m02: frame sampling is shuffle-free and matches fixed vectors") {
+    import spark.implicits._
+    val plan = Multimodal.frameSample(Multimodal.mediaTable(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frameSample shuffled:\n$plan")
+
+    // 100-byte payload: nFrames=2, sampled idxs {0,0,1,1}.distinct={0,1}
+    val media = Seq(Multimodal.MediaRow(7L, "video/mp4", Array.fill(100)('a'.toByte))).toDS()
+    val frames = Multimodal.frameSample(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.frame_len)).toSeq === Seq((0L, 64L), (1L, 36L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp0 = md.digest(Array.fill(64)('a'.toByte)).map(b => f"${b & 0xff}%02x").mkString
+    assert(frames(0).frame_md5 === exp0)
+  }
+
+  test("m03: resize decimates even rows/cols and carries typed dims") {
+    import spark.implicits._
+    // 3x2 raster "abcdef": keep (x even, y even) -> y=0: a,c -> "ac"
+    val img = Seq(Multimodal.ImageRow(1L, 3, 2, "abcdef".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resize(img).collect().head
+    assert((out.out_w, out.out_h, out.out_len) === (2L, 1L, 2L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out.out_md5 === md.digest("ac".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString)
+    // corpus-wide: dims follow the typed metadata, plan stays narrow
+    val plan = Multimodal.resize(Multimodal.imageTable(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize shuffled:\n$plan")
+    assert(Multimodal.m03(spark, sf).count() === 500)
+  }
+
+  test("m04: extracted features are exact byte arithmetic") {
+    val r = Multimodal.m04(spark, sf).filter(col("doc_id") === 0).collect().head
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").as[String](org.apache.spark.sql.Encoders.STRING).collect().head
+    val bytes = text.getBytes("UTF-8")
+    (0 until 8).foreach { k =>
+      val exp = (bytes((k * bytes.length) / 8) & 0xff) / 256.0
+      assert(r.getDouble(r.fieldIndex(s"f$k")) === exp, s"f$k")
+    }
+  }
+
   test("x02: Welford typed UDAF matches built-in avg/var_samp") {
     Welford.register(spark)
     Tables.lineitem(spark, sf).createOrReplaceTempView("graft_x02_li")
