@@ -48,6 +48,33 @@ object Scans extends QueryModule {
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
+  /** CSV source: write with header, read back under an EXPLICIT schema
+    * (schema inference is a full extra pass over the data — never at
+    * 100 TB). Doubles survive because Spark writes shortest-round-trip
+    * representations and the typed read parses them back exactly. */
+  def s09(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s09_csv", dir)
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE")
+      .option("header", "true").csv(tmp)
+      .orderBy("c_custkey")
+  }
+
+  /** ORC sink/source round-trip — the second columnar format a complete
+    * library must speak; exercises Spark's built-in ORC writer/reader
+    * (predicate pushdown + column pruning hold there too). */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s10_orc", dir)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy("o_orderkey")
+  }
+
   def p01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -94,6 +121,8 @@ object Scans extends QueryModule {
     "s03_scan_filter_pushdown" -> s03,
     "s04_source_json_props" -> s04,
     "s05_sink_roundtrip" -> s05,
+    "s09_source_csv" -> s09,
+    "s10_sink_orc" -> s10,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
     "p03_filter_null" -> p03,
@@ -113,6 +142,12 @@ object Scans extends QueryModule {
     "s05_sink_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+    "s09_source_csv" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s10_sink_orc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin,
     "p01_project_compute" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1.0 - l_discount) AS revenue,
