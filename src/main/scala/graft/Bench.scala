@@ -35,6 +35,7 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    spark.catalog.clearCache()
     // best-of-2: a single pass is at the mercy of one ill-timed GC pause
     // (observed 20× spikes); min-of-two is the standard stable estimator.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -53,12 +54,19 @@ object Bench {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case _ => None
       }
+      // caches pinned inside a query (l02 shingles, ODM explode levels)
+      // must not outlive its measurement: pinned storage memory starves
+      // later sort-heavy queries of execution memory → spills (the
+      // round-2 u*/w* 10-90× cliff). Each query measures from a clean
+      // block manager.
+      spark.catalog.clearCache()
       name -> best
     }
     val ok = results.collect { case (n, Some(t)) => n -> t }
     val failed = results.collect { case (n, None) => n }
     val total = ok.map(_._2).sum
-    def f3(d: Double) = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def qsJson(entries: Seq[(String, Double)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val slowest = ok.sortBy(-_._2).take(25).sortBy(_._1)

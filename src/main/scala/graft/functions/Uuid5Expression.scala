@@ -26,23 +26,32 @@ case class Uuid5Expression(left: Expression, right: Expression)
   override def prettyName: String = "uuid5_native"
 
   override def nullSafeEval(ns: Any, name: Any): Any =
-    Uuid5Expression.eval(ns.asInstanceOf[UTF8String], name.asInstanceOf[UTF8String])
+    Uuid5Gen.eval(ns.asInstanceOf[UTF8String], name.asInstanceOf[UTF8String])
 
+  // NOTE: the evaluator must live on a class with a REAL static method.
+  // `Uuid5Expression.eval` has no static forwarder (scalac suppresses it
+  // because the case class inherits an instance `eval(InternalRow)`), so
+  // generated code referencing it failed Janino resolution and silently
+  // dropped every uuid5_native plan to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (ns, name) =>
-      s"graft.functions.Uuid5Expression.eval($ns, $name)")
+      s"graft.functions.Uuid5Gen.eval($ns, $name)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Uuid5Expression =
     copy(left = newLeft, right = newRight)
 }
 
-object Uuid5Expression {
-  /** Static evaluator used by both interpreted and generated paths. */
+/** Static evaluator shared by the interpreted and generated paths — a
+  * standalone object (no companion class) so scalac emits the static
+  * forwarder Janino needs. */
+object Uuid5Gen {
   def eval(ns: UTF8String, name: UTF8String): UTF8String =
     UTF8String.fromString(
       Uuid5.uuid5(java.util.UUID.fromString(ns.toString), name.getBytes).toString)
+}
 
+object Uuid5Expression {
   /** Column API (requires register(spark) first — Spark 4 exposes no
     * public Expression→Column constructor, so we go through the registry). */
   def uuid5Native(ns: Column, name: Column): Column =

@@ -40,6 +40,9 @@ object Dedup extends QueryModule {
   def l02c(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      // <3-word docs yield no shingles; unguarded, sequence(1, size(w)-2)
+      // is descending and element_at(w, 0) throws (oracle's range is empty)
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
         .as("t"))
@@ -77,6 +80,8 @@ object Dedup extends QueryModule {
     * Jaccard itself is exact, over each candidate pair's FULL gram sets. */
   def l02d(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
+      // <3-char docs yield no trigrams (same descending-sequence guard)
+      .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")).as("g"))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))

@@ -40,6 +40,10 @@ object Llm extends QueryModule {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      // docs under 3 words have no 3-shingles; without the guard
+      // sequence(1, size(w)-2) turns DESCENDING ([1,0]) and element_at(w,0)
+      // is a runtime error (DuckDB's range is empty for the same input)
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
         .as("sh"))

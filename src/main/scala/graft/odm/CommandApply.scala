@@ -71,7 +71,9 @@ object CommandApply {
     * uuid5 chain roots at the study OID).
     *
     * Within a file the order is (level, doc_pos): parents before children,
-    * then DOCUMENT order (the posexplode position path from OdmPipeline).
+    * then DOCUMENT order (the posexplode position path from OdmPipeline,
+    * serialized as a zero-padded string whose lexicographic order equals
+    * the positional array's — see OdmPipeline.docPosStr).
     * The old (level, name, params_json) lexical order deviated from the
     * reference for same-item sibling commands — remove-item sorts after
     * insert-item, so a remove followed by a re-insert of the same item

@@ -86,6 +86,16 @@ object OdmPipeline {
     () => p
   }
 
+  /** Serialize a positional path (array<int>) into a zero-padded
+    * dot-joined STRING whose lexicographic order equals the array's
+    * lexicographic order (all commands at a level share one path depth,
+    * and levels sort first anyway). Downstream consumers — the command
+    * log, the driver harness, DuckDB — only ever see scalar columns;
+    * the raw array<int> never leaves the exploded levels. 6 digits =
+    * up to 1M children per node before padding order breaks. */
+  def docPosStr(c: Column): Column =
+    array_join(transform(c, i => lpad(i.cast("string"), 6, "0")), ".")
+
   private def txNorm(c: Column): Column = lower(c)
 
   /** eff_tx = coalesce(own, parent_eff); 'insert' is the snapshot default
@@ -218,7 +228,8 @@ object OdmPipeline {
   def commandsOf(lvls: ExplodedLevels): DataFrame = {
     def cmd(level: Int, name: Column, params: Column)(df: DataFrame): DataFrame =
       df.select(lit(level).as("level"), name.as("name"),
-        to_json(params).as("params_json"), col("file_oid"), col("doc_pos"))
+        to_json(params).as("params_json"), col("file_oid"),
+        docPosStr(col("doc_pos")).as("doc_pos"))
 
     def verb(base: String, withUpsert: Boolean): Column = {
       val v = when(col("tx") === "remove", s"remove-$base")

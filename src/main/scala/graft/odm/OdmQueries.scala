@@ -14,9 +14,13 @@ object OdmQueries extends QueryModule {
     * whose 13-hex-digit last group JDK 8 merged into these canonical bits). */
   val BatchCmdId = "2a302e1b-3cb4-425e-bcad-b7831d81e69d"
 
-  /** ODM XML → exploded typed item table (reference R6+R7). */
+  /** ODM XML → exploded typed item table (reference R6+R7). doc_pos is
+    * serialized to its sortable string form — the harness (and any
+    * row-oriented consumer) needs scalar cells, and the padded string
+    * preserves the document order the array encodes. */
   def s06(spark: SparkSession, dir: String): DataFrame =
     OdmPipeline.exploded(spark, OdmPipeline.fixturePath()).items
+      .withColumn("doc_pos", OdmPipeline.docPosStr(col("doc_pos")))
       .orderBy("item_group_oid", "item_oid")
 
   /** Full §2.3 command stream (success path), enveloped + level-ordered. */

@@ -63,6 +63,29 @@ class PlanSpec extends SparkSuite {
       "UDF and native expression disagree")
   }
 
+  test("uuid5_native generated code actually COMPILES (not just plans)") {
+    // Plan-string checks can't catch Janino resolution failures — Spark
+    // falls back to interpreted silently. GenerateUnsafeProjection.generate
+    // throws on a compile error, pinning the static-forwarder fix
+    // (companion `eval` gets no forwarder when the class inherits `eval`).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.Uuid5Expression(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "u")()))
+    val row = proj(InternalRow(
+      UTF8String.fromString("00000000-0000-0000-0000-000000000000"),
+      UTF8String.fromString("name")))
+    assert(row.getUTF8String(0).toString ===
+      graft.functions.Uuid5.uuid5(
+        java.util.UUID.fromString("00000000-0000-0000-0000-000000000000"),
+        "name".getBytes).toString)
+  }
+
   test("flagship: aggregation is partial+final hash aggregate with codegen") {
     val df = operators.Flagship.q00(spark, sf)
     val plan = planString(df)
