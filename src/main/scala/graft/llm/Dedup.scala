@@ -117,20 +117,23 @@ object Dedup extends QueryModule {
     * verify. The bucket equi-join is the 100 TB-safe shape: shuffle on
     * sig, never all-pairs. */
   def l02e(spark: SparkSession, dir: String): DataFrame = {
+    // sig (the 4-plane mega-expression) and the norm are computed ONCE PER
+    // VECTOR before the join — per-pair they'd each re-run for every
+    // candidate (norms alone are 2 of the 3 array folds). Both join sides
+    // project the SAME plan, so the sig/norm stage and its exchange
+    // canonicalize identically and ReuseExchange materializes them once.
+    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("sig", expr(Llm.sigExprSpark("embedding")))
-    emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("sig")).as("x")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("sig")).as("y"), "sig")
-      .filter(col("a") < col("b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
+      .select("vec_id", "embedding", "sig", "nrm")
+    emb.as("x")
+      .join(emb.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("dot", expr("vec_dot(x.embedding, y.embedding)"))
+      .withColumn("cosine", round(col("dot") / (col("x.nrm") * col("y.nrm")), 6))
       .filter(col("cosine") >= CosMin)
-      .select("a", "b", "cosine")
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
       .orderBy("a", "b")
   }
 
@@ -141,13 +144,13 @@ object Dedup extends QueryModule {
     * identical). Every vector is assigned map-side to its best centroid
     * (broadcast); the probe searches only its NProbe nearest lists. */
   def l03c(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     def cosTo(v: String, c: String) = expr(
-      s"""aggregate(zip_with($v, $c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)
-         | / (sqrt(aggregate($v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-         |    * sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+      s"""vec_dot($v, $c)
+         | / (sqrt(vec_dot($v, $v)) * sqrt(vec_dot($c, $c)))""".stripMargin)
     // assignment: best centroid per vector (map-side: centroids broadcast)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
@@ -166,12 +169,9 @@ object Dedup extends QueryModule {
       .select(col("cid").as("pcid"), col("embedding").as("p"))
     assigned
       .join(broadcast(probe), col("cid") === col("pcid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("dot", expr("vec_dot(embedding, p)"))
+      .withColumn("na", expr("sqrt(vec_dot(embedding, embedding))"))
+      .withColumn("nb", expr("sqrt(vec_dot(p, p))"))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -54,17 +54,26 @@ object Llm extends QueryModule {
 
   def l02(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    // K independent hash functions: seed-prefixed md5, low 60 bits as long
-    val hashed = sh
-      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .withColumn("hv", expr("CAST(conv(substr(md5(concat(CAST(h AS STRING), '|', sh)), 1, 15), 16, 10) AS BIGINT)"))
-    val minsig = hashed.groupBy("doc_id", "h").agg(min("hv").as("mh"))
-    val bands = minsig
-      .withColumn("band", expr(s"h div $RowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(
-        min(when(col("h") % 2 === 0, col("mh"))).as("m0"),
-        min(when(col("h") % 2 === 1, col("mh"))).as("m1"))
+    // K independent hash functions: seed-prefixed md5, low 60 bits as long.
+    // All K minhashes aggregate in ONE groupBy(doc_id) pass — the K md5s
+    // are map-side column expressions, partial aggregation collapses each
+    // doc to a single K-column row before the exchange. The alternative
+    // (explode(K) + groupBy(doc_id, h) + regroup by band) shuffles K rows
+    // per doc per source partition and pays a second exchange for the
+    // banding — at 100 TB that's K× the shuffle volume for no information.
+    val minsig = sh.groupBy("doc_id").agg(
+      min(expr(s"CAST(conv(substr(md5(concat('0|', sh)), 1, 15), 16, 10) AS BIGINT)")).as("mh0"),
+      (1 until NumHashes).map(h =>
+        min(expr(s"CAST(conv(substr(md5(concat('$h|', sh)), 1, 15), 16, 10) AS BIGINT)")).as(s"mh$h")): _*)
+    // bands (RowsPerBand consecutive minhashes each) derive map-side: 4
+    // rows per doc, no extra shuffle before the candidate equi-join
+    val bands = minsig.select(col("doc_id"), explode(array(
+      (0 until NumHashes / RowsPerBand).map(j => struct(
+        lit(j).as("band"),
+        col(s"mh${RowsPerBand * j}").as("m0"),
+        col(s"mh${RowsPerBand * j + 1}").as("m1"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.m0").as("m0"), col("bs.m1").as("m1"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
@@ -91,17 +100,15 @@ object Llm extends QueryModule {
     * random-hyperplane signatures. Probe is a 1-row broadcast, so this is
     * a map-only scan at any corpus size. */
   def l03(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("p"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("dot", expr("vec_dot(embedding, p)"))
+      .withColumn("na", expr("sqrt(vec_dot(embedding, embedding))"))
+      .withColumn("nb", expr("sqrt(vec_dot(p, p))"))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -122,10 +129,14 @@ object Llm extends QueryModule {
     Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
   }
 
+  /** Callers must VecMath.register(spark) first. ±1 weights are exact in
+    * FLOAT, and vec_dot folds left-to-right in DOUBLE — bit-identical to
+    * the aggregate(zip_with(..)) fold this replaces, but codegen'd (HOFs
+    * are CodegenFallback: an interpreted lambda per element). */
   def sigExprSpark(vcol: String): String =
     Hyperplanes.zipWithIndex.map { case (h, j) =>
       val arr = h.mkString("array(", "D, ", "D)")
-      s"CAST(aggregate(zip_with($vcol, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 AS INT) * ${1 << j}"
+      s"CAST(vec_dot($vcol, CAST($arr AS ARRAY<FLOAT>)) >= 0 AS INT) * ${1 << j}"
     }.mkString(" + ")
 
   /** DuckDB image of sigExprSpark — same literal hyperplanes. */
@@ -136,6 +147,7 @@ object Llm extends QueryModule {
     }.mkString(" + ")
 
   def l03b(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("sig", expr(sigExprSpark("embedding")))
     val probe = emb.filter(col("vec_id") === 0)
@@ -144,12 +156,9 @@ object Llm extends QueryModule {
       // multi-probe: own bucket + the 4 at Hamming distance 1 (5/16 of
       // the space scanned; recall/latency dial = plane count + radius)
       .join(broadcast(probe), expr("bit_count(sig ^ psig) <= 1"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("dot", expr("vec_dot(embedding, p)"))
+      .withColumn("na", expr("sqrt(vec_dot(embedding, embedding))"))
+      .withColumn("nb", expr("sqrt(vec_dot(p, p))"))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -158,6 +167,7 @@ object Llm extends QueryModule {
 
   /** Diagnostic for AnnSpec: how many vectors the multi-probe touches. */
   def l03bProbedCount(spark: SparkSession, dir: String): Long = {
+    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("sig", expr(sigExprSpark("embedding")))
     val probe = emb.filter(col("vec_id") === 0)

@@ -366,7 +366,17 @@ final case class ExplodedLevels(
     studyEvents: DataFrame,
     forms: DataFrame,
     itemGroups: DataFrame,
-    items: DataFrame)
+    items: DataFrame) {
+
+  /** Release the level caches pinned by exploded(cacheLevels = true).
+    * CALLERS OWN THE CACHE LIFECYCLE: the pipeline cannot know when the
+    * last consuming action ran, and cached levels left pinned across many
+    * paths accumulate storage memory for the whole session (the harness
+    * mains instead sweep with spark.catalog.clearCache() between queries). */
+  def unpersist(): Unit =
+    Seq(studies, subjects, studyEvents, forms, itemGroups, items)
+      .foreach(df => df.unpersist())
+}
 
 /** Typed command envelope (FIXTURES.md §2) — the Dataset[T] API boundary. */
 final case class OdmCommand(

@@ -86,5 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.Uuid5Expression].getName, "uuid5_native"),
       (exprs: Seq[Expression]) =>
         graft.functions.Uuid5Expression(exprs.head, exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FloatVecDot(exprs.head, exprs(1))))
   }
 }
