@@ -271,6 +271,34 @@ object Llm extends QueryModule {
         countDistinct(col("t")).as("n_uniq_tokens"))
       .orderBy("doc_id")
 
+  /** l10: deterministic seeded global shuffle — the pre-training
+    * permutation. Order key = md5(seed || doc_id): uniform, reproducible,
+    * engine-portable. At 100 TB this is a total sort by a uniform key —
+    * range partitioning balances output files regardless of input order
+    * or skew, unlike rand() (non-reproducible) or monotonically_increasing
+    * _id (preserves input clustering). */
+  def l10(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("shuffle_key",
+        md5(concat(lit("42:"), col("doc_id").cast("string"))))
+      .select("shuffle_key", "doc_id", "lang", "n_chars")
+      .orderBy("shuffle_key", "doc_id")
+
+  /** l11: hash-based train/val/test split (80/10/10). Assignment is a pure
+    * function of the example id, so it is stable under re-runs,
+    * repartitioning, and incremental appends — the property random splits
+    * lack. Map-only: no shuffle before the deterministic ORDER BY. */
+  def l11(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
@@ -281,7 +309,9 @@ object Llm extends QueryModule {
     "l06_langid" -> l06,
     "l07_quality_score" -> l07,
     "l08_token_count" -> l08,
-    "l09_fingerprint" -> l09)
+    "l09_fingerprint" -> l09,
+    "l10_seeded_shuffle" -> l10,
+    "l11_split_assign" -> l11)
 
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
@@ -337,6 +367,20 @@ object Llm extends QueryModule {
          |            JOIN sizes nb ON nb.doc_id = common.b
          |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
          |ORDER BY a, b""".stripMargin,
+    "l10_seeded_shuffle" ->
+      """SELECT md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |       doc_id, lang, n_chars
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "l11_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "l03b_sim_ann" -> l03bOracle,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
