@@ -66,6 +66,34 @@ class ScalePatternsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
   }
 
+  test("runtime bloom filter: selective dim filter prunes the fact side of a shuffle join") {
+    // The non-partition-column analogue of DPP: a bloom filter built from
+    // the filtered dim side is pushed into the fact scan, so at 100 TB the
+    // big side drops non-joining rows BEFORE the shuffle. Thresholds are
+    // lowered because local test data is far below the 10 MB/10 GB
+    // defaults that gate injection on a real cluster.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n$optimized")
+      assert(q.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("corrupt-record quarantine: bad JSON rows split to a dead-letter side (R2/R3)") {
     val f = Files.createTempFile("graft_quarantine", ".jsonl")
     Files.writeString(f,
