@@ -47,6 +47,26 @@ object StreamingLift {
     events.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
 
+  /** R14 command→event correlation, stream-stream mode (SURVEY.md §3.2):
+    * requests joined to their responses on cid within a bounded response
+    * window. BOTH sides carry watermarks and the join predicate bounds
+    * resp_ts to [req_ts, req_ts + horizon], so each side's state store
+    * evicts rows once the other side's watermark passes the bound —
+    * unbounded-state stream joins don't survive a day of 100 TB/day
+    * ingest, watermark-bounded ones do.
+    */
+  def correlate(requests: DataFrame, responses: DataFrame): DataFrame =
+    requests.withWatermark("req_ts", "1 hour").alias("c")
+      .join(
+        responses.withWatermark("resp_ts", "1 hour").alias("e"),
+        expr("""e.cid = c.req_id AND
+                e.resp_ts >= c.req_ts AND
+                e.resp_ts <= c.req_ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.req_id").as("req_id"),
+        unix_millis(col("c.req_ts")).as("req_ms"),
+        unix_millis(col("e.resp_ts")).as("resp_ms"),
+        col("e.status").as("status"))
+
   final case class UserRunning(user_id: Long, n: Long, max_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState (reference R18/R22's

@@ -113,6 +113,42 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "user_id", "n", "max_value"))
   }
 
+  test("stream-stream correlate: watermark-bounded join == batch, late responses drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // requests = first 300 events; responses = same ids shifted +5 min,
+    // except ids % 7 == 0 respond 2 hours later (outside the 30 min bound)
+    val reqs = batchEvents.as[Ev].collect().sortBy(_.ts_ms).take(300)
+    val resps = reqs.map(e => (e.event_id,
+      e.ts_ms + (if (e.event_id % 7 == 0) 7200000L else 300000L),
+      if (e.value > 50) "ok" else "retry"))
+    val reqStream = MemoryStream[Ev]
+    val respStream = MemoryStream[(Long, Long, String)]
+    val out = StreamingLift.correlate(
+      reqStream.toDF().select(col("event_id").as("req_id"),
+        timestamp_millis(col("ts_ms")).as("req_ts")),
+      respStream.toDF().toDF("cid", "resp_ms_in", "status")
+        .select(col("cid"), timestamp_millis(col("resp_ms_in")).as("resp_ts"),
+          col("status")))
+    val name = s"graft_corr_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      reqStream.addData(reqs.toIndexedSeq)
+      respStream.addData(resps.toIndexedSeq)
+      q.processAllAvailable()
+      // watermark-flushing sentinels on both sides
+      reqStream.addData(Ev(-1L, -1L, "s", 0.0, Sentinel))
+      respStream.addData((-1L, Sentinel, "s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("req_id") >= 0)
+    val expected = reqs.filter(_.event_id % 7 != 0)
+    assert(got.count() === expected.length,
+      "in-window responses must match; 2-hour-late ones must drop")
+    assert(got.filter(col("resp_ms") =!= col("req_ms") + 300000L).count() === 0)
+  }
+
   test("stream-static enrich: streaming == batch join") {
     val dim = Tables.customer(spark, sf)
     val streamed = runStream(StreamingLift.enrich(_, dim))
