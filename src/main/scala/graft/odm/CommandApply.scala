@@ -64,6 +64,28 @@ object CommandApply {
         col("p.value_datetime").as("value_datetime"))
   }
 
+  /** Log compaction: the materialized item state re-expressed as a
+    * minimal command log (one update-item per live item) that the SAME
+    * latest-wins merge accepts. state(compact(log) ∪ tail) == state(log ∪
+    * tail) for any strictly-newer tail: the snapshot's file_oid is the
+    * empty string, which sorts below every real file in the (file desc,
+    * seq desc) resolution, so genuine commands always win over it.
+    *
+    * This is the checkpoint story for a 100 TB command log: replays
+    * against snapshot + tail instead of the full history, and the
+    * snapshot is one row per live item (tombstoned items vanish —
+    * correct as long as the tail is newer than the compaction point). */
+  def compacted(spark: SparkSession, log: DataFrame): DataFrame =
+    itemState(spark, log).select(
+      lit(5).as("level"),
+      lit("odm-import/update-item").as("name"),
+      // field names match itemState's from_json schema, so the snapshot
+      // round-trips through the identical parse path as real commands
+      to_json(struct(col("item_id"), col("data_type"), col("value_string"),
+        col("value_integer"), col("value_float"), col("value_datetime"))).as("params_json"),
+      lit("").as("file_oid"),
+      lit("000000").as("doc_pos"))
+
   /** Sequence-stamp a level-ordered command stream. Sequenced PER FILE —
     * an unpartitioned window would funnel the whole log through one task;
     * the file is the reference's unit of work, and itemState adds the

@@ -103,6 +103,34 @@ class CommandApplySpec extends SparkSuite {
     assert(winners.forall(_ === "from9"), s"non-deterministic or wrong winner: $winners")
   }
 
+  test("log compaction: state(snapshot ∪ newer tail) == state(full history)") {
+    import java.nio.file.Files
+    // history = fixture file; tail = a newer file of the same study with
+    // changed values (FILE-9 > "" so it outranks the snapshot in the merge)
+    val template = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(OdmPipeline.fixturePath())), "UTF-8")
+    val dir = Files.createTempDirectory("graft_compact")
+    Files.writeString(dir.resolve("tail.xml"),
+      template.replace("FILE-1", "FILE-9").replace("Value=\"x\"", "Value=\"newer\""))
+    val tail = CommandApply.sequenced(OdmPipeline.enveloped(
+      spark, s"$dir/tail.xml", OdmQueries.BatchCmdId, "s"))
+      .select("level", "name", "params_json", "file_oid", "doc_pos", "seq")
+    val snapshot = CommandApply.sequenced(
+      CommandApply.compacted(spark, log)).select(tail.columns.map(col): _*)
+    val full = CommandApply.sequenced(
+      log.drop("seq").select("level", "name", "params_json", "file_oid", "doc_pos")
+        .union(tail.drop("seq")))
+    val stateCols = Seq("item_id", "data_type", "value_string",
+      "value_integer", "value_float", "value_datetime").map(col)
+    val viaSnapshot = CommandApply.itemState(spark,
+        CommandApply.sequenced(snapshot.drop("seq").union(tail.drop("seq"))))
+      .select(stateCols: _*).orderBy("item_id").collect().toSeq
+    val viaFull = CommandApply.itemState(spark, full)
+      .select(stateCols: _*).orderBy("item_id").collect().toSeq
+    assert(viaSnapshot === viaFull)
+    assert(viaSnapshot.nonEmpty)
+  }
+
   test("replay idempotence: applying the log twice equals once") {
     val once = CommandApply.itemState(spark, log)
     val twice = CommandApply.itemState(spark,
