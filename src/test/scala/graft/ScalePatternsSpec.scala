@@ -66,6 +66,42 @@ class ScalePatternsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The no-code-changes answer to hot keys: AQE detects an oversized
+    // shuffle partition at runtime and splits it across tasks. Thresholds
+    // are lowered so the synthetic 90%-one-key skew triggers locally; the
+    // salted two-phase aggregation (j13) remains the explicit variant for
+    // aggregations, where AQE can't help.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 90% of left rows share key 0; payload pads partition size
+      val left = spark.range(0, 60000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        concat(lit("x"), lpad(col("id").cast("string"), 64, "0")).as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        concat(lit("dim"), col("id").cast("string")).as("name"))
+      // max(payload) keeps the wide column alive through the shuffle —
+      // column pruning would otherwise shrink partitions below threshold
+      val q = left.join(right, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("p"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in the final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact side of a shuffle join") {
     // The non-partition-column analogue of DPP: a bloom filter built from
     // the filtered dim side is pushed into the fact scan, so at 100 TB the
