@@ -299,6 +299,40 @@ object Llm extends QueryModule {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** l12: redaction pass — scrub numeric tokens and email-shaped spans
+    * (the PII-scrub shape: the real pipeline swaps in its own pattern
+    * set). Patterns stay in the POSIX-compatible subset so Java regex
+    * (Spark) and RE2 (DuckDB) agree. Map-only at any scale. */
+  def l12(spark: SparkSession, dir: String): DataFrame = {
+    val numRe = "[0-9]+"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(numRe)).cast("long").as("n_numbers"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        length(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** l13: repetition detection — max word-3-shingle multiplicity over
+    * total shingles (boilerplate/looping-generation signal; a standard
+    * pre-training quality filter next to l07's ratios). */
+  def l13(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
+        .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+      .select(col("doc_id"), col("max_rep"), col("n_shingles"),
+        r6(col("max_rep") / col("n_shingles")).as("rep_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
@@ -311,7 +345,9 @@ object Llm extends QueryModule {
     "l08_token_count" -> l08,
     "l09_fingerprint" -> l09,
     "l10_seeded_shuffle" -> l10,
-    "l11_split_assign" -> l11)
+    "l11_split_assign" -> l11,
+    "l12_redact" -> l12,
+    "l13_repetition" -> l13)
 
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
@@ -381,6 +417,24 @@ object Llm extends QueryModule {
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "l12_redact" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+        |       length(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g')) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l13_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM t WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh)
+        |SELECT doc_id, MAX(c) AS max_rep, CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |       floor((MAX(c) / CAST(SUM(c) AS BIGINT)) * 1000000 + 0.5) / 1000000 AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l03b_sim_ann" -> l03bOracle,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
