@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Pivots,
     llm.Llm,
     llm.Dedup,
+    llm.Pipeline,
     llm.MultimodalQueries,
     llm.MinHashLshMl,
     odm.OdmQueries)

@@ -1,0 +1,407 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/similarity family:
+  * benchmark decontamination, sequence packing, stratified sampling and
+  * epoch-weighted source mixing, rule-based quality gating (the Gopher-
+  * style counterpart to l07's continuous score).
+  *
+  * Like the rest of the llm package everything is relational (no UDFs)
+  * and engine-portable: hashing via md5-hex→bigint, ratios via the
+  * floor(x*1e6+0.5)/1e6 half-up rounding both engines compute identically.
+  *
+  * Reference anchor: the reference's import pipeline treats each study
+  * file as an opaque batch (src/lens/import_clinical_data.clj:300-327);
+  * the corpus-hygiene operators here are the additional surface a
+  * pre-training data pipeline needs on top of that batch model.
+  */
+object Pipeline extends QueryModule {
+
+  private def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Portable uniform bucket in [0, 100) from a seeded md5 of the id. */
+  private def hashBucket(seed: String): Column = expr(
+    s"CAST(conv(substr(md5(concat('$seed', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+
+  /** Distinct word-8-gram hashes per document. 8 words is the standard
+    * contamination shingle (large enough that shared grams imply copied
+    * text, small enough to catch partial overlap). Hashing to 60-bit
+    * longs before the join keeps the shuffled/broadcast payload at 8
+    * bytes per gram instead of the full gram text. */
+  private def gram8(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 8) // sequence(1, size-7) turns descending below 8 words
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+      .distinct()
+
+  /** l14: benchmark decontamination — flag training documents sharing any
+    * word-8-gram with the held-out eval slice (doc_id % 97 == 0 stands in
+    * for the benchmark corpus; a real run would read it as its own table).
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks are
+    * MBs, the corpus is TBs), so its distinct gram hashes broadcast and
+    * the contamination check is a map-side hash probe over the corpus —
+    * no shuffle of the 100 TB side at all. The per-doc rollup then
+    * aggregates doc-local rows (partial agg collapses before exchange). */
+  def l14(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gram8(spark, dir)
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** l15: sequence packing — concatenate the corpus in doc_id order and
+    * chunk it into fixed 2048-token context windows (the GPT-style
+    * concat-then-chunk packing). A document's bin is floor(prefix_sum /
+    * capacity) of the tokens *before* it.
+    *
+    * The global prefix sum is computed the way a 1000-executor cluster
+    * has to: per-bucket partial sums (one narrow aggregation), an
+    * exclusive prefix over the tiny bucket table (broadcastable — one row
+    * per 1024 docs), then a *partitioned* window inside each bucket. No
+    * single-partition global window anywhere in the plan. */
+  def l15(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 2048
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(doc_id / 1024) AS BIGINT)").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // exclusive prefix over buckets: tiny (corpus_size / 1024 rows)
+    val bucketTotals = toks.groupBy("bucket").agg(sum("n_tok").as("bucket_tok"))
+    val offsets = bucketTotals
+      .withColumn("offset",
+        coalesce(sum("bucket_tok").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("offset") + sum("n_tok").over(wInBucket) - col("n_tok"))
+      .withColumn("bin_id", floor(col("cum_before") / capacity).cast("long"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio", r6(col("bin_tokens") / lit(capacity.toDouble)))
+      .orderBy("bin_id")
+  }
+
+  /** l16: stratified sampling — per-language keep rates (100% en, 50% de,
+    * 25% rest) decided by a pure hash of the doc id, so the sample is
+    * reproducible, append-stable, and needs no shuffle to draw (the
+    * rollup here only verifies achieved rates). */
+  def l16(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "de", 50).otherwise(25)
+    Tables.documents(spark, dir)
+      .withColumn("kept", (hashBucket("strat:") < rate).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("kept").cast("long").as("n_kept"))
+      .withColumn("achieved_rate", r6(col("n_kept") / col("n_total")))
+      .orderBy("lang")
+  }
+
+  /** l17: epoch-weighted source mixing — each source repeats 1-3 times in
+    * the training mix (epochs = 1 + src_index % 3), every (doc, epoch)
+    * copy getting its own position in the l10-style global shuffle order.
+    * Replication is a map-side explode (sequence + explode), so the mix
+    * costs epochs× output volume but zero extra shuffles before the
+    * consumer's sort. */
+  def l17(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("epochs", expr("1 + CAST(substr(source, 4) AS INT) % 3"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, epochs)")).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("shuffle_key",
+        md5(concat(lit("mix:"), col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), min("shuffle_key").as("first_key"))
+      .orderBy("source", "epoch")
+
+  /** l18: rule-based quality gate (Gopher-style hard filters): word count
+    * in [5, 5000], mean word length in [2, 12], digit fraction <= 0.2,
+    * symbol fraction <= 0.05. Emits the per-rule verdicts plus the
+    * conjunction, all map-side — at scale this is the first pass over raw
+    * text and must stay shuffle-free, which it is (the ORDER BY is the
+    * harness determinism contract, not part of the operator). */
+  def l18(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val meanWlen = length(regexp_replace(col("text"), " ", "")) / words
+    val digitRatio = regexp_count(col("text"), lit("[0-9]")) / length(col("text"))
+    val symRatio = regexp_count(col("text"), lit("[#<>{}|~]")) / length(col("text"))
+    val rLen = (words >= 5) && (words <= 5000)
+    val rWlen = (meanWlen >= 2.0) && (meanWlen <= 12.0)
+    val rDigit = digitRatio <= 0.2
+    val rSym = symRatio <= 0.05
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        words.as("n_words"),
+        r6(meanWlen).as("mean_wlen"),
+        r6(digitRatio).as("digit_ratio"),
+        r6(symRatio).as("sym_ratio"),
+        rLen.cast("int").as("r_len"),
+        rWlen.cast("int").as("r_wlen"),
+        rDigit.cast("int").as("r_digit"),
+        rSym.cast("int").as("r_sym"),
+        (rLen && rWlen && rDigit && rSym).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** l19: the curation pipeline end-to-end — quality gate (l18 rules) →
+    * exact dedup (min doc_id per text hash) → benchmark decontamination
+    * (l14) → hash split (l11) → per-(lang, split) corpus summary. One
+    * composed DataFrame: Catalyst fuses the gate predicates into the
+    * scan, the dedup is a hash aggregate + semi join on the already-
+    * gated (smaller) side, the contamination probe joins against the
+    * tiny flagged set, and nothing materializes between stages. This is
+    * the query shape a real 100 TB curation run executes as a single
+    * job. */
+  def l19(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val meanW = length(regexp_replace(col("text"), " ", "")) / words
+    val digR = regexp_count(col("text"), lit("[0-9]")) / length(col("text"))
+    val symR = regexp_count(col("text"), lit("[#<>{}|~]")) / length(col("text"))
+    val gated = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0) // the eval slice is not training data
+      .filter(words.between(5L, 5000L) && meanW.between(2.0, 12.0)
+        && digR <= 0.2 && symR <= 0.05)
+    val keepIds = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val contaminated = l14(spark, dir)
+      .filter(col("contaminated") === 1).select("doc_id")
+    gated
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(hashBucket("split:") < 80, "train")
+          .when(hashBucket("split:") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("tot_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  /** l20: TF-IDF top-3 terms per document. Two linear aggregations (term
+    * frequency per doc, document frequency per term) + an in-plan corpus
+    * count (1-row broadcast — no driver-side .count()), then a doc-
+    * partitioned window for the top-k. The df table is vocabulary-sized —
+    * orders of magnitude under corpus size — so the tf⋈df join's shuffle
+    * is bounded by vocabulary, not corpus. Ties (equal tf and df → bit-
+    * identical doubles in both engines) break on the term itself. */
+  def l20(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("t"))
+    val tf = words.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = words.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf_raw").desc, col("t"))
+    tf.join(dfT, "t").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("term"),
+        col("tf"), col("df"), r6(col("tfidf_raw")).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** l21: near-duplicate clustering — connected components over the l02
+    * MinHash pair graph, each document labeled with its component's min
+    * doc_id (the canonical representative the dedup pass keeps).
+    *
+    * Implementation is min-label propagation to fixpoint: every iteration
+    * is a distributed join + aggregate, the driver only checks the
+    * converged? counter (the standard iterative CC; at 100 TB the
+    * large-star/small-star variant bounds iteration count, and near-dup
+    * components are tiny by construction so propagation converges in a
+    * handful of rounds). localCheckpoint truncates the growing lineage so
+    * iteration N doesn't replay iterations 1..N-1. */
+  def l21(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Llm.l02(spark, dir).select("a", "b").localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val minNeigh = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy("a").agg(min("nl").as("mn"))
+      val next = labels
+        .join(minNeigh.select(col("a").as("id"), col("mn")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private def l21Oracle: String = {
+    // reuse l02's full pair SQL as a derived table (strip its final sort)
+    val pairSql = Llm.oracles("l02_dedup_near")
+      .replaceAll("\\s*ORDER BY a, b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($pairSql) q),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+       |lab AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep)
+       |SELECT lab.id AS doc_id, lab.cluster_rep, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l14_decontaminate" -> l14,
+    "l15_pack_sequences" -> l15,
+    "l16_sample_stratified" -> l16,
+    "l17_mix_weighted" -> l17,
+    "l18_quality_gate" -> l18,
+    "l19_curation_e2e" -> l19,
+    "l20_tfidf" -> l20,
+    "l21_dedup_clusters" -> l21)
+
+  val oracles: Map[String, String] = Map(
+    "l14_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(w)-6),
+        |          i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(w) >= 8),
+        |gh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |e AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT * FROM gh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN e.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+        |       CAST(MAX(CASE WHEN e.gh IS NULL THEN 0 ELSE 1 END) AS INT) AS contaminated
+        |FROM tr LEFT JOIN e ON tr.gh = e.gh
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "l15_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         SUM(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+        |  FROM t)
+        |SELECT CAST(floor(cum_before / 2048.0) AS BIGINT) AS bin_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |       floor(CAST(SUM(n_tok) AS BIGINT) / 2048.0 * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+        |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin,
+    "l16_sample_stratified" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CASE WHEN CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |              < (CASE WHEN lang = 'en' THEN 100 WHEN lang = 'de' THEN 50 ELSE 25 END)
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       floor(CAST(SUM(kept) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS achieved_rate
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "l17_mix_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         unnest(range(1, 2 + CAST(substr(source, 4) AS INT) % 3)) AS epoch
+        |  FROM documents)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+        |       MIN(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))) AS first_key
+        |FROM t GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+    "l18_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_wlen,
+        |         len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        |         len(regexp_extract_all(text, '[#<>{}|~]')) / CAST(length(text) AS DOUBLE) AS sym_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |       floor(mean_wlen * 1000000.0 + 0.5) / 1000000.0 AS mean_wlen,
+        |       floor(digit_ratio * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+        |       floor(sym_ratio * 1000000.0 + 0.5) / 1000000.0 AS sym_ratio,
+        |       CAST(n_words >= 5 AND n_words <= 5000 AS INT) AS r_len,
+        |       CAST(mean_wlen >= 2.0 AND mean_wlen <= 12.0 AS INT) AS r_wlen,
+        |       CAST(digit_ratio <= 0.2 AS INT) AS r_digit,
+        |       CAST(sym_ratio <= 0.05 AS INT) AS r_sym,
+        |       CAST(n_words >= 5 AND n_words <= 5000 AND mean_wlen >= 2.0 AND mean_wlen <= 12.0
+        |            AND digit_ratio <= 0.2 AND sym_ratio <= 0.05 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "l19_curation_e2e" ->
+      """WITH w AS (
+        |  SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |m AS (
+        |  SELECT *, length(replace(text, ' ', '')) / n_words AS mean_wlen,
+        |         len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE) AS dig,
+        |         len(regexp_extract_all(text, '[#<>{}|~]')) / CAST(length(text) AS DOUBLE) AS sym
+        |  FROM w),
+        |gated AS (
+        |  SELECT * FROM m
+        |  WHERE doc_id % 97 <> 0 AND n_words BETWEEN 5 AND 5000
+        |    AND mean_wlen BETWEEN 2.0 AND 12.0 AND dig <= 0.2 AND sym <= 0.05),
+        |keepids AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(wl)-6),
+        |          i -> array_to_string(list_slice(wl, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(wl) >= 8),
+        |gh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |e AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT tr.doc_id FROM gh tr JOIN e ON tr.gh = e.gh
+        |  WHERE tr.doc_id % 97 <> 0),
+        |final AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id IN (SELECT doc_id FROM keepids)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT lang,
+        |       CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |            WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS tot_tokens
+        |FROM final GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "l20_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM w GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY t),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+        |         tf.tf * ln(n_docs / CAST(df AS DOUBLE)) AS tfidf_raw
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf_raw DESC, t) AS rk FROM s)
+        |SELECT doc_id, rk, t AS term, tf, df,
+        |       floor(tfidf_raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "l21_dedup_clusters" -> l21Oracle)
+}

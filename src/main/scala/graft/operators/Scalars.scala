@@ -156,8 +156,25 @@ object Scalars extends QueryModule {
         date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
       .orderBy("o_orderkey")
 
+  /** f11: bitwise family — the partitioner/bucketizer primitives (masking,
+    * shifts, popcount) every hash-distribution scheme builds on. DuckDB
+    * spells xor as xor() (its ^ is exponentiation) and NOT as ~ like Spark. */
+  def f11(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 2047").as("k_and"),
+        expr("o_orderkey | 15").as("k_or"),
+        expr("o_orderkey ^ o_custkey").as("k_xor"),
+        expr("~o_orderkey").as("k_not"),
+        expr("shiftleft(o_orderkey, 3)").as("k_shl"),
+        expr("shiftright(o_orderkey, 2)").as("k_shr"),
+        expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("k_bits"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f09_string_extended" -> f09,
+    "f11_bitwise" -> f11,
     "f10_date_extended" -> f10,
     "f01_string" -> f01,
     "f02_date" -> f02,
@@ -169,6 +186,16 @@ object Scalars extends QueryModule {
     "f08_conditional" -> f08)
 
   val oracles: Map[String, String] = Map(
+    "f11_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 2047 AS k_and,
+        |       o_orderkey | 15 AS k_or,
+        |       xor(o_orderkey, o_custkey) AS k_xor,
+        |       ~o_orderkey AS k_not,
+        |       o_orderkey << 3 AS k_shl,
+        |       o_orderkey >> 2 AS k_shr,
+        |       CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f09_string_extended" ->
       """SELECT p_partkey,
         |       CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS lev_b33,

@@ -102,6 +102,20 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "rn")
   }
 
+  /** o05: deterministic per-group sample — ≤5 documents per language,
+    * chosen by a seeded hash order (the distributed stand-in for per-key
+    * reservoir sampling: reproducible, append-stable, and one window pass
+    * instead of a stateful reservoir). */
+  def o05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("samp_key", "doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("samp_key", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "doc_id", "samp_key")
+      .orderBy("lang", "rk")
+  }
+
   private def f(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
       .select("o_custkey")
@@ -130,6 +144,7 @@ object Windows extends QueryModule {
     "o01_sort_multi" -> o01,
     "o02_limit" -> o02,
     "o03_topk_per_group" -> o03,
+    "o05_sample_per_group" -> o05,
     "u01_union" -> u01,
     "u02_union_distinct" -> u02,
     "u03_intersect" -> u03,
@@ -185,6 +200,14 @@ object Windows extends QueryModule {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "o05_sample_per_group" ->
+      """SELECT lang, rk, doc_id, samp_key FROM (
+        |  SELECT lang, doc_id,
+        |         md5('samp:' || CAST(doc_id AS VARCHAR)) AS samp_key,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "u01_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the training-pipeline operators (llm.Pipeline),
+  * beyond the smoke/oracle coverage. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("l14: eval slice excluded, contaminated == (n_hits > 0), hits bounded") {
+    val out = llm.Pipeline.l14(spark, sf).cache()
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(out.filter(col("contaminated") =!= (col("n_hits") > 0).cast("int")).count() == 0)
+    assert(out.filter(col("n_hits") > col("n_grams")).count() == 0)
+    out.unpersist()
+  }
+
+  test("l15: distributed prefix-sum packing equals the naive global-window packing") {
+    val capacity = 2048
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        sum("n_tok").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .withColumn("bin_id", floor(col("cum_before") / capacity).cast("long"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio", floor(col("bin_tokens") / lit(capacity.toDouble) * 1e6 + 0.5) / 1e6)
+    val packed = llm.Pipeline.l15(spark, sf)
+    assert(packed.exceptAll(naive).count() == 0 && naive.exceptAll(packed).count() == 0)
+  }
+
+  test("l15: bins partition the corpus (doc and token totals conserved)") {
+    val docs = Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val totalTok = docs.select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    val agg = llm.Pipeline.l15(spark, sf)
+      .select(sum("n_docs").as("d"), sum("bin_tokens").as("t")).head()
+    assert(agg.getLong(0) == totalDocs && agg.getLong(1) == totalTok)
+  }
+
+  test("l16: 'en' stratum keeps everything; kept never exceeds total") {
+    val out = llm.Pipeline.l16(spark, sf).cache()
+    val en = out.filter(col("lang") === "en").head()
+    assert(en.getAs[Long]("n_kept") == en.getAs[Long]("n_total"))
+    assert(out.filter(col("n_kept") > col("n_total")).count() == 0)
+    out.unpersist()
+  }
+
+  test("l17: every epoch of a source replicates the same doc count, epochs = 1 + idx % 3") {
+    val out = llm.Pipeline.l17(spark, sf).cache()
+    val perSource = out.groupBy("source")
+      .agg(countDistinct("n_docs").as("distinct_counts"), max("epoch").as("max_epoch"))
+      .collect()
+    perSource.foreach { r =>
+      assert(r.getAs[Long]("distinct_counts") == 1L, s"uneven replication for ${r.getString(0)}")
+      val idx = r.getString(0).drop(3).toInt
+      assert(r.getAs[Long]("max_epoch") == 1L + idx % 3)
+    }
+    out.unpersist()
+  }
+
+  test("l18: keep is exactly the conjunction of the four rules") {
+    val out = llm.Pipeline.l18(spark, sf)
+    assert(out.filter(
+      col("keep") =!= (col("r_len") * col("r_wlen") * col("r_digit") * col("r_sym"))).count() == 0)
+  }
+}

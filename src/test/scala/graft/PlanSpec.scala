@@ -96,4 +96,27 @@ class PlanSpec extends SparkSuite {
     assert(executed.contains("*(") && executed.contains(") HashAggregate"),
       s"aggregate path fell out of codegen:\n$executed")
   }
+
+  test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
+    val plan = planString(llm.Pipeline.l14(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"expected broadcast left-outer probe, got:\n$plan")
+  }
+
+  test("l15: the corpus-bearing window is partitioned by bucket (no global single-partition pass over documents)") {
+    val plan = planString(llm.Pipeline.l15(spark, sf))
+    // two windows exist: the tiny bucket-offset prefix (unpartitioned, one
+    // row per 1024 docs) and the per-doc cumulative sum, which MUST carry
+    // the bucket partition spec
+    assert(plan.contains("windowspecdefinition(bucket#"),
+      s"expected bucket-partitioned window over documents, got:\n$plan")
+  }
+
+  test("l19: curation pipeline fuses gate predicates into one filter over the scan") {
+    val plan = planString(llm.Pipeline.l19(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "contamination anti join should broadcast")
+    // the %97 gate reaches the parquet scan as a pushed-down-able filter
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id)")
+      || plan.contains("(doc_id#"), s"gate did not reach the scan:\n$plan")
+  }
 }
