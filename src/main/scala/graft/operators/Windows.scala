@@ -102,6 +102,20 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "rn")
   }
 
+  /** o06: o03's top-3-per-customer computed by the custom TopKPerGroup
+    * physical operator (graft.plans) — two-phase bounded heaps instead of
+    * window row_number: the exchange carries ≤ k rows per group per
+    * mapper, and nothing sorts. Same rows as o03's window form (the order
+    * is total), checked by the shared oracle shape and TopKSpec. */
+  def o06(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopK
+      .topKPerGroup(base, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** o05: deterministic per-group sample — ≤5 documents per language,
     * chosen by a seeded hash order (the distributed stand-in for per-key
     * reservoir sampling: reproducible, append-stable, and one window pass
@@ -145,6 +159,7 @@ object Windows extends QueryModule {
     "o02_limit" -> o02,
     "o03_topk_per_group" -> o03,
     "o05_sample_per_group" -> o05,
+    "o06_topk_custom_exec" -> o06,
     "u01_union" -> u01,
     "u02_union_distinct" -> u02,
     "u03_intersect" -> u03,
@@ -208,6 +223,13 @@ object Windows extends QueryModule {
         |           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "o06_topk_custom_exec" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "u01_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerGroup operator (logical node + strategy + two-phase
+  * physical exec): exact equivalence to the window idiom, plan shape, and
+  * edge cases. */
+class TopKSpec extends SparkSuite {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  private def customTopK(k: Int) =
+    plans.TopK.topKPerGroup(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+
+  test("custom top-k returns exactly the window idiom's rows (k=3)") {
+    val a = customTopK(3)
+    val b = windowTopK(3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.count() == b.count())
+  }
+
+  test("k larger than every group passes all rows through") {
+    val n = Tables.orders(spark, sf).count()
+    assert(customTopK(1000000).count() == n)
+  }
+
+  test("k=1 equals latest-wins max_by semantics") {
+    val a = customTopK(1)
+    val b = windowTopK(1)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("plan: partial+final heap phases with exactly one exchange between them") {
+    val plan = customTopK(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), s"missing partial phase:\n$plan")
+    assert(plan.contains("TopKPerGroupFinal"), s"missing final phase:\n$plan")
+    // EnsureRequirements must have inserted a hash exchange on the group key
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"missing group-key exchange:\n$plan")
+    // and the plan must NOT sort anything — that's the whole point
+    assert(!plan.contains("Sort "), s"unexpected sort in top-k plan:\n$plan")
+  }
+
+  test("multi-column groups and mixed sort directions") {
+    val base = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+    val a = plans.TopK.topKPerGroup(base, Seq("l_returnflag", "l_linestatus"),
+      Seq(("l_quantity", true), ("l_orderkey", false), ("l_linenumber", false)), 5)
+    val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    val b = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
