@@ -80,6 +80,7 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LatestWinsRewrite)
+    e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("uuid5_native"),

@@ -6,8 +6,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan: exact top-k rows per group, executed as a
@@ -110,6 +111,56 @@ case class TopKPerGroupExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+/** Optimizer rule: rewrite the declarative top-k idiom
+  *
+  *   Project(ps,  Filter(rn <= k,  Window(rn := row_number() OVER
+  *     (PARTITION BY g ORDER BY s), child)))     -- ps does NOT use rn
+  *
+  * into `Project(ps, TopKPerGroup(g, s, k, child))`, so a user writing
+  * plain DataFrame code gets the heap operator whenever the rank column
+  * itself is pruned away. Spark's own InferWindowGroupLimit (3.5+) only
+  * pre-filters each partition to k rows — it still sorts and still runs
+  * the Window operator; this rewrite eliminates both (and strips the now-
+  * redundant WindowGroupLimit if one was already inferred below).
+  *
+  * row_number over a non-total order resolves ties arbitrarily, so any
+  * k-subset of tied rows is a correct answer — the same latitude the
+  * window form has; with a total order the result is bit-identical.
+  * Guards mirror LatestWinsRewrite: single row_number window expression,
+  * matching partition/order specs, attribute-only partition keys. */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private object RnAtMostK {
+    def unapply(e: Expression): Option[(Attribute, Int)] = e match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
+      case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
+      case GreaterThan(IntegerLiteral(k), a: Attribute) => Some((a, k - 1))
+      case EqualTo(a: Attribute, IntegerLiteral(1)) => Some((a, 1))
+      case EqualTo(IntegerLiteral(1), a: Attribute) => Some((a, 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(ps, Filter(RnAtMostK(rnAttr, k),
+        Window(Seq(al @ Alias(WindowExpression(_: RowNumber, spec), _)), part, order, wchild, _)))
+        if al.exprId == rnAttr.exprId && k >= 1
+          && part.nonEmpty && order.nonEmpty
+          && spec.partitionSpec == part && spec.orderSpec == order
+          && part.forall(_.isInstanceOf[Attribute])
+          && !ps.exists(_.references.contains(rnAttr)) =>
+      val child = wchild match {
+        // a WindowGroupLimit inferred for this same window is subsumed by
+        // the heap operator's partial phase — drop it
+        case WindowGroupLimit(p2, o2, _, limit, inner)
+            if p2 == part && o2 == order && limit >= k => inner
+        case other => other
+      }
+      Project(ps, TopKPerGroup(part.map(_.asInstanceOf[Attribute]), order, k, child))
+  }
 }
 
 object TopK {

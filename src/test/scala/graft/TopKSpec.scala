@@ -52,6 +52,48 @@ class TopKSpec extends SparkSuite {
     assert(!plan.contains("Sort "), s"unexpected sort in top-k plan:\n$plan")
   }
 
+  test("TopKRewrite: window row_number<=k with rn pruned optimizes to the heap operator") {
+    val windowForm = windowTopK(3) // .drop("rn") already — rn is pruned above the filter
+    val before = windowForm.queryExecution.optimizedPlan
+    assert(before.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      "sanity: un-extended session keeps the window")
+
+    val exp = spark.experimental
+    exp.extraOptimizations = exp.extraOptimizations :+ plans.TopKRewrite
+    if (!exp.extraStrategies.contains(plans.TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ plans.TopKStrategy
+    try {
+      val after = windowTopK(3)
+      val opt = after.queryExecution.optimizedPlan
+      assert(opt.collect { case t: plans.TopKPerGroup => t }.nonEmpty,
+        s"rewrite did not fire:\n$opt")
+      assert(opt.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+        s"window survived:\n$opt")
+      val phys = after.queryExecution.executedPlan.toString
+      assert(phys.contains("TopKPerGroupPartial") && phys.contains("TopKPerGroupFinal"))
+      // identical rows to the unrewritten form
+      val a = after.collect().map(_.toString).sorted.toSeq
+      exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == plans.TopKRewrite)
+      val b = windowTopK(3).collect().map(_.toString).sorted.toSeq
+      assert(a === b)
+    } finally {
+      exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == plans.TopKRewrite)
+    }
+  }
+
+  test("TopKRewrite does NOT fire when the rank column is still referenced") {
+    val exp = spark.experimental
+    exp.extraOptimizations = exp.extraOptimizations :+ plans.TopKRewrite
+    try {
+      // o03 keeps rn in its output — must stay a window plan
+      val opt = operators.Windows.o03(spark, sf).queryExecution.optimizedPlan
+      assert(opt.collect { case t: plans.TopKPerGroup => t }.isEmpty,
+        s"rewrite fired on a plan that needs rn:\n$opt")
+    } finally {
+      exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == plans.TopKRewrite)
+    }
+  }
+
   test("multi-column groups and mixed sort directions") {
     val base = Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
