@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files / broadcast blocks only when
+      // driver GC collects their weak refs; with an 8 GB heap a full GC
+      // may not happen for hundreds of query runs, so ~340 executions'
+      // worth of shuffle state accumulates (the default periodic-GC
+      // interval is 30 min — longer than the whole bench). One-minute
+      // periodic GC + the explicit gc() between queries below keep the
+      // cleaner draining, so late queries measure the query, not the
+      // accumulated debt of the 100 before it.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up EVERY query once at the smallest SF: whole-stage codegen
@@ -36,6 +45,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
+    System.gc() // drop the 111 warmup runs' shuffle state before timing
     // best-of-2: a single pass is at the mercy of one ill-timed GC pause
     // (observed 20× spikes); min-of-two is the standard stable estimator.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -49,21 +59,31 @@ object Bench {
         None
       }
     }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val best = (once(fn, name), once(fn, name)) match {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case _ => None
       }
+      val gcSec = (gcMillis() - gc0) / 1e3
       // caches pinned inside a query (l02 shingles, ODM explode levels)
       // must not outlive its measurement: pinned storage memory starves
       // later sort-heavy queries of execution memory → spills (the
       // round-2 u*/w* 10-90× cliff). Each query measures from a clean
-      // block manager.
+      // block manager; the explicit gc() lets the ContextCleaner drop
+      // this query's shuffle files before the next one is timed.
       spark.catalog.clearCache()
-      name -> best
+      System.gc()
+      (name, best, gcSec)
     }
-    val ok = results.collect { case (n, Some(t)) => n -> t }
-    val failed = results.collect { case (n, None) => n }
+    val ok = results.collect { case (n, Some(t), _) => n -> t }
+    val failed = results.collect { case (n, None, _) => n }
+    val gcByQuery = results.collect { case (n, Some(_), g) => n -> g }
     val total = ok.map(_._2).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -74,8 +94,12 @@ object Bench {
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${qsJson(slowest)},"n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
-    // full per-query map for offline analysis (not size-constrained)
+    // full per-query map for offline analysis (not size-constrained);
+    // gc_sec = driver-JVM GC time attributed to each query's two runs —
+    // a query that is slow here but fast in isolation with high gc_sec
+    // is a memory-pressure victim, not a bad plan
     val full = s"""{"total":${f3(total)},"queries":${qsJson(ok)},""" +
+      s""""gc_sec":${qsJson(gcByQuery)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))

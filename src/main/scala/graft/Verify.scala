@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same rationale as Bench: keep the ContextCleaner draining across
+      // the ~111-query sweep instead of accruing shuffle/broadcast state
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -22,8 +25,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same hygiene as Bench: intra-query caches must not accumulate
-      // across the 96-query sweep (pinned storage starves execution memory)
+      // across the ~111-query sweep (pinned storage starves execution
+      // memory), and gc() lets the cleaner actually drop them
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
