@@ -147,6 +147,43 @@ object Joins extends QueryModule {
       .agg(count(lit(1)).as("n_quick_lines"))
       .orderBy("o_orderkey")
 
+  private val BinMs = 3600L * 1000 // bin width == window length (1 h)
+
+  /** j14: pure time-range (theta) join made shuffle-able by binning.
+    *
+    * "How many events — from ANY user — landed in the hour after each
+    * sampled anchor event" has NO equi key — written naively it is a
+    * BroadcastNestedLoopJoin, O(anchors × events), the classic 100 TB
+    * range-join trap (j09 survives only because its inputs are capped).
+    * The scale shape: quantize time into fixed bins of exactly the
+    * window length, explode each anchor window to the ≤2 bins it
+    * overlaps, tag each event with its single bin, and equi-join on the
+    * bin before the exact range filter. Candidates drop from
+    * |anchors|·|events| to pairs sharing a bin, and the join is an
+    * ordinary shuffle join that partitions, AQE-balances, and scales
+    * out. Because window length == bin width, a qualifying (anchor,
+    * event) pair meets in exactly one bin — the event's own — so no
+    * post-join dedup is needed.
+    *
+    * Reference analogue: none (it has no range joins); this is the
+    * training-pipeline "attach context by time window" operator. */
+  def j14(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts_ms"))
+    // deterministic ~1% anchor sample — a pure function of the id, no rand()
+    val anchors = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id").as("anchor_id"), col("ts_ms").as("t0"))
+      .withColumn("t1", col("t0") + lit(BinMs))
+    val abins = anchors.withColumn("bin",
+      explode(sequence(expr(s"t0 div ${BinMs}L"), expr(s"(t1 - 1) div ${BinMs}L"))))
+    val ebins = ev.withColumn("bin", expr(s"ts_ms div ${BinMs}L"))
+    abins.join(ebins, Seq("bin"))
+      .filter(col("ts_ms") >= col("t0") && col("ts_ms") < col("t1")
+        && col("event_id") =!= col("anchor_id"))
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("anchor_id")
+  }
+
   /** Self join: pairs of events of the same user within one hour. */
   def j12(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select("event_id", "user_id", "ts_ms")
@@ -172,7 +209,8 @@ object Joins extends QueryModule {
     "j09_join_theta" -> j09,
     "j10_join_asof" -> j10,
     "j11_join_interval" -> j11,
-    "j12_self_join" -> j12)
+    "j12_self_join" -> j12,
+    "j14_join_range_binned" -> j14)
 
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
@@ -246,6 +284,14 @@ object Joins extends QueryModule {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "j14_join_range_binned" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |anch AS (SELECT event_id AS anchor_id, ts_ms AS t0 FROM ev
+        |         WHERE event_id % 101 = 0)
+        |SELECT anchor_id, COUNT(*) AS n_follow
+        |FROM anch JOIN ev ON ev.ts_ms >= anch.t0 AND ev.ts_ms < anch.t0 + 3600000
+        |  AND ev.event_id <> anch.anchor_id
+        |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
     "j12_self_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms FROM events)
         |SELECT e1.user_id, COUNT(*) AS n_pairs

@@ -75,6 +75,54 @@ object Scans extends QueryModule {
     spark.read.orc(tmp).orderBy("o_orderkey")
   }
 
+  /** s11: bucketed sink + co-located (exchange-free) join.
+    *
+    * Both sides are written `bucketBy(8, orderkey).sortBy(orderkey)` via
+    * `saveAsTable` (bucketing metadata lives in the catalog; the files
+    * are plain parquet under a scratch path). Reading them back, the
+    * merge join needs NEITHER a shuffle NOR a sort below it: rows are
+    * already hash-bucketed and intra-bucket sorted on the join key.
+    * That is the 100 TB co-location contract — pay the shuffle once at
+    * ingest, then every downstream join/agg on the bucket key is
+    * exchange-free. Asserted in PlanSpec (no ShuffleExchange under the
+    * SortMergeJoin). The `merge` hint pins SMJ so the demonstration
+    * doesn't silently degrade to a broadcast join at small SF. */
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.scratchPath("s11_buckets", dir)
+    val tag = base.split('/').last
+    val liT = s"${tag}_lineitem"
+    val orT = s"${tag}_orders"
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      // repartition by the bucket key into numBuckets partitions: Spark's
+      // repartition hash == bucket hash, so every task holds exactly one
+      // bucket and writes ONE file — the precondition for the reader to
+      // trust sortBy metadata and skip the below-join sort entirely
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem")
+      .saveAsTable(liT)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders")
+      .saveAsTable(orT)
+    // off by default since 3.0 (planning-time file listing can be slow on
+    // huge tables); safe here because the writer above guarantees ONE file
+    // per bucket, which is exactly the case the sorted-scan path requires
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.table(orT).hint("merge")
+      .join(spark.table(liT).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Tables.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   def p01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -123,6 +171,7 @@ object Scans extends QueryModule {
     "s05_sink_roundtrip" -> s05,
     "s09_source_csv" -> s09,
     "s10_sink_orc" -> s10,
+    "s11_sink_bucketed" -> s11,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
     "p03_filter_null" -> p03,
@@ -142,6 +191,11 @@ object Scans extends QueryModule {
     "s05_sink_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+    "s11_sink_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "s09_source_csv" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -112,6 +112,45 @@ class PlanSpec extends SparkSuite {
       s"expected bucket-partitioned window over documents, got:\n$plan")
   }
 
+  test("s11: bucketed tables merge-join with no shuffle and no sort below the join") {
+    val df = operators.Scans.s11(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // string-walk the final plan: AQE wraps finished stages as leaves, so
+    // a node-collect can't descend below them
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin, got:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans, got:\n$plan")
+    // the ONLY exchanges/sorts allowed are the post-join aggregate's
+    // (o_orderstatus) and the final orderBy — never on the join key
+    for (key <- Seq("o_orderkey", "l_orderkey")) {
+      assert(!plan.contains(s"Exchange hashpartitioning($key"),
+        s"bucketed join must not shuffle its inputs on $key:\n$plan")
+      assert(!plan.contains(s"Sort [$key"),
+        s"bucket-sorted tables must not re-sort on $key below the join:\n$plan")
+    }
+  }
+
+  test("j14: binned range join is a shuffle join, never a nested-loop product") {
+    val plan = planString(operators.Joins.j14(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected an equi join on bin, got:\n$plan")
+  }
+
+  test("j14: binned range join result equals the naive theta join") {
+    import org.apache.spark.sql.functions._
+    val binned = operators.Joins.j14(spark, sf).collect().toSeq
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts_ms"))
+    val naive = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id").as("anchor_id"), col("ts_ms").as("t0"))
+      .join(ev, col("ts_ms") >= col("t0") && col("ts_ms") < col("t0") + lit(3600L * 1000)
+        && col("event_id") =!= col("anchor_id"))
+      .groupBy("anchor_id").agg(count(lit(1)).as("n_follow"))
+      .orderBy("anchor_id").collect().toSeq
+    assert(binned == naive, s"binned=${binned.take(5)} naive=${naive.take(5)}")
+  }
+
   test("l19: curation pipeline fuses gate predicates into one filter over the scan") {
     val plan = planString(llm.Pipeline.l19(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "contamination anti join should broadcast")
