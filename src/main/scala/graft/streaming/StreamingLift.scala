@@ -67,6 +67,47 @@ object StreamingLift {
         unix_millis(col("e.resp_ts")).as("resp_ms"),
         col("e.status").as("status"))
 
+  final case class UserTop(user_id: Long, n: Long, top3: Seq[Double])
+
+  /** Spark 4 arbitrary-stateful-processing v2: per-user event count
+    * (ValueState) and running top-3 values (ListState), emitted after
+    * every batch of that user's rows. Next to flatMapGroupsWithState
+    * (below) this is the modern state API — typed per-key state handles
+    * with independent lifecycles and optional TTL, backed by the RocksDB
+    * state store at scale (state lives off-heap per shard, not in
+    * executor heap; the provider requirement is pinned in the spec). */
+  class TopKStatefulProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserTop] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var topState: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      topState = getHandle.getListState[Double]("top3", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserTop] = {
+      val vals = rows.map(_._2).toSeq
+      val n = (if (nState.exists()) nState.get() else 0L) + vals.size
+      val merged = (topState.get().toSeq ++ vals)
+        .sorted(Ordering[Double].reverse).take(3)
+      nState.update(n)
+      topState.put(merged.toArray)
+      Iterator.single(UserTop(key, n, merged))
+    }
+  }
+
+  /** transformWithState wiring for [[TopKStatefulProcessor]]. */
+  def topPerUser(events: org.apache.spark.sql.Dataset[
+      (Long, Double)]): org.apache.spark.sql.Dataset[UserTop] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new TopKStatefulProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class UserRunning(user_id: Long, n: Long, max_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState (reference R18/R22's

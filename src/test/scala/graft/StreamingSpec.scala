@@ -113,6 +113,49 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "user_id", "n", "max_value"))
   }
 
+  test("transformWithState: final ValueState count + ListState top-3 == batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = batchEvents.as[Ev].collect().sortBy(_.ts_ms)
+      val stream = MemoryStream[Ev]
+      val src = stream.toDS().map(e => (e.user_id, e.value))
+      val name = s"graft_tws_${System.nanoTime()}"
+      val q = StreamingLift.topPerUser(src).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+          stream.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val finalState = spark.table(name)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"),
+          concat_ws(",", col("top3").cast("array<string>")).as("t3"))
+      val batch = batchEvents
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", slice(sort_array(collect_list(col("value")), asc = false), 1, 3)
+            .cast("array<string>")).as("t3"))
+      assert(sortedRows(finalState, "user_id", "n", "t3") ===
+        sortedRows(batch, "user_id", "n", "t3"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("stream-stream correlate: watermark-bounded join == batch, late responses drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
