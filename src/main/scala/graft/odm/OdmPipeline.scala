@@ -86,6 +86,15 @@ object OdmPipeline {
     () => p
   }
 
+  /** The invalid-values fixture (un-coercible item data), same memoization. */
+  lazy val invalidFixturePath: () => String = {
+    val in = getClass.getResourceAsStream("/odm/sample_invalid.xml")
+    val tmp = Files.createTempFile("graft_odm_invalid", ".xml")
+    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    val p = tmp.toString
+    () => p
+  }
+
   /** Serialize a positional path (array<int>) into a zero-padded
     * dot-joined STRING whose lexicographic order equals the array's
     * lexicographic order (all commands at a level share one path depth,

@@ -45,10 +45,30 @@ object OdmQueries extends QueryModule {
       "importer-1", events)
   }
 
+  /** R21 error channel as a first-class query: items from the
+    * invalid-values fixture split into the success stream and
+    * validation-failed events (dead-letter side output). Both branches
+    * surface in one frame — at scale each branch is its own sink
+    * (quarantine directory vs. command log); the union here is only so
+    * the harness sees the whole split. Scalar columns only. */
+  def c03(spark: SparkSession, dir: String): DataFrame = {
+    val items = OdmPipeline.exploded(spark, OdmPipeline.invalidFixturePath()).items
+    val (valid, rejects) = OdmIo.splitValidItems(items)
+    valid
+      .select(lit("valid").as("branch"), col("item_oid"),
+        col("data_type"), col("value_raw"),
+        lit(null).cast("string").as("event_id"))
+      .unionByName(rejects.select(lit("reject").as("branch"),
+        col("item_oid"), col("data_type"), col("value_raw"),
+        col("id").as("event_id")))
+      .orderBy("branch", "item_oid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_source_xml_odm" -> s06,
     "c01_odm_commands" -> c01,
-    "c02_odm_gated" -> c02)
+    "c02_odm_gated" -> c02,
+    "c03_odm_quarantine" -> c03)
 
   val oracles: Map[String, String] = Map.empty
 }
