@@ -130,6 +130,26 @@ class ScalePatternsSpec extends SparkSuite {
     }
   }
 
+  test("observe(): pipeline telemetry rides the job, no second pass (R22/R25)") {
+    // the reference logs per-import row/memory telemetry from a side
+    // scheduler; Spark's Observation collects named aggregates ON the
+    // already-running job — at 100 TB a separate metrics .count() would
+    // be a second full scan
+    val obs = org.apache.spark.sql.Observation("lineitem_stats")
+    val df = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(38,4)")).cast("double").as("sum_qty"))
+      .filter(col("l_quantity") > 25.0)
+    val filtered = df.count()
+    val m = obs.get
+    val base = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(38,4)")).cast("double"))
+      .head()
+    assert(m("n_rows") === base.getLong(0)) // metrics see PRE-filter rows
+    assert(m("sum_qty") === base.getDouble(1))
+    assert(filtered < base.getLong(0))
+  }
+
   test("corrupt-record quarantine: bad JSON rows split to a dead-letter side (R2/R3)") {
     val f = Files.createTempFile("graft_quarantine", ".jsonl")
     Files.writeString(f,
