@@ -172,6 +172,29 @@ object Scalars extends QueryModule {
         expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("k_bits"))
       .orderBy("o_orderkey")
 
+
+  /** f12: the remaining higher-order array functions — exists, forall,
+    * aggregate-with-finish (reduce+divide = mean), zip_with — closing the
+    * HOF family f04 opened (transform/filter/aggregate). Functionality
+    * surface only: HOFs are CodegenFallback, so hot paths use native
+    * expressions instead (vec_dot), per SURVEY.md §9. */
+  def f12(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("exists(embedding, x -> x > 2.0)").as("has_gt2"),
+        expr("forall(embedding, x -> x > -4.0)").as("all_gt_m4"),
+        round(expr(
+          """aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (a, x) -> a + x,
+            |  a -> a / size(embedding))""".stripMargin), 6).as("mean_val"),
+        round(expr(
+          """aggregate(zip_with(slice(embedding, 1, 8),
+            |    slice(reverse(embedding), 1, 8),
+            |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin), 6).as("revdot8"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f09_string_extended" -> f09,
     "f11_bitwise" -> f11,
@@ -183,7 +206,8 @@ object Scalars extends QueryModule {
     "f05_map" -> f05,
     "f06_json" -> f06,
     "f07_hash" -> f07,
-    "f08_conditional" -> f08)
+    "f08_conditional" -> f08,
+    "f12_hof" -> f12)
 
   val oracles: Map[String, String] = Map(
     "f11_bitwise" ->
@@ -285,6 +309,17 @@ object Scalars extends QueryModule {
     "f07_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f12_hof" ->
+      """SELECT vec_id,
+        |  list_bool_or(list_transform(embedding, x -> x > 2.0)) AS has_gt2,
+        |  list_bool_and(list_transform(embedding, x -> x > -4.0)) AS all_gt_m4,
+        |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |        (a, b) -> a + b) / len(embedding), 6) AS mean_val,
+        |  round(list_reduce(list_transform(
+        |          list_zip(embedding[1:8], list_reverse(embedding)[1:8]),
+        |          s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |        (a, b) -> a + b), 6) AS revdot8
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "f08_conditional" ->
       """SELECT c_custkey,
         |       coalesce(nullif(c_mktsegment, 'BUILDING'), nullif(c_name, 'none'), 'insert') AS inherited,

@@ -149,6 +149,14 @@ object Windows extends QueryModule {
   def u04(spark: SparkSession, dir: String): DataFrame =
     f(spark, dir).except(o(spark, dir)).orderBy("o_custkey")
 
+  /** Multiset (bag) semantics — a genuinely different operator from
+    * u03/u04: duplicates survive with multiplicity min/difference. */
+  def u05(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).intersectAll(o(spark, dir)).orderBy("o_custkey")
+
+  def u06(spark: SparkSession, dir: String): DataFrame =
+    f(spark, dir).exceptAll(o(spark, dir)).orderBy("o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_win_rank" -> w01,
     "w02_win_analytic" -> w02,
@@ -163,7 +171,9 @@ object Windows extends QueryModule {
     "u01_union" -> u01,
     "u02_union_distinct" -> u02,
     "u03_intersect" -> u03,
-    "u04_except" -> u04)
+    "u04_except" -> u04,
+    "u05_intersect_all" -> u05,
+    "u06_except_all" -> u06)
 
   val oracles: Map[String, String] = Map(
     "w01_win_rank" ->
@@ -248,6 +258,16 @@ object Windows extends QueryModule {
     "u04_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u05_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u06_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin)
 }
