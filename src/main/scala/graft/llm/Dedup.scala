@@ -73,34 +73,69 @@ object Dedup extends QueryModule {
 
   private val RareDf = 20 // grams in more docs than this generate no candidates
   private val JaccMin = 0.5
+  private val GramLen = 8 // chars per gram (see scale note below)
+  private val MinShared = 5 // candidate pairs must share this many rare grams
 
-  /** l02d: exact character-trigram Jaccard over rare-gram candidates.
+  /** l02d: exact character-8-gram Jaccard over rare-gram candidates.
     * A pair is comparable only if it shares a gram appearing in ≤ RareDf
-    * docs — boilerplate grams ('the', ' a ') never pair anyone. The
-    * Jaccard itself is exact, over each candidate pair's FULL gram sets. */
+    * docs — boilerplate grams never pair anyone. The Jaccard itself is
+    * exact, over each candidate pair's FULL gram sets.
+    *
+    * Gram length is a SCALE parameter, not a tuning detail: with char
+    * trigrams this corpus saturates at sf0.1 (only 377 distinct
+    * trigrams exist; the rarest shared one is in 250 docs, so the
+    * ≤ RareDf prefilter admits zero candidates and recall collapses).
+    * 8-grams span ~1.5 words, the distinct-gram space grows with the
+    * vocabulary instead of the alphabet, and rare grams stay rare as
+    * the corpus grows — candidates scale with true near-dups (25 pairs
+    * at sf0.01 → 253 at sf0.1), not with corpus². */
   def l02d(spark: SparkSession, dir: String): DataFrame = {
+    // cached: referenced six times downstream (rare-df agg, both candidate
+    // sides, both exact-verify sides, sizes) — without it the substring
+    // explode re-runs per reference. Harness mains sweep the cache between
+    // queries (same lifecycle as l02's shingle cache).
     val grams = Tables.documents(spark, dir)
-      // <3-char docs yield no trigrams (same descending-sequence guard)
-      .filter(length(col("text")) >= 3)
+      // <GramLen-char docs yield no grams (descending-sequence guard)
+      .filter(length(col("text")) >= GramLen)
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")).as("g"))
+        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))")).as("g"))
+      .cache()
+    // rarity cap is CORPUS-RELATIVE: max(RareDf, 1% of docs). An absolute
+    // cap silently de-tunes as the corpus grows (a gram shared by every
+    // copy in a 10×-duplicated cluster exceeds it and the cluster stops
+    // pairing). The count arrives as a broadcast 1-row join, not a
+    // driver-side action.
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= RareDf && col("df") >= 2)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 &&
+        col("df") <= greatest(lit(RareDf), (col("n_docs") / 100).cast("long")))
+    // candidates must share >= MinShared rare grams: true near-dups share
+    // hundreds, so this drops the one-coincidental-gram junk pairs that
+    // would otherwise dominate the exact-verify join (40× fewer
+    // candidates at sf0.1 for a ~2% recall cost, asserted in DedupSpec)
     val cand = grams.as("x")
       .join(rare.select("g"), "g")
       .join(grams.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-      .join(grams.select(col("doc_id").as("b2"), col("g").as("gb")),
-        col("b") === col("b2") && col("ga") === col("gb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= MinShared)
+      .select("a", "b")
+    // exact verify via per-doc gram-HASH arrays + codegen'd array_intersect:
+    // two small joins (|cand| rows each) instead of re-joining every
+    // candidate against the full gram table on (doc, gram) — that join
+    // shuffles |cand|·grams_per_doc rows and was the dominant cost. 64-bit
+    // xxhash64 over ≤ millions of distinct grams makes a collision (the
+    // only way counts could differ from the string oracle) ~1e-8.
+    val gsets = grams.groupBy("doc_id")
+      .agg(collect_set(xxhash64(col("g"))).as("hs"))
+    cand
+      .join(gsets.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+      .join(gsets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("ha")) + size(col("hb")) - col("c")), 6))
       .filter(col("jaccard") >= JaccMin)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
@@ -219,15 +254,17 @@ object Dedup extends QueryModule {
     "l02d_dedup_ngram_jaccard" ->
       s"""WITH grams AS (
          |  SELECT DISTINCT doc_id,
-         |         unnest(list_distinct(list_transform(range(1, length(text) - 1),
-         |           i -> substr(text, CAST(i AS INTEGER), 3)))) AS g
+         |         unnest(list_distinct(list_transform(range(1, length(text) - ${GramLen - 2}),
+         |           i -> substr(text, CAST(i AS INTEGER), $GramLen)))) AS g
          |  FROM documents),
          |rare AS (SELECT g FROM grams GROUP BY g
-         |         HAVING COUNT(*) <= $RareDf AND COUNT(*) >= 2),
+         |         HAVING COUNT(*) >= 2 AND COUNT(*) <= GREATEST($RareDf,
+         |           CAST((SELECT COUNT(*) FROM documents) / 100 AS BIGINT))),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM grams x JOIN rare USING (g)
-         |       JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |       JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
          |common AS (
          |  SELECT c.a, c.b, COUNT(*) AS c

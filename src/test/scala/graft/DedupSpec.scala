@@ -29,7 +29,7 @@ class DedupSpec extends SparkSuite {
     def grams(id: Long): Set[String] = {
       val text = Tables.documents(spark, sf).filter(col("doc_id") === id)
         .head().getAs[String]("text")
-      text.sliding(3).toSet
+      text.sliding(8).toSet
     }
     val (ga, gb) = (grams(a), grams(b))
     val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
