@@ -113,6 +113,44 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "user_id", "n", "max_value"))
   }
 
+  test("foreachBatch sink: idempotent per-batch partition overwrite, exactly-once across restart") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    // dynamic mode: "overwrite" replaces only the partitions the batch
+    // writes — re-running batch N after a crash rewrites batch_id=N in
+    // place instead of truncating the table (the idempotent-sink contract
+    // that upgrades foreachBatch's at-least-once to exactly-once)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.get(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      val rows = batchEvents.as[Ev].collect().sortBy(_.ts_ms).take(300)
+      val stream = MemoryStream[Ev]
+      def start() = stream.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+          ()
+        }.start()
+      val q1 = start()
+      stream.addData(rows.take(100).toIndexedSeq); q1.processAllAvailable()
+      stream.addData(rows.slice(100, 200).toIndexedSeq); q1.processAllAvailable()
+      q1.stop()
+      // data lands while no query runs; the restart resumes from the
+      // checkpointed offsets and must deliver it exactly once
+      stream.addData(rows.slice(200, 300).toIndexedSeq)
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() === 300)
+      assert(out.select("event_id").distinct().count() === 300)
+    } finally spark.conf.set(modeKey, prevMode)
+  }
+
   test("transformWithState: final ValueState count + ListState top-3 == batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
