@@ -74,6 +74,31 @@ object Pivots extends QueryModule {
         .as("keys_csv"), count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** a13: re-aggregatable distinct-count sketches (DataSketches HLL).
+    * Per-nation customer sketches are built in one pass, then MERGED
+    * upward to region level with hll_union_agg — no second scan of the
+    * base table. This is the 100 TB rollup pattern: a sketch column in a
+    * daily/nation-level summary table re-aggregates to any coarser
+    * grouping (week, region, global) at summary-table cost, which exact
+    * countDistinct fundamentally cannot (distinct does not compose).
+    * Engine-specific binary sketches ⇒ no oracle; AggregateSpec bounds
+    * the estimates against exact counts. */
+  def a13(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey", "n_name")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    perNation
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_customers"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"), col("est_customers"))
+      .orderBy("r_name")
+  }
+
   /** s08: generated source — spark.range is the scan; no files involved. */
   def s08(spark: SparkSession, dir: String): DataFrame =
     spark.range(1, 1001)
@@ -97,6 +122,7 @@ object Pivots extends QueryModule {
     "p06_correlated_subquery" -> p06,
     "w06_win_distribution" -> w06,
     "a12_string_agg" -> a12,
+    "a13_agg_sketch_merge" -> a13,
     "s08_generator" -> s08,
     "o04_sample" -> o04)
 

@@ -31,6 +31,23 @@ class AggregateSpec extends SparkSuite {
     }
   }
 
+  test("a13: merged HLL sketch estimates within 5% of exact region distinct counts") {
+    import org.apache.spark.sql.functions._
+    val est = operators.Pivots.a13(spark, sf).collect()
+      .map(r => r.getAs[String]("r_name") -> r.getAs[Long]("est_customers").toDouble).toMap
+    val exact = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(countDistinct("c_custkey").as("n")).collect()
+      .map(r => r.getAs[String]("r_name") -> r.getAs[Long]("n")).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (region, n) =>
+      val e = est(region)
+      assert(math.abs(e - n) <= math.max(0.05 * n, 2.0),
+        s"$region: estimate $e vs exact $n")
+    }
+  }
+
   test("hash functions: golden vectors (sha1/xxhash64/crc32 not oracled)") {
     val row = spark.sql(
       """SELECT md5('abc') AS m, sha1('abc') AS s1, sha2('abc', 256) AS s2,
