@@ -20,6 +20,7 @@ object SparkEntry {
     operators.EventTime,
     operators.Extras,
     operators.Pivots,
+    operators.History,
     llm.Llm,
     llm.Dedup,
     llm.Pipeline,

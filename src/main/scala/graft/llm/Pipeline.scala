@@ -277,6 +277,53 @@ object Pipeline extends QueryModule {
        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin
   }
 
+  /** l22: one-pass data-quality constraint report (the deequ-style
+    * expectation suite a pipeline runs before publishing a snapshot).
+    * Every metric comes out of a SINGLE aggregation over the table —
+    * completeness, key uniqueness, cross-field consistency, domain
+    * membership, bounds — then pivots to one row per check. At 100 TB
+    * this is one scan + one 1-row shuffle regardless of check count;
+    * metrics are int/int double divisions (identical IEEE both engines). */
+  def l22(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum((col("text").isNotNull && length(col("text")) > 0).cast("long")).as("n_nonempty"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum((col("n_chars") === length(col("text"))).cast("long")).as("n_consistent"),
+      sum(col("lang").isin("en", "de", "fr", "es", "it", "zh").cast("long")).as("n_lang"),
+      min(col("n_chars")).cast("double").as("chars_min"),
+      max(col("n_chars")).cast("double").as("chars_max"))
+    agg.select(expr(
+      """stack(6,
+        |  'completeness_text', CAST(n_nonempty AS DOUBLE) / n, n_nonempty = n,
+        |  'uniqueness_doc_id', CAST(n_ids AS DOUBLE) / n, n_ids = n,
+        |  'consistency_n_chars', CAST(n_consistent AS DOUBLE) / n, n_consistent = n,
+        |  'domain_lang', CAST(n_lang AS DOUBLE) / n, n_lang = n,
+        |  'min_chars_ge_1', chars_min, chars_min >= 1,
+        |  'max_chars_le_10000', chars_max, chars_max <= 10000
+        |) AS (check_name, metric, pass)""".stripMargin))
+      .withColumn("pass", col("pass").cast("int"))
+      .orderBy("check_name")
+  }
+
+  /** l23: overlapping token-window chunking (training-sequence prep):
+    * 32-token chunks, stride 24, plus a forced final window so trailing
+    * tokens are never dropped when (n-32) is not a stride multiple.
+    * Pure array ops on the row — embarrassingly parallel, no shuffle
+    * before the output sort; chunk count per doc is ceil((n-32)/24)+1. */
+  def l23(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), explode(expr(
+        "array_distinct(concat(sequence(1, greatest(size(w)-31, 1), 24)," +
+          " array(greatest(size(w)-31, 1))))")).as("s"))
+      .select(col("doc_id"), col("s").as("chunk_start"),
+        least(lit(32), size(col("w")) - col("s") + 1).cast("long").as("n_tokens"),
+        expr("array_join(slice(w, s, 32), ' ')").as("chunk"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l14_decontaminate" -> l14,
     "l15_pack_sequences" -> l15,
@@ -285,9 +332,46 @@ object Pipeline extends QueryModule {
     "l18_quality_gate" -> l18,
     "l19_curation_e2e" -> l19,
     "l20_tfidf" -> l20,
-    "l21_dedup_clusters" -> l21)
+    "l21_dedup_clusters" -> l21,
+    "l22_constraint_report" -> l22,
+    "l23_chunk_overlap" -> l23)
 
   val oracles: Map[String, String] = Map(
+    "l22_constraint_report" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS n_nonempty,
+        |         COUNT(DISTINCT doc_id) AS n_ids,
+        |         SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_consistent,
+        |         SUM(CASE WHEN lang IN ('en','de','fr','es','it','zh') THEN 1 ELSE 0 END) AS n_lang,
+        |         CAST(MIN(n_chars) AS DOUBLE) AS chars_min,
+        |         CAST(MAX(n_chars) AS DOUBLE) AS chars_max
+        |  FROM documents)
+        |SELECT check_name, metric, pass FROM (
+        |  SELECT 'completeness_text' AS check_name,
+        |         CAST(n_nonempty AS DOUBLE)/n AS metric,
+        |         CAST(n_nonempty = n AS INT) AS pass FROM a
+        |  UNION ALL SELECT 'uniqueness_doc_id', CAST(n_ids AS DOUBLE)/n,
+        |         CAST(n_ids = n AS INT) FROM a
+        |  UNION ALL SELECT 'consistency_n_chars', CAST(n_consistent AS DOUBLE)/n,
+        |         CAST(n_consistent = n AS INT) FROM a
+        |  UNION ALL SELECT 'domain_lang', CAST(n_lang AS DOUBLE)/n,
+        |         CAST(n_lang = n AS INT) FROM a
+        |  UNION ALL SELECT 'min_chars_ge_1', chars_min,
+        |         CAST(chars_min >= 1 AS INT) FROM a
+        |  UNION ALL SELECT 'max_chars_le_10000', chars_max,
+        |         CAST(chars_max <= 10000 AS INT) FROM a) t
+        |ORDER BY check_name""".stripMargin,
+    "l23_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w)-31, 1) + 1, 24)) AS s FROM d
+        |  UNION
+        |  SELECT doc_id, w, greatest(len(w)-31, 1) AS s FROM d)
+        |SELECT doc_id, s AS chunk_start,
+        |       least(32, len(w) - s + 1) AS n_tokens,
+        |       array_to_string(list_slice(w, s, least(s + 31, len(w))), ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_start""".stripMargin,
     "l14_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id,

@@ -133,6 +133,48 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** a14: exact multi-percentile profile per group. Values are integer
+    * cents so linear interpolation at any quantile is the same IEEE
+    * arithmetic in both engines (midpoints and 0.9/0.99 positions exact).
+    * At 100 TB exact percentile means a per-group sort of values — fine per
+    * group here; the sketch path for un-groupable scale is a03/percentile_
+    * approx (AggregateSpec pins its error envelope). */
+  def a14(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.75)").as("p75"),
+        expr("percentile(cents, 0.9)").as("p90"),
+        expr("percentile(cents, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  /** a15: exact heavy hitters — (event_type, user) pairs whose count
+    * exceeds the corpus's own 90th percentile of pair counts. The
+    * threshold is data-derived (a fixed share-of-total admits zero rows
+    * once user count scales with data volume — the zero-row trap), so
+    * ~10% of pairs qualify at every SF. Two-phase: shuffled pair-count,
+    * then two broadcast one-row joins (p90 + total); share is an int/int
+    * double division and the percentile interpolation is the same IEEE
+    * arithmetic in both engines (a14 pins that). The exact-count
+    * counterpart to a count-min sketch: the pair grid is bounded by
+    * |types| x |users|, far below event count, so phase 2 is cheap at
+    * any scale. */
+  def a15(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val pairs = e.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val thr = pairs.agg(expr("percentile(cnt, 0.9)").as("p90"))
+    val total = e.agg(count(lit(1)).as("total"))
+    pairs.crossJoin(broadcast(thr)).crossJoin(broadcast(total))
+      .filter(col("cnt") > col("p90"))
+      .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
+      .select("event_type", "user_id", "cnt", "share")
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_agg_hash" -> a01,
     "a02_agg_distinct" -> a02,
@@ -142,9 +184,31 @@ object Aggregates extends QueryModule {
     "a06_agg_cube" -> a06,
     "a07_agg_collect" -> a07,
     "a08_agg_filtered" -> a08,
-    "a09_agg_stats" -> a09)
+    "a09_agg_stats" -> a09,
+    "a14_percentiles" -> a14,
+    "a15_heavy_hitters" -> a15)
 
   val oracles: Map[String, String] = Map(
+    "a14_percentiles" ->
+      """WITH c AS (SELECT l_returnflag,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       quantile_cont(cents, 0.25) AS p25,
+        |       quantile_cont(cents, 0.5)  AS p50,
+        |       quantile_cont(cents, 0.75) AS p75,
+        |       quantile_cont(cents, 0.9)  AS p90,
+        |       quantile_cont(cents, 0.99) AS p99
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a15_heavy_hitters" ->
+      """WITH p AS (SELECT event_type, user_id, COUNT(*) AS cnt
+        |           FROM events GROUP BY event_type, user_id),
+        |t AS (SELECT COUNT(*) AS total FROM events),
+        |q AS (SELECT quantile_cont(cnt, 0.9) AS p90 FROM p)
+        |SELECT event_type, user_id, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM p, t, q WHERE cnt > p90
+        |ORDER BY event_type, user_id""".stripMargin,
     "a01_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,

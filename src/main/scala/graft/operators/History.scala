@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog / CDC surfaces over the events table — the history-management
+  * operators a production ingestion pipeline runs continuously: SCD2
+  * interval building, incremental re-aggregation of mergeable partials, and
+  * point-in-time state reconstruction.
+  *
+  * Scale notes (100 TB): all three shapes shuffle exactly once on the
+  * entity key (`user_id`) or group key; windows evaluate within partitions.
+  * h02 is the contract that makes daily ingestion O(delta) instead of
+  * O(history): partial aggregates (count / decimal sum / min / max) merge
+  * exactly, so yesterday's rollup is reused byte-for-byte and only the new
+  * partition is scanned.
+  */
+object History extends QueryModule {
+
+  /** h01: slowly-changing-dimension type-2 build. Each event is a state
+    * change; validity spans [this ts, next ts) per user, open-ended for the
+    * latest (`is_current`). One window over the user partition — no
+    * self-join, no second shuffle. Ties on ts_ms break by event_id so the
+    * interval chain is deterministic. */
+  def h01(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
+  /** h02: incremental aggregation via mergeable partials. The changelog is
+    * split at a data-derived cutoff ((min+max)/2 of event time); each half
+    * is pre-aggregated independently and the partials are merged by
+    * re-aggregation — count/sum/min/max all merge exactly (sum in
+    * DECIMAL(38,4), so the merge is order-independent). The oracle is the
+    * single-pass full aggregate: merged partials must equal it exactly. */
+  def h02(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ms"), dec(col("value")).as("v"))
+    val cut = e.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+    partial(tagged.filter(col("ts_ms") <= col("cut")))
+      .unionAll(partial(tagged.filter(col("ts_ms") > col("cut"))))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("sum_value"),
+        min(col("mn")).as("min_ms"), max(col("mx")).as("max_ms"))
+      .orderBy("event_type")
+  }
+
+  /** h03: point-in-time state ("as of" the same data-derived cutoff as
+    * h02): the latest event per user at ts_ms <= cutoff. Window + filter —
+    * the time-travel read a reprocessing job issues against a changelog.
+    * Users whose first event is after the cutoff have no state yet. */
+  def h03(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cut = e.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("cut"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    e.crossJoin(broadcast(cut))
+      .filter(col("ts_ms") <= col("cut"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h01_scd2" -> h01,
+    "h02_incremental_agg" -> h02,
+    "h03_asof_state" -> h03)
+
+  val oracles: Map[String, String] = Map(
+    "h01_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_ns(ts)//1000000 AS ts_ms FROM events)
+        |SELECT user_id, event_id, event_type, value,
+        |       ts_ms AS valid_from_ms,
+        |       lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |         AS valid_to_ms,
+        |       lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |         IS NULL AS is_current
+        |FROM e ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
+    "h02_incremental_agg" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms,
+        |                  CAST(value AS DECIMAL(38,4)) AS v FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value,
+        |       MIN(ts_ms) AS min_ms, MAX(ts_ms) AS max_ms
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "h03_asof_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |c AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cut FROM e)
+        |SELECT user_id, event_id, event_type, value, ts_ms FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |  FROM e, c WHERE ts_ms <= cut) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

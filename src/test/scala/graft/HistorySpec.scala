@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CDC/history family (h01-h03): interval-chain integrity, the
+  * mergeable-partials contract, and point-in-time consistency. */
+class HistorySpec extends SparkSuite {
+
+  test("h01: SCD2 intervals chain without gaps and close under the next open") {
+    val rows = operators.History.h01(spark, sf)
+      .select("user_id", "valid_from_ms", "valid_to_ms", "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_.getBoolean(3)) == 1, s"user $user open intervals")
+      assert(sorted.last.getBoolean(3), s"user $user current not last")
+      // each interval closes at the next one's start (ties allowed: width 0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) == b.getLong(1),
+            s"user $user gap: ${a.getLong(2)} != ${b.getLong(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("h02: merged partials equal the single-pass full aggregate exactly") {
+    val merged = operators.History.h02(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val full = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("value"))).cast("double").as("s"),
+        min("ts_ms").as("mn"), max("ts_ms").as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(merged == full)
+  }
+
+  test("h03: as-of state matches replaying the changelog up to the cutoff") {
+    val state = operators.History.h03(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sf).select("user_id", "event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (e.map(_._3).min + e.map(_._3).max) / 2
+    val replay = e.filter(_._3 <= cut).groupBy(_._1).map { case (u, es) =>
+      u -> es.maxBy(t => (t._3, t._2))._2
+    }
+    assert(state == replay)
+  }
+}

@@ -53,7 +53,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])  # optional: check just these query names
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
