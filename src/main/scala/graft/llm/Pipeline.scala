@@ -324,6 +324,30 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id", "chunk_start")
   }
 
+  /** l24: bloom-accelerated decontamination — same contamination
+    * semantics as l14, for the regime where the eval-side gram set no
+    * longer broadcasts as an exact hash set (contaminant corpora in the
+    * GBs). A fixed-size bloom of the eval grams (scalar subquery → one
+    * broadcast of ~1 MB regardless of item count) prunes the corpus
+    * map-side; only bloom-POSITIVE grams reach the exact verify join, so
+    * the shuffle carries candidate grams, not the corpus. False positives
+    * are removed by the verify; false negatives are impossible — output
+    * is exactly the contaminated-doc hit counts. Eval slice is
+    * doc_id % 31 (wider than l14's % 97) so the contaminated set is
+    * non-empty at every test SF. */
+  def l24(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(spark)
+    gram8(spark, dir).createOrReplaceTempView("graft_l24_grams")
+    spark.sql(
+      """WITH eval AS (SELECT DISTINCT gh FROM graft_l24_grams WHERE doc_id % 31 = 0),
+        |corpus AS (SELECT doc_id, gh FROM graft_l24_grams WHERE doc_id % 31 <> 0),
+        |cand AS (SELECT doc_id, gh FROM corpus
+        |         WHERE graft_might_contain((SELECT graft_bloom_agg(gh) FROM eval), gh)),
+        |hits AS (SELECT cand.doc_id FROM cand JOIN eval ON cand.gh = eval.gh)
+        |SELECT doc_id, COUNT(*) AS n_hit_grams
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l14_decontaminate" -> l14,
     "l15_pack_sequences" -> l15,
@@ -334,9 +358,23 @@ object Pipeline extends QueryModule {
     "l20_tfidf" -> l20,
     "l21_dedup_clusters" -> l21,
     "l22_constraint_report" -> l22,
-    "l23_chunk_overlap" -> l23)
+    "l23_chunk_overlap" -> l23,
+    "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    "l24_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(w)-6),
+        |          i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(w) >= 8),
+        |gh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |e AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 31 = 0),
+        |tr AS (SELECT * FROM gh WHERE doc_id % 31 <> 0)
+        |SELECT tr.doc_id, COUNT(*) AS n_hit_grams
+        |FROM tr JOIN e ON tr.gh = e.gh
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "l22_constraint_report" ->
       """WITH a AS (
         |  SELECT COUNT(*) AS n,

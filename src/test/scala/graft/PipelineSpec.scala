@@ -16,6 +16,25 @@ class PipelineSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("l24: bloom prefilter + exact verify equals the exact-join contamination") {
+    val bloom = llm.Pipeline.l24(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact reference: plain hash-set join over the same % 31 eval slice
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .distinct()
+    val evalG = grams.filter(col("doc_id") % 31 === 0).select("g").distinct()
+    val exact = grams.filter(col("doc_id") % 31 =!= 0)
+      .join(evalG, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact, "bloom-path hit counts must equal the exact join")
+    assert(bloom.nonEmpty, "contamination fixture must be non-empty")
+  }
+
   test("l15: distributed prefix-sum packing equals the naive global-window packing") {
     val capacity = 2048
     val naive = Tables.documents(spark, sf)
