@@ -52,28 +52,34 @@ object Llm extends QueryModule {
   private val NumHashes = 8
   private val RowsPerBand = 2 // 4 bands
 
-  def l02(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    // K independent hash functions: seed-prefixed md5, low 60 bits as long.
-    // All K minhashes aggregate in ONE groupBy(doc_id) pass — the K md5s
-    // are map-side column expressions, partial aggregation collapses each
-    // doc to a single K-column row before the exchange. The alternative
-    // (explode(K) + groupBy(doc_id, h) + regroup by band) shuffles K rows
-    // per doc per source partition and pays a second exchange for the
-    // banding — at 100 TB that's K× the shuffle volume for no information.
+  /** MinHash band signatures (doc_id, band, m0, m1) of a distinct-shingle
+    * table. K independent hash functions: seed-prefixed md5, low 60 bits
+    * as long. All K minhashes aggregate in ONE groupBy(doc_id) pass — the
+    * K md5s are map-side column expressions, partial aggregation collapses
+    * each doc to a single K-column row before the exchange. The
+    * alternative (explode(K) + groupBy(doc_id, h) + regroup by band)
+    * shuffles K rows per doc per source partition and pays a second
+    * exchange for the banding — at 100 TB that's K× the shuffle volume for
+    * no information. Bands (RowsPerBand consecutive minhashes each) derive
+    * map-side: 4 rows per doc, no extra shuffle before the candidate
+    * equi-join. */
+  private def bandSignatures(sh: DataFrame): DataFrame = {
     val minsig = sh.groupBy("doc_id").agg(
       min(expr(s"CAST(conv(substr(md5(concat('0|', sh)), 1, 15), 16, 10) AS BIGINT)")).as("mh0"),
       (1 until NumHashes).map(h =>
         min(expr(s"CAST(conv(substr(md5(concat('$h|', sh)), 1, 15), 16, 10) AS BIGINT)")).as(s"mh$h")): _*)
-    // bands (RowsPerBand consecutive minhashes each) derive map-side: 4
-    // rows per doc, no extra shuffle before the candidate equi-join
-    val bands = minsig.select(col("doc_id"), explode(array(
+    minsig.select(col("doc_id"), explode(array(
       (0 until NumHashes / RowsPerBand).map(j => struct(
         lit(j).as("band"),
         col(s"mh${RowsPerBand * j}").as("m0"),
         col(s"mh${RowsPerBand * j + 1}").as("m1"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
+  }
+
+  def l02(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val bands = bandSignatures(sh)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
@@ -333,6 +339,67 @@ object Llm extends QueryModule {
         r6(col("max_rep") / col("n_shingles")).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** l25: incremental dedup — a new ingest batch (doc_id % 10 == 0, ~10%)
+    * checked against the historical corpus (the other 90%), the shape a
+    * continuously-fed training pipeline runs daily: never re-deduplicate
+    * the corpus, only probe the day's batch against a persisted index.
+    *
+    * Two index probes: (1) exact — md5 equality against the historical
+    * hash index; (2) near — the same K=8/4-band MinHash scheme as l02,
+    * new-batch band signatures joined against the historical band index,
+    * survivors verified by exact shingle-set Jaccard >= 0.4. Verdict per
+    * new doc: exact_dup beats near_dup beats unique; dup_of is the
+    * smallest matching historical id.
+    *
+    * Scale posture: both indexes are groupBy/agg artifacts of the
+    * historical corpus — in production they are computed once and
+    * persisted (bucketed by hash / by (band, m0, m1)), so a daily run
+    * scans only the batch. The batch side is broadcast into the candidate
+    * join (a day's batch fits in memory even when the corpus is 100 TB),
+    * making both probes map-side against the index — no corpus shuffle
+    * per ingest. Here both sides derive in-plan from the same table, which
+    * keeps the query self-contained and oracle-able. */
+  def l25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val newMark = col("doc_id") % 10 === 0
+    val exactIdx = docs.filter(!newMark)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("hist_id"))
+    val newExact = docs.filter(newMark)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(exactIdx, Seq("h"), "left")
+      .select(col("doc_id"), col("hist_id").as("exact_of"))
+    val sh = shingles(spark, dir).cache()
+    val bands = bandSignatures(sh)
+    val histBands = bands.filter(!(col("doc_id") % 10 === 0))
+    val newBands = bands.filter(col("doc_id") % 10 === 0)
+    val cand = histBands.as("y")
+      .join(broadcast(newBands.as("x")),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
+          && col("x.m1") === col("y.m1"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
+        col("b") === col("b2") && col("sha") === col("shb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val near = common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 6) >= 0.4)
+      .groupBy("a").agg(min(col("b")).as("near_of"))
+    newExact
+      .join(near, col("doc_id") === col("a"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
@@ -347,7 +414,8 @@ object Llm extends QueryModule {
     "l10_seeded_shuffle" -> l10,
     "l11_split_assign" -> l11,
     "l12_redact" -> l12,
-    "l13_repetition" -> l13)
+    "l13_repetition" -> l13,
+    "l25_dedup_incremental" -> l25)
 
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
@@ -403,6 +471,49 @@ object Llm extends QueryModule {
          |            JOIN sizes nb ON nb.doc_id = common.b
          |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
          |ORDER BY a, b""".stripMargin,
+    "l25_dedup_incremental" ->
+      s"""WITH $duckShingles,
+         |exact_idx AS (
+         |  SELECT md5(text) AS h, MIN(doc_id) AS hist_id
+         |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text)),
+         |new_exact AS (
+         |  SELECT n.doc_id, e.hist_id AS exact_of
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) n
+         |  LEFT JOIN exact_idx e ON n.h = e.h),
+         |hashed AS (
+         |  SELECT doc_id, sh, hs.h,
+         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
+         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+         |bands AS (
+         |  SELECT doc_id, h // $RowsPerBand AS band,
+         |         MIN(CASE WHEN h % 2 = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % 2 = 1 THEN mh END) AS m1
+         |  FROM minsig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, COUNT(*) AS c
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+         |              JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY c.a, c.b),
+         |near AS (
+         |  SELECT common.a, MIN(common.b) AS near_of
+         |  FROM common JOIN sizes na ON na.doc_id = common.a
+         |              JOIN sizes nb ON nb.doc_id = common.b
+         |  WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
+         |  GROUP BY common.a)
+         |SELECT ne.doc_id,
+         |       CASE WHEN ne.exact_of IS NOT NULL THEN 'exact_dup'
+         |            WHEN near.near_of IS NOT NULL THEN 'near_dup'
+         |            ELSE 'unique' END AS status,
+         |       COALESCE(ne.exact_of, near.near_of) AS dup_of
+         |FROM new_exact ne LEFT JOIN near ON near.a = ne.doc_id
+         |ORDER BY ne.doc_id""".stripMargin,
     "l10_seeded_shuffle" ->
       """SELECT md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
         |       doc_id, lang, n_chars

@@ -175,6 +175,35 @@ object Aggregates extends QueryModule {
       .orderBy("event_type", "user_id")
   }
 
+  /** a16: robust outlier profile — per-group median / MAD / outlier count
+    * (|x - median| > 3 · 1.4826 · MAD, the normal-consistent robust
+    * z-score). Mean/stddev outlier rules break down exactly when outliers
+    * exist (the outliers inflate the threshold); median/MAD is the
+    * data-profiling rule that survives contamination. Two percentile
+    * passes (median, then median of absolute deviations) + one broadcast
+    * join back; values are integer cents so every interpolated median is
+    * an exact dyadic double and the DuckDB comparison is bit-identical
+    * (same trick as a14). Group cardinality is |event_type|, so both
+    * percentile aggregations are tiny at any corpus size; the heavy scans
+    * are map-side. */
+  def a16(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val med = e.groupBy("event_type").agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("median_cents"),
+        first(col("mad")).as("mad_cents"),
+        sum(when(col("absdev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_agg_hash" -> a01,
     "a02_agg_distinct" -> a02,
@@ -186,7 +215,8 @@ object Aggregates extends QueryModule {
     "a08_agg_filtered" -> a08,
     "a09_agg_stats" -> a09,
     "a14_percentiles" -> a14,
-    "a15_heavy_hitters" -> a15)
+    "a15_heavy_hitters" -> a15,
+    "a16_robust_outliers" -> a16)
 
   val oracles: Map[String, String] = Map(
     "a14_percentiles" ->
@@ -200,6 +230,20 @@ object Aggregates extends QueryModule {
         |       quantile_cont(cents, 0.9)  AS p90,
         |       quantile_cont(cents, 0.99) AS p99
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a16_robust_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |        FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.cents - med.med) AS absdev, med.med
+        |        FROM e JOIN med ON e.event_type = med.event_type),
+        |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, COUNT(*) AS n,
+        |       MIN(dev.med) AS median_cents, MIN(mad.mad) AS mad_cents,
+        |       SUM(CASE WHEN dev.absdev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
     "a15_heavy_hitters" ->
       """WITH p AS (SELECT event_type, user_id, COUNT(*) AS cnt
         |           FROM events GROUP BY event_type, user_id),

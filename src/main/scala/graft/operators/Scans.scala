@@ -123,6 +123,48 @@ object Scans extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Morton spread of the low 16 bits of `c` into the even bit positions
+    * of a 32-bit lane (classic magic-number doubling; fits in a long, so
+    * the whole computation stays in codegen'd integer arithmetic). */
+  def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-order (Morton) value interleaving the low 16 bits of a and b. */
+  def zval(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** s12: Z-order-clustered sink — multi-dimensional data skipping.
+    *
+    * A single-column sort gives parquet tight min/max stats on ONE key;
+    * a box predicate over TWO keys then has to read every file. Sorting by
+    * the Morton interleave of (l_partkey, l_suppkey) makes each written
+    * file cover a small square in key space, so row-group/file min-max
+    * stats prune on BOTH dimensions at once — at 100 TB this is the
+    * difference between scanning the world and scanning the few files
+    * whose (partkey, suppkey) rectangles intersect the query box
+    * (LayoutSpec measures exactly that on the written footers).
+    * repartitionByRange(zval) + sortWithinPartitions(zval) is the
+    * cluster-write: one range shuffle at ingest, skipping forever after.
+    * The query output is the box read-back itself, so the oracle checks
+    * both the Morton arithmetic and the sink round-trip. */
+  def s12(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s12_zorder", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .withColumn("zval", zval(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 10))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def p01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -172,12 +214,28 @@ object Scans extends QueryModule {
     "s09_source_csv" -> s09,
     "s10_sink_orc" -> s10,
     "s11_sink_bucketed" -> s11,
+    "s12_sink_zorder" -> s12,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
     "p03_filter_null" -> p03,
     "p04_case_when" -> p04)
 
+  /** DuckDB image of spread16 — identical magic-number doubling on BIGINT. */
+  private def spreadSql(c: String): String = {
+    val x0 = s"($c & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s12_sink_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS zval
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 10
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s01_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY ALL",
     "s02_scan_pruned" ->

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** s12 Z-order sink (file-level skipping evidence), a16 robust outliers
+  * (local recompute), l25 incremental dedup (consistency with l02). */
+class LayoutSpec extends SparkSuite {
+
+  test("s12: Morton zval matches a bit-by-bit reference implementation") {
+    def mortonRef(p: Long, s: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((p >> i) & 1L) << (2 * i)
+        z |= ((s >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        operators.Scans.zval(col("l_partkey"), col("l_suppkey")).as("z"))
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === mortonRef(r.getLong(0), r.getLong(1)),
+        s"zval mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("s12: z-ordered layout prunes the 2-D box to fewer files than a 1-D sort") {
+    // the query itself writes the z-clustered files
+    operators.Scans.s12(spark, sf).collect()
+    val zdir = Tables.scratchPath("s12_zorder", sf)
+    // contrast layout: same data, classic single-key (orderkey) sort
+    val plainDir = Tables.scratchPath("s12_plain", sf)
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(plainDir)
+    // per-file key rectangles — exactly the stats parquet min/max skipping
+    // consults; a file can be skipped iff its rectangle misses the box
+    def fileRects(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def hits(rects: Array[(Long, Long, Long, Long)]): Int =
+      rects.count { case (pLo, pHi, sLo, sHi) =>
+        pLo <= 50 && pHi >= 1 && sLo <= 10 && sHi >= 1
+      }
+    val zRects = fileRects(zdir)
+    val plainRects = fileRects(plainDir)
+    assert(zRects.length >= 4, s"expected several z files, got ${zRects.length}")
+    // orderkey sort is uncorrelated with (partkey, suppkey): every file
+    // spans the box; z-order confines the box to a strict minority
+    assert(hits(plainRects) === plainRects.length)
+    assert(hits(zRects) * 2 <= zRects.length,
+      s"z layout should confine the box to <= half the files: " +
+        s"${hits(zRects)}/${zRects.length}")
+  }
+
+  test("a16: median/MAD/outlier profile matches a local recompute") {
+    val got = operators.Aggregates.a16(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val cents = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = cents.groupBy(_._1).map { case (et, vs) =>
+      val xs = vs.map(_._2.toDouble).toSeq
+      val med = medianOf(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = medianOf(devs)
+      val out = devs.count(_ > 3.0 * 1.4826 * mad).toLong
+      et -> ((xs.length.toLong, med, mad, out))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (et, exp) =>
+      assert(got(et) === exp, s"group $et: got ${got(et)}, expected $exp")
+    }
+    // robust rule must flag a bounded minority, not the bulk
+    got.values.foreach { case (n, _, _, out) => assert(out * 4 <= n) }
+  }
+
+  test("l25: verdicts are consistent with l02's corpus-wide near-dup pairs") {
+    val verdicts = llm.Llm.l25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every new doc gets exactly one verdict
+    val newIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(verdicts.keySet === newIds)
+    // l02 pairs with one new and one historical endpoint
+    val mixed = llm.Llm.l02(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+    val newWithMixedPair = mixed.map { case (a, b) => if (a % 10 == 0) a else b }.toSet
+    // bands and the verify threshold are identical, so the near-dup sets
+    // coincide: non-unique in l25 <=> has a mixed l02 pair (exact md5
+    // dups of >=3-word docs are jaccard-1 pairs and collide in all bands)
+    val nonUnique = verdicts.collect { case (id, s) if s != "unique" => id }.toSet
+    newWithMixedPair.foreach { id =>
+      assert(verdicts(id) != "unique", s"doc $id has a mixed l02 pair but l25 says unique")
+    }
+    nonUnique.filter(id => verdicts(id) == "near_dup").foreach { id =>
+      assert(newWithMixedPair.contains(id), s"doc $id near_dup but no mixed l02 pair")
+    }
+  }
+}
