@@ -213,11 +213,52 @@ object Dedup extends QueryModule {
       .limit(10)
   }
 
+  /** l26: one Lloyd iteration of (spherical) k-means — assignment +
+    * centroid update — the clustering engine behind semantic dedup,
+    * domain discovery, and data-mixing curation. Assignment is l03c's
+    * map-side broadcast-centroid argmax-cosine; the update is the part
+    * worth pinning at scale: per-dimension component sums in integer
+    * micro-units (round(x·1e6) as BIGINT), so the new centroid mean is
+    * order-independent, exactly mergeable across partials (the h02
+    * contract — partial sums from any partitioning merge bit-for-bit),
+    * and therefore DuckDB-oracle-able where a float mean would diverge
+    * on summation order. One shuffle on (cid, dim); a full k-means run
+    * is this plan iterated with the driver checking movement, like l21's
+    * label propagation. Output: 16×64 rows (cid, dim, n, mean). */
+  def l26(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        """vec_dot(embedding, cvec)
+          | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(x * 1000000.0) AS BIGINT)")).as("s"))
+      // no rounding: s/n/1e6 is the identical IEEE expression in DuckDB,
+      // so the raw double is bit-equal (round() half-up semantics differ
+      // between the engines at boundaries; r6 tricks aren't needed here)
+      .select(col("cid"), col("dim").cast("bigint").as("dim"), col("n"),
+        (col("s").cast("double") / col("n") / lit(1000000.0)).as("mean"))
+      .orderBy("cid", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l02c_dedup_simhash" -> l02c,
     "l02d_dedup_ngram_jaccard" -> l02d,
     "l02e_dedup_embed" -> l02e,
-    "l03c_sim_ivf" -> l03c)
+    "l03c_sim_ivf" -> l03c,
+    "l26_kmeans_update" -> l26)
 
   private def duckCos(v: String, c: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))
@@ -225,6 +266,23 @@ object Dedup extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "l26_kmeans_update" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+         |comp AS (
+         |  SELECT cid, i.i - 1 AS dim,
+         |         CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+         |  FROM assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i)
+         |SELECT cid, dim, COUNT(*) AS n,
+         |       CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean
+         |FROM comp GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "l02c_dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          |tok AS (

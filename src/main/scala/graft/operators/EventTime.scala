@@ -77,7 +77,36 @@ object EventTime extends QueryModule {
       .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
       .orderBy("event_id")
 
+  /** t07: funnel analysis — the earliest view → click → purchase chain
+    * per user, each stage strictly after the one before. Three
+    * conditional-min aggregations over the SAME user partitioning, the
+    * later two probing the previous stage's tiny per-user table via a
+    * broadcast join: at 100 TB the events scan dominates and no stage
+    * reshuffles it more than once on user_id (AQE coalesces the
+    * identical partitionings); stage tables are |users| rows, broadcast
+    * material by construction. reached = number of completed stages. */
+  def t07(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts_ms") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts_ms") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("reached"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_funnel" -> t07,
     "t01_tumbling" -> t01,
     "t02_sliding" -> t02,
     "t03_session" -> t03,
@@ -86,6 +115,25 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t07_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_ms) AS t_view
+        |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_ms > s1.t_view
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t_click
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |       1 + CAST(s2.t_click IS NOT NULL AS INT)
+        |         + CAST(s3.t_purchase IS NOT NULL AS INT) AS reached
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "t01_tumbling" ->
       """SELECT (epoch_ns(ts)//1000000 // 600000) * 600000 AS win_start_ms,
         |       event_type, COUNT(*) AS n,
