@@ -244,14 +244,15 @@ object Pipeline extends QueryModule {
       val minNeigh = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy("a").agg(min("nl").as("mn"))
+      // carry prev inside next: convergence check is a filter over the
+      // checkpointed result, not an extra join job per iteration
       val next = labels
         .join(minNeigh.select(col("a").as("id"), col("mn")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
       iter += 1
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))

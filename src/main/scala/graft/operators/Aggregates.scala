@@ -110,16 +110,24 @@ object Aggregates extends QueryModule {
   def a09(spark: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+    val li = Tables.lineitem(spark, dir)
+    // median via the a14 rank plan, not the built-in percentile: the
+    // value→count map buffer over 600k near-distinct cents measured 4 s
+    // with equal parts driver GC
+    val median = rankPercentiles(
+      li.select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+      "l_returnflag", Seq(0.5))
+      .select(col("l_returnflag"), col("v").as("median_cents"))
+    li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"),
         sum(x * x).cast("double").as("sxx"),
         sum(y).cast("double").as("sy"),
         sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"),
-        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)").as("median_cents"))
+        sum(x * y).cast("double").as("sxy"))
+      .join(broadcast(median), "l_returnflag")
       .withColumn("var_qty",
         round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 8))
       .withColumn("stddev_qty", round(sqrt(
@@ -146,34 +154,39 @@ object Aggregates extends QueryModule {
     * At 100 TB the per-group window is the one non-scalable piece (one
     * task per group); the fix is the l15 distributed-prefix-sum rank over
     * (group, cents) range partitions — same join afterwards. */
-  def a14(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val c = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+  /** Exact per-group percentiles by rank arithmetic: row_number per
+    * group, then the ≤ 2·|ps|·|groups| bracketing-rank rows come back via
+    * a broadcast equi-join and interpolate in quantile_cont's (and the
+    * built-in percentile's) exact FP shape, lower·(1−frac) + upper·frac —
+    * NOT the algebraically-equal lo + (hi−lo)·frac, which differs in the
+    * last ulp (observed at p99 on sf0.01). Returns (group, p, v). */
+  private def rankPercentiles(grouped: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("cents")
-    val ranked = c.withColumn("rk", row_number().over(w))
-    // the two bracketing ranks for each (group, quantile): ≤ 2·5·|groups|
-    // rows, broadcast into the ranked scan — no second shuffle
-    val marks = c.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("n"),
+      .partitionBy(groupCol).orderBy("cents")
+    val ranked = grouped.withColumn("rk", row_number().over(w))
+    val marks = grouped.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
         explode(array(ps.map(lit): _*)).as("p"))
       .withColumn("pos", col("p") * (col("n") - lit(1L)))
-      .select(col("l_returnflag"), col("p"), col("pos"),
+      .select(col(groupCol), col("p"), col("pos"),
         explode(array(
           floor(col("pos")).cast("bigint") + 1,
           ceil(col("pos")).cast("bigint") + 1)).as("rk"))
       .distinct()
-    val per = ranked.join(broadcast(marks), Seq("l_returnflag", "rk"))
-      .groupBy("l_returnflag", "p", "pos")
+    ranked.join(broadcast(marks), Seq(groupCol, "rk"))
+      .groupBy(groupCol, "p", "pos")
       .agg(min("cents").as("vlo"), max("cents").as("vhi"))
-      // exactly quantile_cont's (and the built-in percentile's) FP shape:
-      // lower·(1−frac) + upper·frac — NOT lo + (hi−lo)·frac, which differs
-      // in the last ulp (observed at p99 on sf0.01)
       .withColumn("frac", col("pos") - floor(col("pos")))
-      .withColumn("v",
-        col("vlo") * (lit(1.0) - col("frac")) + col("vhi") * col("frac"))
+      .select(col(groupCol), col("p"),
+        (col("vlo") * (lit(1.0) - col("frac")) + col("vhi") * col("frac")).as("v"))
+  }
+
+  def a14(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val per = rankPercentiles(c, "l_returnflag", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     per.groupBy("l_returnflag")
       .agg(
         min(when(col("p") === 0.25, col("v"))).as("p25"),

@@ -105,8 +105,30 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** t08: cohort retention — users bucketed by the week of their first
+    * signup event; each later activity counts toward (cohort_week,
+    * week_offset) with distinct users. Weeks are integer epoch-week
+    * ordinals (ts_ms div week_ms — no calendar/timezone semantics to
+    * diverge on). Cohort table is per-user (tiny → broadcast); the events
+    * scan joins it map-side, then one distinct-agg shuffle on the
+    * (cohort, offset) grid — bounded by |weeks|², far below event count. */
+  def t08(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 7L * 86400000L
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ms").as("t0"))
+      .withColumn("cohort_week", expr(s"t0 div $weekMs"))
+    e.join(broadcast(cohort), "user_id")
+      .filter(col("ts_ms") >= col("t0"))
+      .withColumn("week_offset", expr(s"(ts_ms div $weekMs)") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_funnel" -> t07,
+    "t08_cohort_retention" -> t08,
     "t01_tumbling" -> t01,
     "t02_sliding" -> t02,
     "t03_session" -> t03,
@@ -115,6 +137,17 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t08_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+        |           FROM events),
+        |cohort AS (SELECT user_id, MIN(ts_ms) AS t0,
+        |                  MIN(ts_ms) // 604800000 AS cohort_week
+        |           FROM e WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT c.cohort_week, (e.ts_ms // 604800000) - c.cohort_week AS week_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN cohort c ON e.user_id = c.user_id
+        |WHERE e.ts_ms >= c.t0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t07_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
         |           FROM events),

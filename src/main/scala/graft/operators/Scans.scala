@@ -165,6 +165,22 @@ object Scans extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** s13: JSON-lines sink/source round-trip — the lingua franca of
+    * training-data interchange. Write documents as JSONL, read back under
+    * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
+    * JSON round-trips strings/longs losslessly; the oracle is the
+    * identity query on the source table. */
+  def s13(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s13_jsonl", dir)
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(tmp)
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(tmp)
+      .orderBy("doc_id")
+  }
+
   def p01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -215,6 +231,7 @@ object Scans extends QueryModule {
     "s10_sink_orc" -> s10,
     "s11_sink_bucketed" -> s11,
     "s12_sink_zorder" -> s12,
+    "s13_source_jsonl" -> s13,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
     "p03_filter_null" -> p03,
@@ -230,6 +247,9 @@ object Scans extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "s13_source_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s12_sink_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |       (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS zval
