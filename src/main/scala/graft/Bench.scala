@@ -78,6 +78,13 @@ object Bench {
       // block manager; the explicit gc() lets the ContextCleaner drop
       // this query's shuffle files before the next one is timed.
       spark.catalog.clearCache()
+      // two-phase drain: the first gc() queues the dead shuffle/broadcast
+      // weak refs, the ContextCleaner thread then issues the actual
+      // removeShuffle/removeBroadcast RPCs, and the second gc() collects
+      // what those released. One pass left the l-block queries paying
+      // 10+ s of organic GC for their predecessors' state.
+      System.gc()
+      Thread.sleep(200)
       System.gc()
       (name, best, gcSec)
     }

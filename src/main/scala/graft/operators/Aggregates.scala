@@ -249,6 +249,28 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** a17: behavioral entropy — Shannon entropy (nats) of each user's
+    * event-type distribution, the profiling signal for bot/anomaly
+    * screening (near-zero entropy = single-action accounts). Float
+    * summation order is pinned by folding over the SORTED count list
+    * (aggregate() is a strict left fold; the entropy term depends only on
+    * the count, so count-sorting fully determines the sum) — without that
+    * the per-group add order is partition-dependent and the oracle hash
+    * diverges. Two shuffles on bounded grids (user×type, then user). */
+  def a17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .withColumn("entropy_nats", floor(expr(
+        """aggregate(cs, 0D,
+          |  (acc, c) -> acc - (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))"""
+          .stripMargin) * 1000000.0 + 0.5) / 1000000.0)
+      .select("user_id", "n", "n_types", "entropy_nats")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_agg_hash" -> a01,
     "a02_agg_distinct" -> a02,
@@ -261,7 +283,8 @@ object Aggregates extends QueryModule {
     "a09_agg_stats" -> a09,
     "a14_percentiles" -> a14,
     "a15_heavy_hitters" -> a15,
-    "a16_robust_outliers" -> a16)
+    "a16_robust_outliers" -> a16,
+    "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
     "a14_percentiles" ->
@@ -275,6 +298,17 @@ object Aggregates extends QueryModule {
         |       quantile_cont(cents, 0.9)  AS p90,
         |       quantile_cont(cents, 0.99) AS p99
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a17_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |             COUNT(*) AS n_types, list_sort(list(c)) AS cs
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n, n_types,
+        |       floor(list_sum(list_transform(cs,
+        |         c -> -(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))))
+        |         * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+        |FROM u ORDER BY user_id""".stripMargin,
     "a16_robust_outliers" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
         |           FROM events),

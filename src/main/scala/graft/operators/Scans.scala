@@ -162,7 +162,9 @@ object Scans extends QueryModule {
       .write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp)
       .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 10))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this dataset — total
+      // order needs every column or the hash compare is nondeterministic
+      .transform(Tables.orderAll)
   }
 
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
@@ -255,7 +257,7 @@ object Scans extends QueryModule {
          |       (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS zval
          |FROM lineitem
          |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 10
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY ALL""".stripMargin,
     "s01_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY ALL",
     "s02_scan_pruned" ->

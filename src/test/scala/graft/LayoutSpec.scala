@@ -60,6 +60,20 @@ class LayoutSpec extends SparkSuite {
         s"${hits(zRects)}/${zRects.length}")
   }
 
+  test("s12: the box predicate reaches the parquet scan as pushed filters") {
+    val zdir = Tables.scratchPath("s12_zorder", sf)
+    operators.Scans.s12(spark, sf).collect() // ensure files exist
+    // scan metadata strings (PushedFilters et al) truncate at 100 chars
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = spark.read.parquet(zdir)
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 10))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_partkey,1)")
+      && plan.contains("LessThanOrEqual(l_suppkey,10)"),
+      "range predicates must be pushed to the scan:\n" + plan.take(800))
+  }
+
   test("a16: median/MAD/outlier profile matches a local recompute") {
     val got = operators.Aggregates.a16(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
