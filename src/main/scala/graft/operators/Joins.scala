@@ -197,7 +197,17 @@ object Joins extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** j15: explicit cartesian product — the one join every optimizer must
+    * refuse to pick implicitly; here it's the declared grid (region ×
+    * nation, 125 rows) a reporting rollup wants. Tiny side broadcast →
+    * BroadcastNestedLoopJoin, never a shuffled cartesian. */
+  def j15(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(col("r_name"))
+      .crossJoin(broadcast(Tables.nation(spark, dir).select(col("n_name"))))
+      .orderBy("r_name", "n_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j15_cross_join" -> j15,
     "j01_join_broadcast" -> j01,
     "j02_join_shuffle" -> j02,
     "j03_join_multiway" -> j03,
@@ -215,6 +225,9 @@ object Joins extends QueryModule {
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "j15_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
     "j01_join_broadcast" ->
       s"""SELECT p_brand, COUNT(*) AS n_lines, $revenue AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey

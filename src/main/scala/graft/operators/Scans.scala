@@ -223,7 +223,27 @@ object Scans extends QueryModule {
           .otherwise(lit(0.0)).as("returned_price"))
       .transform(Tables.orderAll)
 
+  /** p07: cast / coercion family — lossless widening (bigint→string→
+    * bigint round-trip, bigint→double), timestamp→date→string under the
+    * UTC session, and try_cast's NULL-on-failure contract for both parse
+    * failures ('1-URGENT' as int) and numeric overflow (bigint→tinyint).
+    * double→string is deliberately absent: float formatting is
+    * engine-specific and never belongs in a portable pipeline. */
+  def p07(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),
+        col("o_orderkey").cast("double").as("key_dbl"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderdate").cast("date").cast("string").as("odate_str"),
+        expr("try_cast(o_orderkey AS TINYINT)").as("key_tiny"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_int"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_casts" -> p07,
     "s01_scan_parquet" -> s01,
     "s02_scan_pruned" -> s02,
     "s03_scan_filter_pushdown" -> s03,
@@ -249,6 +269,16 @@ object Scans extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "p07_casts" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderkey AS VARCHAR) AS key_str,
+        |       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+        |       CAST(o_orderdate AS DATE) AS odate,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str,
+        |       TRY_CAST(o_orderkey AS TINYINT) AS key_tiny,
+        |       TRY_CAST(o_orderpriority AS INTEGER) AS prio_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s13_source_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

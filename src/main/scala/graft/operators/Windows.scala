@@ -157,6 +157,28 @@ object Windows extends QueryModule {
   def u06(spark: SparkSession, dir: String): DataFrame =
     f(spark, dir).exceptAll(o(spark, dir)).orderBy("o_custkey")
 
+  /** o07: keyset-stable pagination — total order + offset + limit, the
+    * page-N read every results API issues. Spark's offset() (3.4+)
+    * composes with the global sort exactly like LIMIT ... OFFSET. */
+  def o07(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100)
+      .limit(50)
+
+  /** u07: schema-evolution union — the old extract lacks a column the new
+    * one has; unionByName(allowMissingColumns) null-fills it, the
+    * append-compatibility contract for evolving pipelines. */
+  def u07(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val nu = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    old.unionByName(nu, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_win_rank" -> w01,
     "w02_win_analytic" -> w02,
@@ -173,7 +195,9 @@ object Windows extends QueryModule {
     "u03_intersect" -> u03,
     "u04_except" -> u04,
     "u05_intersect_all" -> u05,
-    "u06_except_all" -> u06)
+    "u06_except_all" -> u06,
+    "o07_offset" -> o07,
+    "u07_union_evolve" -> u07)
 
   val oracles: Map[String, String] = Map(
     "w01_win_rank" ->
@@ -269,5 +293,16 @@ object Windows extends QueryModule {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "o07_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
+    "u07_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin)
 }
