@@ -47,6 +47,23 @@ object StreamingLift {
     events.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
 
+  /** Streaming incremental dedup — the l25 daily-ingest shape as a
+    * continuous stream. Each arriving document (doc_id, text, doc_ts)
+    * probes the STATIC historical exact-hash index (re-broadcast per
+    * micro-batch; in production a compact bucketed table), and repeats
+    * WITHIN the stream are dropped by stateful first-wins dedup on the
+    * content hash, state bounded by the watermark. Corpus never
+    * re-shuffles; state is O(distinct hashes inside the horizon). */
+  def incrementalDedup(docs: DataFrame, histIndex: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark("doc_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .join(broadcast(histIndex), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("hist_id").isNotNull, "exact_dup").otherwise("new").as("status"),
+        col("hist_id").as("dup_of"))
+
   /** R14 command→event correlation, stream-stream mode (SURVEY.md §3.2):
     * requests joined to their responses on cid within a bounded response
     * window. BOTH sides carry watermarks and the join predicate bounds

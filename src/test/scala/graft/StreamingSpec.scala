@@ -238,4 +238,51 @@ class StreamingSpec extends SparkSuite {
     assert(sortedRows(streamed, "event_id", "c_name", "value") ===
       sortedRows(batch, "event_id", "c_name", "value"))
   }
+
+  test("streaming incremental dedup: historical probes flag, intra-stream repeats drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hist = docs.filter(_._1 % 10 != 0)
+    val newBatch = docs.filter(_._1 % 10 == 0).sortBy(_._1)
+    val histIndex = hist.toSeq.toDF("hist_id", "text")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("hist_id").as("hist_id"))
+    // stream = each new doc once, plus an immediate repeat of the first
+    // five (same text, new ids) that first-wins dedup must drop
+    val repeats = newBatch.take(5).map { case (id, t) => (id + 1000000L, t) }
+    val rows = (newBatch ++ repeats).zipWithIndex
+      .map { case ((id, t), i) => (id, t, 1000000L + i * 1000L) }
+    val stream = MemoryStream[(Long, String, Long)]
+    val src = stream.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("doc_ts", timestamp_millis(col("ts_ms")))
+    val out = StreamingLift.incrementalDedup(src, histIndex)
+    val name = s"graft_incdedup_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    // repeats (and any new doc whose text already appeared in the stream)
+    // are swallowed by first-wins dedup; originals all surface
+    assert(!got.keySet.exists(_ >= 1000000L), "stream repeats must be dropped")
+    val firstOfText = newBatch.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(got.keySet === firstOfText)
+    // verdicts match the batch l25 exact probe for surfaced docs
+    val histByText = hist.groupBy(_._2).map { case (t, hs) => t -> hs.map(_._1).min }
+    got.foreach { case (id, (status, dupOf)) =>
+      val text = newBatch.find(_._1 == id).get._2
+      histByText.get(text) match {
+        case Some(histId) => assert(status == "exact_dup" && dupOf == histId,
+          s"doc $id should be exact_dup of $histId, got $status/$dupOf")
+        case None => assert(status == "new" && dupOf == -1L,
+          s"doc $id should be new, got $status/$dupOf")
+      }
+    }
+  }
 }
