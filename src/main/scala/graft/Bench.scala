@@ -19,6 +19,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated id filter for fresh-JVM single-query triage;
+    // unset = the full inventory (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +44,7 @@ object Bench {
     // measured SF and per-query numbers measure the query, not javac.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.filter(q => only.forall(_(q._1))).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -64,7 +68,8 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => only.forall(_(q._1)))
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis()
       val best = (once(fn, name), once(fn, name)) match {
         case (Some(a), Some(b)) => Some(math.min(a, b))
@@ -108,8 +113,10 @@ object Bench {
     val full = s"""{"total":${f3(total)},"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      full.getBytes("UTF-8"))
+    // a filtered triage run must not clobber the full sweep's record
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        full.getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

@@ -26,6 +26,7 @@ object SparkEntry {
     llm.Pipeline,
     llm.MultimodalQueries,
     llm.MinHashLshMl,
+    llm.Semantic,
     odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

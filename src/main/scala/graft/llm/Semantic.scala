@@ -1,0 +1,210 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic curation operators for training-data pipelines:
+  *
+  *  - l27 SemDeDup (Abbas et al. 2023): within-cluster embedding-cosine
+  *    dedup — cluster the corpus with a coarse quantizer, compare pairs
+  *    ONLY inside each cluster. Pairwise work falls from O(N²) to
+  *    O(Σ|c|²); k grows with the corpus so cluster sizes stay bounded,
+  *    and the one shuffle is a hash partition on cluster id (AQE skew
+  *    split handles fat clusters).
+  *  - l28 content-defined chunking: rolling-hash boundaries at token
+  *    granularity (a boundary after word w iff hash(w) ≡ 0 mod 16).
+  *    Unlike fixed windows (l23), chunk boundaries survive insertions —
+  *    an edited document re-chunks only locally, so downstream exact
+  *    dedup (l01) deduplicates unchanged chunks across versions.
+  *    Map-only, shuffle-free, embarrassingly parallel.
+  *  - l29 unigram-LM negative log-likelihood (the CCNet/perplexity
+  *    quality signal): score each document by its cross-entropy under
+  *    the corpus's own unigram distribution. Gibberish and boilerplate
+  *    sit at the distribution's tails.
+  *
+  * All pure relational Spark with portable md5-derived hashes and exact
+  * float-order pinning, so each has a bit-for-bit DuckDB oracle.
+  */
+object Semantic extends QueryModule {
+
+  private val Tau = 0.4 // within-cluster cosine above this ⇒ semantic dup
+  private val CdcMod = 16 // expected chunk length in words
+
+  /** l27: SemDeDup. Assignment = l03c's map-side broadcast-centroid
+    * argmax-cosine (16 fixed centroids as the deterministic stand-in for
+    * trained k-means centers — the plumbing is identical). Within each
+    * cluster, every pair with cosine ≥ τ marks the larger vec_id a
+    * duplicate of its smallest qualifying neighbor (first-wins, same
+    * keep rule as l02). Cosines are rounded to 6 dp before the
+    * threshold so the float image matches the oracle bit-for-bit. */
+  def l27(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        """vec_dot(embedding, cvec)
+          | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    // explicit renames (not aliases): a self-join of a window-derived
+    // plan resolves unambiguously this way
+    val x = assigned.select(col("vec_id").as("a_id"), col("cid").as("a_cid"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val y = assigned.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dup = x.join(y, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= Tau)
+      .groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("dup_of"))
+    assigned.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_of").isNotNull, "dup").otherwise("keep").as("status"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** l28: content-defined chunking. Boundary after word k iff the word's
+    * 60-bit md5-derived hash ≡ 0 (mod 16); chunks are the word ranges
+    * between consecutive boundaries. All per-document array work — one
+    * md5 per word, no shuffle anywhere; the chunk table is the input to
+    * chunk-level exact dedup (l01 on chunk_md5). */
+  def l28(spark: SparkSession, dir: String): DataFrame =
+    chunkCdc(Tables.documents(spark, dir))
+
+  /** The chunker over any (doc_id, text) frame — SemanticSpec drives it
+    * on synthetic edits to prove boundary locality. */
+  def chunkCdc(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+      .withColumn("bounds", expr(
+        s"""filter(sequence(1, nw),
+           |  k -> pmod(CAST(conv(substr(md5(element_at(w, k)), 1, 15), 16, 10) AS BIGINT), $CdcMod) = 0)""".stripMargin))
+      // starts/ends zip: (1, b1), (b1+1, b2), …, (bk+1, nw); the tail pair
+      // is empty iff the last word is itself a boundary — filtered out
+      .select(col("doc_id"), col("w"), posexplode(expr(
+        """filter(zip_with(concat(array(1), transform(bounds, b -> b + 1)),
+          |               concat(bounds, array(nw)),
+          |               (s, e) -> struct(s AS s, e AS e)),
+          |  p -> p.e >= p.s)""".stripMargin)).as(Seq("pos", "p")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("p.s").cast("long").as("start_word"),
+        (col("p.e") - col("p.s") + 1).cast("long").as("n_words"),
+        md5(array_join(expr("slice(w, p.s, p.e - p.s + 1)"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** l29: unigram cross-entropy quality score. The corpus's own token
+    * distribution is the LM; each doc scores avg(-ln p(token)). Per-doc
+    * float summation order is pinned by folding over the numerically
+    * SORTED term list (the a17 contract). At 100 TB the vocab join is a
+    * plain shuffle equi-join on token — the vocabulary of a web corpus
+    * is NOT broadcast material, and the doc-token table is already
+    * token-partitioned from the count that built it. */
+  def l29(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("total"))
+    val nll = vocab.crossJoin(broadcast(total))
+      .select(col("t"), (-log(col("c").cast("double") / col("total"))).as("nll"))
+    tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .join(nll, "t")
+      .withColumn("term", col("tf").cast("double") * col("nll"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sort_array(collect_list(col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(expr("aggregate(terms, 0D, (acc, x) -> acc + x)")
+          / col("n_tokens") * 1000000.0 + 0.5) / 1000000.0).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l27_semdedup" -> l27,
+    "l28_chunk_cdc" -> l28,
+    "l29_perplexity" -> l29)
+
+  private def duckCos(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "l27_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM scored WHERE rn = 1),
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |         round(list_sum(list_transform(range(1, 65),
+         |             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+         |           / (x.nrm * y.nrm), 6) AS cosine
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dup AS (SELECT b AS vec_id, MIN(a) AS dup_of FROM pairs
+         |        WHERE cosine >= $Tau GROUP BY b)
+         |SELECT n.vec_id, n.cid,
+         |       CASE WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'keep' END AS status,
+         |       d.dup_of
+         |FROM assigned n LEFT JOIN dup d ON n.vec_id = d.vec_id
+         |ORDER BY n.vec_id""".stripMargin,
+    "l28_chunk_cdc" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, w, len(w) AS nw,
+         |         list_filter(range(1, len(w) + 1),
+         |           k -> CAST(('0x' || substr(md5(w[k]), 1, 15)) AS BIGINT) % $CdcMod = 0) AS bounds
+         |  FROM d),
+         |z AS (
+         |  SELECT doc_id, w,
+         |         [1] || list_transform(bounds, b -> b + 1) AS starts,
+         |         bounds || [nw] AS ends
+         |  FROM b),
+         |c AS (
+         |  SELECT doc_id, w,
+         |         unnest(list_filter(list_transform(range(1, len(starts) + 1),
+         |           i -> {'idx': i, 's': starts[i], 'e': ends[i]}),
+         |           p -> p.e >= p.s), recursive := true)
+         |  FROM z)
+         |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+         |       CAST(s AS BIGINT) AS start_word,
+         |       CAST(e - s + 1 AS BIGINT) AS n_words,
+         |       md5(array_to_string(list_slice(w, s, e), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l29_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+        |nll AS (SELECT t, -ln(CAST(c AS DOUBLE) / total) AS nll
+        |        FROM vocab CROSS JOIN tot),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |         list_sort(list(CAST(tf.tf AS DOUBLE) * nll.nll)) AS terms
+        |  FROM tf JOIN nll ON tf.t = nll.t GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       floor(list_sum(terms) / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin)
+}

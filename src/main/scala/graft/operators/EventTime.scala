@@ -126,8 +126,37 @@ object EventTime extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** t09: session path mining — the t03 gaps-and-islands sessionizer,
+    * then each session's ordered event-type sequence as a path string,
+    * rolled up to path frequencies (the "how do users move through the
+    * product" query). One shuffle on user_id feeds BOTH the window and
+    * the (user, sid) aggregation (same partitioning, no re-exchange);
+    * the final rollup shuffles the tiny path grid. Path order inside a
+    * session is pinned by sorting (ts_ms, event_id, event_type) structs —
+    * field order makes the array_sort total. Sessions are bounded by the
+    * gap parameter, so collect_list is O(session), never O(user). */
+  def t09(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("prev", lag("ts_ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_ms") - col("prev") >= 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "sid")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts_ms, event_id, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_funnel" -> t07,
+    "t09_session_paths" -> t09,
     "t08_cohort_retention" -> t08,
     "t01_tumbling" -> t01,
     "t02_sliding" -> t02,
@@ -137,6 +166,26 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t09_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                 OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |         array_to_string(list(event_type ORDER BY ts_ms, event_id, event_type), '>') AS path
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin,
     "t08_cohort_retention" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
         |           FROM events),
