@@ -54,6 +54,11 @@ object Semantic extends QueryModule {
       .filter(col("rn") === 1)
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+      // referenced three times (both pair sides + the verdict join);
+      // uncached, the scan+crossJoin+window assignment subplan runs 3× —
+      // at corpus scale you persist the assignment table once (same
+      // lifecycle as l02d's gram cache; harness sweeps it between queries)
+      .cache()
     // explicit renames (not aliases): a self-join of a window-derived
     // plan resolves unambiguously this way
     val x = assigned.select(col("vec_id").as("a_id"), col("cid").as("a_cid"),

@@ -195,7 +195,34 @@ object Scalars extends QueryModule {
             |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin), 6).as("revdot8"))
       .orderBy("vec_id")
 
+  /** f13: URL family — the domain-extraction / query-param surface a
+    * web-corpus pipeline needs (URL dedup keys, domain blocklists,
+    * per-domain frequency caps). URLs are synthesized from part columns
+    * so every branch is exercised; Spark parses with the real
+    * parse_url/url_encode/url_decode, the oracle re-derives each piece
+    * with regexes over the same synthesized string (no shared code
+    * path). DuckDB 1.0 has no url_encode, so the oracle replicates
+    * form-encoding for THIS data's charset (letters/space/# only) with
+    * replaces — documented, data-domain-scoped equivalence. */
+  def f13(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("url", concat(
+        lit("https://w"), pmod(col("p_partkey"), lit(5)), lit(".example.com/"),
+        lower(col("p_type")), lit("/"), expr("url_encode(p_brand)"),
+        lit("?id="), col("p_partkey"), lit("&size="), col("p_size")))
+      .select(
+        col("p_partkey"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("qs"),
+        expr("parse_url(url, 'QUERY', 'id')").as("pid"),
+        expr("substring_index(parse_url(url, 'HOST'), '.', -2)").as("domain"),
+        expr("url_encode(p_name)").as("enc_name"),
+        expr("url_decode(url_encode(p_name))").as("dec_name"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f13_url" -> f13,
     "f09_string_extended" -> f09,
     "f11_bitwise" -> f11,
     "f10_date_extended" -> f10,
@@ -210,6 +237,23 @@ object Scalars extends QueryModule {
     "f12_hof" -> f12)
 
   val oracles: Map[String, String] = Map(
+    "f13_url" ->
+      """WITH u AS (
+        |  SELECT p_partkey, p_name,
+        |         'https://w' || (p_partkey % 5) || '.example.com/' || lower(p_type)
+        |           || '/' || replace(p_brand, '#', '%23')
+        |           || '?id=' || p_partkey || '&size=' || p_size AS url
+        |  FROM part)
+        |SELECT p_partkey, url,
+        |       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '\?(.*)$', 1) AS qs,
+        |       regexp_extract(url, '[?&]id=([^&]*)', 1) AS pid,
+        |       regexp_extract(regexp_extract(url, 'https://([^/]+)', 1),
+        |                      '([^.]+\.[^.]+)$', 1) AS domain,
+        |       replace(p_name, ' ', '+') AS enc_name,
+        |       p_name AS dec_name
+        |FROM u ORDER BY p_partkey""".stripMargin,
     "f11_bitwise" ->
       """SELECT o_orderkey,
         |       o_orderkey & 2047 AS k_and,

@@ -35,6 +35,26 @@ object StreamingLift {
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding windows (10 min / 5 min hop): each event lands in two
+    * windows; the watermark closes both once event time passes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("n"), col("sum_value"))
+
+  /** Late-data semantics made visible: windowed count under a SHORT
+    * watermark (10 min), so an event arriving after its window's
+    * watermark expiry is dropped on the floor — the t04 batch analogue's
+    * cutoff, enforced incrementally by the engine. */
+  def lateDrop(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+
   /** Exactly-once dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

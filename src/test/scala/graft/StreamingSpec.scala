@@ -285,4 +285,49 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("sliding window: streaming append == batch") {
+    val streamed = runStream(StreamingLift.sliding)
+      .filter(col("win_start_ms") < Sentinel - 600000L)
+    val batch = StreamingLift.sliding(
+      batchEvents.withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+    assert(sortedRows(streamed, "win_start_ms", "n", "sum_value") ===
+      sortedRows(batch, "win_start_ms", "n", "sum_value"))
+  }
+
+  test("late data: an event behind the watermark is dropped, not recounted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 999999600000L // window-aligned base (mod 10 min = 0, asserted)
+    assert(t0 % 600000L == 0)
+    val onTime = (1 to 5).map(i => Ev(i.toLong, 1L, "click", 1.0, t0 + i * 1000L))
+    val advance = Ev(100L, 1L, "click", 1.0, t0 + 1800000L) // +30 min
+    val late = Ev(101L, 1L, "click", 1.0, t0 + 6000L) // t0 window, behind watermark
+    val stream = MemoryStream[Ev]
+    val src = stream.toDF().withColumn("event_ts", timestamp_millis(col("ts_ms")))
+    val name = s"graft_late_${System.nanoTime()}"
+    val q = StreamingLift.lateDrop(src).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      stream.addData(onTime.toIndexedSeq)
+      q.processAllAvailable() // watermark still at t0-ish
+      stream.addData(Seq(advance))
+      q.processAllAvailable() // watermark → t0+20min; t0 window finalized
+      stream.addData(Seq(late))
+      q.processAllAvailable() // must be discarded by the engine
+      stream.addData(Seq(Ev(-1L, -1L, "flush", 0.0, Sentinel)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table(name).filter(col("event_type") === "click")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts(t0) === 5L, "late event must NOT be added to its closed window")
+    assert(counts(t0 + 1800000L) === 1L)
+    // the same input through the BATCH plan (no watermark) counts it —
+    // the drop is a streaming-semantics decision, not a filter
+    val batchCounts = StreamingLift.lateDrop(
+      (onTime :+ advance :+ late).toDF()
+        .withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batchCounts(t0) === 6L)
+  }
 }
