@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Extras,
     operators.Pivots,
     operators.History,
+    operators.Graph,
     llm.Llm,
     llm.Dedup,
     llm.Pipeline,

@@ -74,12 +74,50 @@ object History extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** h05: changelog compaction with tombstones — the reference's R17
+    * remove semantics as a relational pass. Ops are derived
+    * deterministically from the data (every 10th event_id is a delete);
+    * compaction = latest op per key wins, and a winning delete DROPS the
+    * key entirely (tombstone) instead of surfacing a row. One shuffle on
+    * the key for the window; at scale this is the compaction job that
+    * rewrites a CDC topic into a snapshot table. n_versions counts the
+    * log entries the compacted row superseded. */
+  def h05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(10)) === 0, "delete").otherwise("upsert"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("ts_ms").as("last_ts_ms"), col("n_versions"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_scd2" -> h01,
     "h02_incremental_agg" -> h02,
-    "h03_asof_state" -> h03)
+    "h03_asof_state" -> h03,
+    "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    "h05_changelog_compact" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms,
+        |         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events),
+        |v AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts_ms DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value, ts_ms AS last_ts_ms, n_versions
+        |FROM v WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
     "h01_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |                  epoch_ns(ts)//1000000 AS ts_ms FROM events)

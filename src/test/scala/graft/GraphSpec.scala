@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+
+  test("g01 pagerank step: probability mass is conserved") {
+    val ranks = operators.Graph.g01(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    // every node distributes exactly deg · (1/deg) = 1 unit of its rank,
+    // so one damped iteration from uniform keeps Σ rank = 1 (± rounding)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(ranks.values.forall(_ > 0.0))
+    // suppliers are 20× rarer than parts in this schema → they
+    // concentrate rank (sanity that the gather isn't symmetric noise)
+    val sMean = ranks.collect { case ((t, _), r) if t == "supplier" => r }
+    val pMean = ranks.collect { case ((t, _), r) if t == "part" => r }
+    assert(sMean.sum / sMean.size > pMean.sum / pMean.size)
+  }
+
+  test("h05 compaction: tombstoned keys vanish, survivors carry their latest row") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val byUser = events.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, evs) =>
+      val latest = evs.maxBy(e => (e._5, e._2))
+      if (latest._2 % 10 == 0) None // tombstone wins → key dropped
+      else Some(u -> ((latest._2, latest._5, evs.length.toLong)))
+    }
+    val got = operators.History.h05(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    assert(got.size < byUser.size, "at least one tombstone should fire")
+  }
+}
