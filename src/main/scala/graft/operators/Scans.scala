@@ -183,6 +183,36 @@ object Scans extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** s14: whole-file binary source — the multimodal ingest front door
+    * (images/audio arrive as files, not rows). The query writes the
+    * first 100 documents as one UTF-8 .txt each (executor-side IO via
+    * foreachPartition — no driver loop), reads them back through the
+    * built-in binaryFile source, and keys rows by the filename-embedded
+    * doc_id. The oracle computes the same md5/byte-length from the
+    * documents TABLE, so equality proves a lossless file-boundary round
+    * trip through a completely independent path. At scale binaryFile
+    * shards by file; maxPartitionBytes groups small files per task. */
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s14_binary", dir)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") <= 100).select("doc_id", "text")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.createDirectories(base)
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            base.resolve(s"doc_${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(s"$tmp/*.txt")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("bigint").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   def p01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -266,6 +296,7 @@ object Scans extends QueryModule {
     "s11_sink_bucketed" -> s11,
     "s12_sink_zorder" -> s12,
     "s13_source_jsonl" -> s13,
+    "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
     "p03_filter_null" -> p03,
@@ -294,6 +325,10 @@ object Scans extends QueryModule {
     "s13_source_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s14_source_binary" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
     "s12_sink_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |       (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS zval

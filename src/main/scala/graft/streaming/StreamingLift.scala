@@ -55,6 +55,21 @@ object StreamingLift {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
 
+  /** t09's session paths, incremental: session_window keeps per-user
+    * open sessions in state; when the watermark passes a session's gap
+    * the engine emits it once and the sorted-struct transform renders
+    * the ordered path — same array_sort pinning as the batch query, so
+    * micro-batch arrival order can't reorder a path. */
+  def sessionPaths(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(session_window(col("event_ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts_ms, event_id, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("path"))
+
   /** Exactly-once dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -286,6 +286,15 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("session paths: streaming append == batch, order pinned across micro-batches") {
+    val streamed = runStream(StreamingLift.sessionPaths)
+      .filter(col("user_id") >= 0)
+    val batch = StreamingLift.sessionPaths(
+      batchEvents.withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+    assert(sortedRows(streamed, "user_id", "session_start_ms", "path") ===
+      sortedRows(batch, "user_id", "session_start_ms", "path"))
+  }
+
   test("sliding window: streaming append == batch") {
     val streamed = runStream(StreamingLift.sliding)
       .filter(col("win_start_ms") < Sentinel - 600000L)
