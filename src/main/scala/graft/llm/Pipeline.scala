@@ -349,7 +349,35 @@ object Pipeline extends QueryModule {
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** l31: the dataset card — per-source corpus report a data team ships
+    * with a training set: volume, token mass, exact-dup rate, language
+    * spread, quality-gate pass rate. ONE aggregation pass over the
+    * corpus (count-distinct of the content hash rides the same shuffle);
+    * every number is an integer sum or a fixed-shape ratio, so the whole
+    * card is exactly reproducible. */
+  def l31(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("wc", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_unique_texts"),
+        sum("wc").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("wc").between(50, 5000), 1L).otherwise(0L)).as("n_pass_gate"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        ((col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        col("n_langs"),
+        (col("n_pass_gate").cast("double") / col("n_docs")).as("gate_pass_rate"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l31_dataset_card" -> l31,
     "l14_decontaminate" -> l14,
     "l15_pack_sequences" -> l15,
     "l16_sample_stratified" -> l16,
@@ -363,6 +391,27 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    "l31_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars, md5(text) AS h,
+        |         len(string_split(text, ' ')) AS wc
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         COUNT(DISTINCT h) AS n_unique_texts,
+        |         CAST(SUM(wc) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         COUNT(DISTINCT lang) AS n_langs,
+        |         CAST(SUM(CASE WHEN wc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_pass_gate
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_unique_texts,
+        |       CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs AS dup_rate,
+        |       total_tokens,
+        |       CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+        |       n_langs,
+        |       CAST(n_pass_gate AS DOUBLE) / n_docs AS gate_pass_rate
+        |FROM a ORDER BY source""".stripMargin,
     "l24_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id,

@@ -119,6 +119,24 @@ object StreamingLift {
         unix_millis(col("e.resp_ts")).as("resp_ms"),
         col("e.status").as("status"))
 
+  /** correlate's LEFT OUTER flavor — the timeout detector. An unmatched
+    * request is held in state until BOTH watermarks clear its response
+    * window, then emitted once with null response columns: "commands
+    * whose event never arrived" (the reference logs these at R22) as a
+    * stream, with state still bounded by the same eviction rule. */
+  def correlateOuter(requests: DataFrame, responses: DataFrame): DataFrame =
+    requests.withWatermark("req_ts", "1 hour").alias("c")
+      .join(
+        responses.withWatermark("resp_ts", "1 hour").alias("e"),
+        expr("""e.cid = c.req_id AND
+                e.resp_ts >= c.req_ts AND
+                e.resp_ts <= c.req_ts + INTERVAL 30 MINUTES"""),
+        "left_outer")
+      .select(col("c.req_id").as("req_id"),
+        unix_millis(col("c.req_ts")).as("req_ms"),
+        unix_millis(col("e.resp_ts")).as("resp_ms"),
+        col("e.status").as("status"))
+
   final case class UserTop(user_id: Long, n: Long, top3: Seq[Double])
 
   /** Spark 4 arbitrary-stateful-processing v2: per-user event count

@@ -38,32 +38,6 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("runtime bloom filter: a selective dim predicate injects a bloom probe into the fact scan") {
-    // At 100 TB this is Catalyst's InjectRuntimeFilter pruning the fact
-    // side of a shuffle join by a bloom built from the filtered dim —
-    // rows that can't match never leave the scan stage. Local data is
-    // below the default thresholds, so lower them to pin the mechanism.
-    val cheat = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      // application side must EXCEED its scan threshold → lower it;
-      // creation side must stay UNDER its threshold → leave the default
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = cheat.map { case (k, _) => k -> spark.conf.get(k) }
-    try {
-      cheat.foreach { case (k, v) => spark.conf.set(k, v) }
-      val orders = Tables.orders(spark, sf)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey", "o_totalprice")
-      val joined = Tables.lineitem(spark, sf)
-        .select("l_orderkey", "l_quantity")
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-      val plan = joined.queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
-        s"expected an injected bloom runtime filter, got:\n$plan")
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
-  }
-
   test("j07/j08: semi/anti joins stay semi/anti (no distinct-after-join)") {
     assert(planString(operators.Joins.j07(spark, sf)).contains("LeftSemi"))
     assert(planString(operators.Joins.j08(spark, sf)).contains("LeftAnti"))

@@ -239,6 +239,43 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "event_id", "c_name", "value"))
   }
 
+  test("stream-stream outer correlate: timed-out requests emit once with null response") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ids % 7 == 0 never get a response inside the 30-min window — the
+    // outer join must surface them exactly once with null status AFTER
+    // the watermarks close their window; the rest match normally
+    val reqs = batchEvents.as[Ev].collect().sortBy(_.ts_ms).take(300)
+    val resps = reqs.filter(_.event_id % 7 != 0)
+      .map(e => (e.event_id, e.ts_ms + 300000L, "ok"))
+    val reqStream = MemoryStream[Ev]
+    val respStream = MemoryStream[(Long, Long, String)]
+    val out = StreamingLift.correlateOuter(
+      reqStream.toDF().select(col("event_id").as("req_id"),
+        timestamp_millis(col("ts_ms")).as("req_ts")),
+      respStream.toDF().toDF("cid", "resp_ms_in", "status")
+        .select(col("cid"), timestamp_millis(col("resp_ms_in")).as("resp_ts"),
+          col("status")))
+    val name = s"graft_corrout_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      reqStream.addData(reqs.toIndexedSeq)
+      respStream.addData(resps.toIndexedSeq)
+      q.processAllAvailable()
+      reqStream.addData(Ev(-1L, -1L, "s", 0.0, Sentinel))
+      respStream.addData((-1L, Sentinel, "s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("req_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.isNullAt(3))).toMap
+    assert(got.size === reqs.length, "every request surfaces exactly once")
+    reqs.foreach { e =>
+      assert(got(e.event_id) === (e.event_id % 7 == 0),
+        s"req ${e.event_id}: null-ness must mark exactly the unanswered ones")
+    }
+  }
+
   test("streaming incremental dedup: historical probes flag, intra-stream repeats drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
