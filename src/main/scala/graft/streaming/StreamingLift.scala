@@ -178,6 +178,70 @@ object StreamingLift {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SessionClose(user_id: Long, last_ts_ms: Long, n_events: Long)
+
+  /** Event-time TIMERS on transformWithState: the session-timeout
+    * detector. Each user's state is (last event ts, count of the open
+    * session); every batch re-arms one timer at last + gap, and when the
+    * WATERMARK passes it the engine calls handleExpiredTimer — the
+    * session closes exactly once, driven by event time, not by another
+    * record arriving (the capability mapGroupsWithState timeouts and
+    * plain session_window aggregation both approximate, here explicit).
+    * Intra-batch gaps are split inline so a slow micro-batch cadence
+    * can't merge sessions the event times separate. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), SessionClose] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var lastSeen: ValueState[Long] = _
+    @transient private var nEvents: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+      nEvents = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[SessionClose] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      val hadState = lastSeen.exists()
+      if (hadState) getHandle.deleteTimer(lastSeen.get() + gapMs)
+      var last = if (hadState) lastSeen.get() else Long.MinValue
+      var n = if (hadState) nEvents.get() else 0L
+      val closed = Seq.newBuilder[SessionClose]
+      sorted.foreach { ts =>
+        if (last != Long.MinValue && ts - last >= gapMs) {
+          closed += SessionClose(key, last, n)
+          n = 0L
+        }
+        n += 1
+        last = ts
+      }
+      lastSeen.update(last)
+      nEvents.update(n)
+      getHandle.registerTimer(last + gapMs)
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+      val out = SessionClose(key, lastSeen.get(), nEvents.get())
+      lastSeen.clear()
+      nEvents.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Expects (user_id, ts_ms, event_ts) with a watermark already on
+    * event_ts — the timers fire off that watermark. */
+  def sessionTimeouts(events: org.apache.spark.sql.Dataset[
+      (Long, Long, java.sql.Timestamp)]): org.apache.spark.sql.Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.map(e => (e._1, e._2))
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(1800000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class UserRunning(user_id: Long, n: Long, max_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState (reference R18/R22's

@@ -332,6 +332,56 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "user_id", "session_start_ms", "path"))
   }
 
+  test("transformWithState timers: watermark-driven session closes == batch islands") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = batchEvents.as[Ev].collect().sortBy(_.ts_ms)
+      val stream = MemoryStream[Ev]
+      val src = StreamingLift.sessionTimeouts(
+        stream.toDF()
+          .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("event_ts", "1 hour")
+          .select(col("user_id"), col("ts_ms"), col("event_ts"))
+          .as[(Long, Long, java.sql.Timestamp)])
+      val name = s"graft_timer_${System.nanoTime()}"
+      val q = src.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 5, 1)).foreach { chunk =>
+          stream.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        stream.addData(Ev(-1L, -1L, "s", 0.0, Sentinel))
+        q.processAllAvailable()
+        stream.addData(Ev(-2L, -2L, "s", 0.0, Sentinel + 7200000L))
+        q.processAllAvailable() // second advance fires the sentinel-batch timers
+      } finally q.stop()
+      val got = spark.table(name).filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // batch islands: same >= gap rule, per user (last_ts, n) per session
+      val expect = rows.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val ts = evs.map(_.ts_ms).sorted
+        val sessions = Seq.newBuilder[(Long, Long, Long)]
+        var start = 0
+        for (i <- 1 until ts.length)
+          if (ts(i) - ts(i - 1) >= 1800000L) {
+            sessions += ((u, ts(i - 1), (i - start).toLong)); start = i
+          }
+        sessions += ((u, ts.last, (ts.length - start).toLong))
+        sessions.result()
+      }.sorted
+      assert(got === expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("sliding window: streaming append == batch") {
     val streamed = runStream(StreamingLift.sliding)
       .filter(col("win_start_ms") < Sentinel - 600000L)
