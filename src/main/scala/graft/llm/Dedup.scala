@@ -225,22 +225,29 @@ object Dedup extends QueryModule {
     * on summation order. One shuffle on (cid, dim); a full k-means run
     * is this plan iterated with the driver checking movement, like l21's
     * label propagation. Output: 16×64 rows (cid, dim, n, mean). */
-  def l26(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecMath.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id").between(1, 16))
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  /** The Lloyd assignment step against an arbitrary centroid table
+    * (cid, cvec) — shared by l26 and DedupSpec's full-run convergence
+    * proof. Keeps ccos so callers can evaluate the spherical objective
+    * Σ cos(x, c(x)) without recomputation. */
+  private[graft] def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = emb
+    emb
       .crossJoin(broadcast(cents))
       .withColumn("ccos", expr(
         """vec_dot(embedding, cvec)
           | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-    assigned
+      .select(col("vec_id"), col("embedding"), col("cid"), col("ccos"))
+  }
+
+  def l26(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    kmeansAssign(emb, cents)
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("cid", "dim")
       .agg(count(lit(1)).as("n"),

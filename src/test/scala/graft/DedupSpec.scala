@@ -11,6 +11,41 @@ class DedupSpec extends SparkSuite {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("l26 iterated to fixpoint: spherical k-means objective never decreases") {
+    import spark.implicits._
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    // seed = the same 16 fixed centroids l26 uses; then run REAL Lloyd
+    // rounds — the driver loop l26's scaladoc promises. Centroids are
+    // k×64 doubles: driver-sized at any corpus scale, so the
+    // collect-rebuild-broadcast loop is the production shape too.
+    var cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val objectives = (1 to 4).map { _ =>
+      val assigned = Dedup.kmeansAssign(emb, cents).cache()
+      val obj = assigned.agg(sum("ccos")).collect()(0).getDouble(0)
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (cid, ds) =>
+          cid -> ds.sortBy(_._2).map(_._3.toFloat).toSeq
+        }
+      assigned.unpersist()
+      val oldCents = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      // empty clusters keep their previous centroid (standard Lloyd)
+      cents = oldCents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        .toSeq.sortBy(_._1).toDF("cid", "cvec")
+      obj
+    }
+    objectives.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased: $objectives")
+    }
+    assert(objectives.last > objectives.head,
+      s"four Lloyd rounds should strictly improve the seed: $objectives")
+  }
+
   test("l02c SimHash pairs substantially agree with MinHash-LSH pairs (same planted dups)") {
     val sim = pairs(Dedup.l02c(spark, sf))
     val mh = pairs(Llm.l02(spark, sf))
