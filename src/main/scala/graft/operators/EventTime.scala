@@ -154,9 +154,40 @@ object EventTime extends QueryModule {
       .orderBy(col("n_sessions").desc, col("path"))
   }
 
+  /** t10: resample to a dense hourly grid + forward fill — the
+    * sparse→dense conversion every time-series consumer needs (gaps in
+    * event data must read as "carry the last observation", not "row
+    * missing"). The grid is sequence-exploded per event_type from the
+    * OBSERVED min/max hour (broadcast one-row bounds — no driver trip),
+    * left-joined to the hourly sums, then nulls forward-fill via
+    * last(ignoreNulls) over an unbounded-preceding frame: one window
+    * pass, no self-join. Grid size is |types|·|hours| — tiny relative
+    * to events at any scale; the events scan aggregates FIRST, so the
+    * window runs on the grid, never the raw stream. */
+  def t10(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val e = Tables.events(spark, dir)
+      .withColumn("hour", expr(s"ts_ms div $hourMs"))
+    val hourly = e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+    val bounds = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), (col("hour") * hourMs).as("hour_start_ms"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_value").isNotNull.as("observed"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_ffill"))
+      .orderBy("event_type", "hour_start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
+    "t10_resample_ffill" -> t10,
     "t08_cohort_retention" -> t08,
     "t01_tumbling" -> t01,
     "t02_sliding" -> t02,
@@ -166,6 +197,24 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t10_resample_ffill" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//3600000 AS hour, value
+        |           FROM events),
+        |hourly AS (SELECT event_type, hour, COUNT(*) AS n,
+        |                  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+        |grid AS (SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hour
+        |         FROM (SELECT DISTINCT event_type FROM e) t, b)
+        |SELECT grid.event_type, grid.hour * 3600000 AS hour_start_ms,
+        |       COALESCE(hourly.n, 0) AS n,
+        |       hourly.sum_value IS NOT NULL AS observed,
+        |       last_value(hourly.sum_value IGNORE NULLS) OVER (
+        |         PARTITION BY grid.event_type ORDER BY grid.hour
+        |         ROWS UNBOUNDED PRECEDING) AS sum_value_ffill
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour
+        |ORDER BY 1, 2""".stripMargin,
     "t09_session_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
