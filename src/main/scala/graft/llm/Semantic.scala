@@ -43,15 +43,7 @@ object Semantic extends QueryModule {
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = emb
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(
-        """vec_dot(embedding, cvec)
-          | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = Dedup.kmeansAssign(emb, cents)
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
       // referenced three times (both pair sides + the verdict join);

@@ -168,10 +168,14 @@ object EventTime extends QueryModule {
     val hourMs = 3600000L
     val e = Tables.events(spark, dir)
       .withColumn("hour", expr(s"ts_ms div $hourMs"))
+    // cached: bounds, the type list, and the join all derive from this
+    // grid-sized aggregate — ONE events scan total, everything after
+    // operates on |types|·|hours| rows
     val hourly = e.groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
-    val bounds = e.agg(min("hour").as("h0"), max("hour").as("h1"))
-    val grid = e.select("event_type").distinct()
+      .cache()
+    val bounds = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = hourly.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
     val w = Window.partitionBy("event_type").orderBy("hour")

@@ -194,6 +194,13 @@ object Scans extends QueryModule {
     * shards by file; maxPartitionBytes groups small files per task. */
   def s14(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Tables.scratchPath("s14_binary", dir)
+    // clear stale files first: the scratch dir is deterministic and this
+    // sink has no mode("overwrite") truncation — a doc file left by a
+    // previous run over different data would match the glob and surface
+    // a row the oracle (computed from the CURRENT table) doesn't have
+    val base = java.nio.file.Paths.get(tmp)
+    if (java.nio.file.Files.isDirectory(base))
+      java.nio.file.Files.list(base).forEach(p => java.nio.file.Files.delete(p))
     Tables.documents(spark, dir)
       .filter(col("doc_id") <= 100).select("doc_id", "text")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>

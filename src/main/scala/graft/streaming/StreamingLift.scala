@@ -214,7 +214,11 @@ object StreamingLift {
           n = 0L
         }
         n += 1
-        last = ts
+        // a LATE event (ts <= stored last, possible up to the watermark
+        // delay) merges into the open session but must never move the
+        // boundary backwards — otherwise the re-armed timer fires early
+        // and a following on-time event mis-splits the session
+        if (ts > last) last = ts
       }
       lastSeen.update(last)
       nEvents.update(n)

@@ -39,8 +39,10 @@ class DedupSpec extends SparkSuite {
         .toSeq.sortBy(_._1).toDF("cid", "cvec")
       obj
     }
+    // tolerance covers the float32 centroid rounding (relative ~6e-8 per
+    // component): Lloyd's monotonicity is exact only for exact updates
     objectives.sliding(2).foreach { case Seq(a, b) =>
-      assert(b >= a - 1e-9, s"objective decreased: $objectives")
+      assert(b >= a - 1e-5, s"objective decreased: $objectives")
     }
     assert(objectives.last > objectives.head,
       s"four Lloyd rounds should strictly improve the seed: $objectives")

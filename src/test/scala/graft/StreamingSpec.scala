@@ -382,6 +382,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState timers: a late in-watermark event merges without moving the session boundary back") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 999999600000L
+      val stream = MemoryStream[Ev]
+      val src = StreamingLift.sessionTimeouts(
+        stream.toDF()
+          .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("event_ts", "1 hour")
+          .select(col("user_id"), col("ts_ms"), col("event_ts"))
+          .as[(Long, Long, java.sql.Timestamp)])
+      val name = s"graft_timer_late_${System.nanoTime()}"
+      val q = src.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        stream.addData(Ev(1L, 7L, "a", 0.0, t0), Ev(2L, 7L, "a", 0.0, t0 + 300000L))
+        q.processAllAvailable()
+        // late by 3 min relative to the stored last-seen — must merge into
+        // the open session WITHOUT re-arming the timer earlier
+        stream.addData(Ev(3L, 7L, "a", 0.0, t0 + 120000L))
+        q.processAllAvailable()
+        // 29 min after the true last event: same session if the boundary
+        // didn't move backwards; a regression would have closed at +32 min
+        stream.addData(Ev(4L, 7L, "a", 0.0, t0 + 300000L + 1740000L))
+        q.processAllAvailable()
+        stream.addData(Ev(-1L, -1L, "s", 0.0, Sentinel))
+        q.processAllAvailable()
+        stream.addData(Ev(-2L, -2L, "s", 0.0, Sentinel + 7200000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).filter(col("user_id") === 7L).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq((t0 + 300000L + 1740000L, 4L)),
+        s"expected ONE 4-event session, got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("sliding window: streaming append == batch") {
     val streamed = runStream(StreamingLift.sliding)
       .filter(col("win_start_ms") < Sentinel - 600000L)
