@@ -376,7 +376,35 @@ object Pipeline extends QueryModule {
         (col("n_pass_gate").cast("double") / col("n_docs")).as("gate_pass_rate"))
       .orderBy("source")
 
+  /** l32: snapshot diff — the dataset-versioning primitive: what changed
+    * between two corpus snapshots, by CONTENT (hash), not by id. Two
+    * deterministic synthetic snapshots (doc_id mod 5 slices with
+    * overlap), one full-outer join of their distinct content-hash sets,
+    * one counting pass. At scale both sides shuffle once on the hash —
+    * and the hash sets are the compact dedup indexes a corpus store
+    * keeps anyway (l25's incremental probe reads the same structure). */
+  def l32(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
+    val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("h").distinct().withColumn("in_old", lit(1))
+    val neu = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+      .select("h").distinct().withColumn("in_new", lit(1))
+    old.join(neu, Seq("h"), "full")
+      .agg(
+        sum(when(col("in_new").isNotNull && col("in_old").isNull, 1L)
+          .otherwise(0L)).as("n_added"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNull, 1L)
+          .otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"))
+      .select(col("n_added"), col("n_removed"), col("n_retained"),
+        (col("n_retained").cast("double")
+          / (col("n_added") + col("n_removed") + col("n_retained")))
+          .as("snapshot_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,
     "l14_decontaminate" -> l14,
     "l15_pack_sequences" -> l15,
@@ -391,6 +419,21 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    "l32_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |old AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+        |new AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 1),
+        |j AS (SELECT old.h AS oh, new.h AS nh
+        |      FROM old FULL OUTER JOIN new ON old.h = new.h),
+        |c AS (SELECT
+        |        CAST(SUM(CASE WHEN nh IS NOT NULL AND oh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |        CAST(SUM(CASE WHEN oh IS NOT NULL AND nh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |        CAST(SUM(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |      FROM j)
+        |SELECT n_added, n_removed, n_retained,
+        |       CAST(n_retained AS DOUBLE) / (n_added + n_removed + n_retained)
+        |         AS snapshot_jaccard
+        |FROM c""".stripMargin,
     "l31_dataset_card" ->
       """WITH d AS (
         |  SELECT source, lang, n_chars, md5(text) AS h,

@@ -206,7 +206,38 @@ object Joins extends QueryModule {
       .crossJoin(broadcast(Tables.nation(spark, dir).select(col("n_name"))))
       .orderBy("r_name", "n_name")
 
+  private val WeekMs = 7L * 86400000L
+
+  /** j16: interval×interval overlap join with NO equi key — j14's bin
+    * trick extended to intervals on BOTH sides. Bin width = the max
+    * interval length, so every interval spans ≤ 2 bins and any
+    * overlapping pair shares ≥ 1 bin; unlike the point case a pair can
+    * meet in TWO bins, so the pair-level distinct after the bin join is
+    * load-bearing (and cheap: it runs on qualifying pairs only, not on
+    * candidates). Candidates stay per-bin-bounded — never the
+    * |anchors|·|orders| nested-loop product a naive OVERLAPS predicate
+    * degenerates to. */
+  def j16(spark: SparkSession, dir: String): DataFrame = {
+    val oms = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Tables.epochMs(col("o_orderdate")).as("t0"))
+      .withColumn("t1", col("t0") + WeekMs) // 7-day fulfillment window
+    val anchors = oms.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("a_key"), col("t0").as("a0"), col("t1").as("a1"))
+    val abins = anchors.withColumn("bin",
+      explode(sequence(expr(s"a0 div ${WeekMs}L"), expr(s"(a1 - 1) div ${WeekMs}L"))))
+    val obins = oms.withColumn("bin",
+      explode(sequence(expr(s"t0 div ${WeekMs}L"), expr(s"(t1 - 1) div ${WeekMs}L"))))
+    abins.join(obins, Seq("bin"))
+      .filter(col("a0") < col("t1") && col("t0") < col("a1")
+        && col("a_key") =!= col("o_orderkey"))
+      .select(col("a_key"), col("o_orderkey").as("b_key"),
+        (least(col("a1"), col("t1")) - greatest(col("a0"), col("t0"))).as("overlap_ms"))
+      .distinct()
+      .orderBy("a_key", "b_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j16_interval_overlap" -> j16,
     "j15_cross_join" -> j15,
     "j01_join_broadcast" -> j01,
     "j02_join_shuffle" -> j02,
@@ -297,6 +328,16 @@ object Joins extends QueryModule {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "j16_interval_overlap" ->
+      """WITH o AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS t0,
+        |                  epoch_ms(o_orderdate) + 604800000 AS t1 FROM orders),
+        |a AS (SELECT o_orderkey AS a_key, t0 AS a0, t1 AS a1 FROM o
+        |      WHERE o_orderkey % 97 = 0)
+        |SELECT a.a_key, o.o_orderkey AS b_key,
+        |       least(a.a1, o.t1) - greatest(a.a0, o.t0) AS overlap_ms
+        |FROM a JOIN o ON a.a0 < o.t1 AND o.t0 < a.a1
+        |  AND a.a_key <> o.o_orderkey
+        |ORDER BY a_key, b_key""".stripMargin,
     "j14_join_range_binned" ->
       """WITH ev AS (SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms FROM events),
         |anch AS (SELECT event_id AS anchor_id, ts_ms AS t0 FROM ev

@@ -151,6 +151,29 @@ class PlanSpec extends SparkSuite {
     assert(binned == naive, s"binned=${binned.take(5)} naive=${naive.take(5)}")
   }
 
+  test("j16: interval-overlap join stays an equi join on bin and equals the naive OVERLAPS theta join") {
+    import org.apache.spark.sql.functions._
+    val plan = planString(operators.Joins.j16(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degraded to a product:\n$plan")
+    val binned = operators.Joins.j16(spark, sf).collect().toSeq
+    val weekMs = 7L * 86400000L
+    val oms = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), Tables.epochMs(col("o_orderdate")).as("t0"))
+      .withColumn("t1", col("t0") + weekMs)
+    val naive = oms.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("a_key"), col("t0").as("a0"), col("t1").as("a1"))
+      .join(oms, col("a0") < col("t1") && col("t0") < col("a1")
+        && col("a_key") =!= col("o_orderkey"))
+      .select(col("a_key"), col("o_orderkey").as("b_key"),
+        (least(col("a1"), col("t1")) - greatest(col("a0"), col("t0"))).as("overlap_ms"))
+      .orderBy("a_key", "b_key").collect().toSeq
+    // the naive theta join visits each pair once; the binned plan visits
+    // shared-bin pairs up to twice and MUST collapse them — equality here
+    // is exactly the proof that the distinct is doing its job
+    assert(binned == naive, s"binned=${binned.take(3)} naive=${naive.take(3)}")
+  }
+
   test("l19: curation pipeline fuses gate predicates into one filter over the scan") {
     val plan = planString(llm.Pipeline.l19(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "contamination anti join should broadcast")
