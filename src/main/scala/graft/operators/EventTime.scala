@@ -188,10 +188,40 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "hour_start_ms")
   }
 
+  /** t11: t07's funnel with CONVERSION DEADLINES — a click only counts
+    * within 24 h of the first view, a purchase within 7 d of that click
+    * (the semantics product analytics actually bills: late conversions
+    * are organic, not funnel). Same scale shape as t07: per-stage
+    * conditional-min aggs over one user_id partitioning, tiny stage
+    * tables broadcast forward. */
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts_ms") > col("t_view")
+        && col("ts_ms") <= col("t_view") + dayMs)
+      .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts_ms") > col("t_click")
+        && col("ts_ms") <= col("t_click") + 7L * dayMs)
+      .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("reached"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
     "t10_resample_ffill" -> t10,
+    "t11_conversion_window" -> t11,
     "t08_cohort_retention" -> t08,
     "t01_tumbling" -> t01,
     "t02_sliding" -> t02,
@@ -201,6 +231,27 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t11_conversion_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_ms) AS t_view
+        |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_ms > s1.t_view
+        |         AND e.ts_ms <= s1.t_view + 86400000
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t_click
+        |         AND e.ts_ms <= s2.t_click + 604800000
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |       1 + CAST(s2.t_click IS NOT NULL AS INT)
+        |         + CAST(s3.t_purchase IS NOT NULL AS INT) AS reached
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "t10_resample_ffill" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//3600000 AS hour, value
         |           FROM events),
