@@ -403,7 +403,28 @@ object Pipeline extends QueryModule {
           .as("snapshot_jaccard"))
   }
 
+  /** l33: fixed-width histogram of document lengths per language — the
+    * distribution profile behind every data-quality dashboard. Bounds
+    * come from a broadcast one-row min/max (no driver trip), bucket
+    * assignment is a map-side integer expression, and the final agg runs
+    * on the |langs|·|buckets| grid. Integer bucket math only — no
+    * float binning to diverge between engines; the max value is clamped
+    * into the last bucket (the half-open-interval edge case). */
+  def l33(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 10
+    val docs = Tables.documents(spark, dir).select("lang", "n_chars")
+    val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(expr(s"(n_chars - lo) * $nb div greatest(hi - lo + 1, 1)"), lit(nb - 1)))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("bucket_min"), max("n_chars").as("bucket_max"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,
     "l14_decontaminate" -> l14,
@@ -419,6 +440,15 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    "l33_histogram" ->
+      """WITH b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+        |d AS (SELECT lang, n_chars,
+        |             LEAST((n_chars - b.lo) * 10 // GREATEST(b.hi - b.lo + 1, 1), 9)
+        |               AS bucket
+        |      FROM documents, b)
+        |SELECT lang, bucket, COUNT(*) AS n,
+        |       MIN(n_chars) AS bucket_min, MAX(n_chars) AS bucket_max
+        |FROM d GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "l32_corpus_diff" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |old AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
