@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] executor threads live in this one JVM: 8g forced the
+  // round-4 in-sweep l02/l21/g01 GC collapse (30-60 s organic GC per
+  // query under storage pressure). The box has 128 GiB; 24g leaves the
+  // sort-heavy sf0.1 sweep entirely out of GC trouble.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -49,7 +49,9 @@ object Bench {
         catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
-    System.gc() // drop the 111 warmup runs' shuffle state before timing
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc() // drop the warmup runs' shuffle state before timing
     // best-of-2: a single pass is at the mercy of one ill-timed GC pause
     // (observed 20× spikes); min-of-two is the standard stable estimator.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -83,6 +85,12 @@ object Bench {
       // block manager; the explicit gc() lets the ContextCleaner drop
       // this query's shuffle files before the next one is timed.
       spark.catalog.clearCache()
+      // clearCache() only empties the CacheManager — localCheckpoint
+      // blocks (l21/l25 fixpoint iterates, checkpointed query results)
+      // bypass it and otherwise sit in storage memory until driver GC
+      // happens to collect the RDD reference. Drop them deterministically.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // two-phase drain: the first gc() queues the dead shuffle/broadcast
       // weak refs, the ContextCleaner thread then issues the actual
       // removeShuffle/removeBroadcast RPCs, and the second gc() collects
@@ -110,7 +118,14 @@ object Bench {
     // gc_sec = driver-JVM GC time attributed to each query's two runs —
     // a query that is slow here but fast in isolation with high gc_sec
     // is a memory-pressure victim, not a bad plan
-    val full = s"""{"total":${f3(total)},"queries":${qsJson(ok)},""" +
+    // provenance: an in-harness sweep (driver's sbt JVM, possibly a
+    // different -Xmx) and a fresh standalone run produce different
+    // numbers for the same code — the heap size + thread count recorded
+    // here lets a reader tell which environment produced this file
+    // instead of reconstructing it from timestamps
+    val ctx = s""""context":{"xmx_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
+      s""""cpus":$cpus,"java":"${System.getProperty("java.version")}"}"""
+    val full = s"""{"total":${f3(total)},$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record

@@ -49,6 +49,46 @@ object Uuid5Gen {
   def eval(ns: UTF8String, name: UTF8String): UTF8String =
     UTF8String.fromString(
       Uuid5.uuid5(java.util.UUID.fromString(ns.toString), name.getBytes).toString)
+
+  def evalCmdId(batch: UTF8String, name: UTF8String, params: UTF8String,
+      fileOid: UTF8String): UTF8String =
+    UTF8String.fromString(Uuid5.genCmdIdJson(
+      batch.toString, name.toString, params.toString, fileOid.toString))
+}
+
+/** gen-cmd-id as a native Catalyst expression: the command-envelope id
+  * v5(batchCmdId, name :: sorted params ∪ {file-oid}) (reference
+  * import_clinical_data.clj:288-289) evaluated inline in whole-stage
+  * codegen. The byte-sequence hashing (raw 16-byte UUID params, keyword
+  * colons) can't be expressed as a single uuid5_native name string, so
+  * it gets its own expression rather than a ScalaUDF closure — the
+  * envelope runs once per command at scale, and the UDF's encoder
+  * round-trip per row was the one non-codegen step in the c01/c02 plans.
+  */
+case class GenCmdIdExpression(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gen_cmd_id expects 4 strings, got ${children.map(_.dataType).mkString(", ")}")
+  override def prettyName: String = "gen_cmd_id"
+
+  override def nullSafeEval(b: Any, n: Any, p: Any, f: Any): Any =
+    Uuid5Gen.evalCmdId(b.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n, p, f) =>
+      s"graft.functions.Uuid5Gen.evalCmdId($b, $n, $p, $f)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): GenCmdIdExpression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 object Uuid5Expression {
@@ -57,8 +97,22 @@ object Uuid5Expression {
   def uuid5Native(ns: Column, name: Column): Column =
     org.apache.spark.sql.functions.call_function("uuid5_native", ns, name)
 
-  /** SQL-registry entry point: SELECT uuid5_native(ns, name). */
-  def register(spark: SparkSession): Unit =
+  /** Column API for the envelope id (registers on first use). */
+  def genCmdId(spark: SparkSession, batch: Column, name: Column,
+      params: Column, fileOid: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "gen_cmd_id", batch, name, params, fileOid)
+  }
+
+  /** SQL-registry entry point: SELECT uuid5_native(ns, name) /
+    * gen_cmd_id(batch, name, params_json, file_oid). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "uuid5_native", exprs => Uuid5Expression(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gen_cmd_id",
+      exprs => GenCmdIdExpression(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "built-in")
+  }
 }

@@ -90,10 +90,10 @@ object Dedup extends QueryModule {
     * the corpus grows — candidates scale with true near-dups (25 pairs
     * at sf0.01 → 253 at sf0.1), not with corpus². */
   def l02d(spark: SparkSession, dir: String): DataFrame = {
-    // cached: referenced six times downstream (rare-df agg, both candidate
-    // sides, both exact-verify sides, sizes) — without it the substring
-    // explode re-runs per reference. Harness mains sweep the cache between
-    // queries (same lifecycle as l02's shingle cache).
+    // scoped cache: referenced six times downstream (rare-df agg, both
+    // candidate sides, both exact-verify sides, sizes) — without it the
+    // substring explode re-runs per reference; released before returning
+    // (the pair-sized result is localCheckpoint-materialized below)
     val grams = Tables.documents(spark, dir)
       // <GramLen-char docs yield no grams (descending-sequence guard)
       .filter(length(col("text")) >= GramLen)
@@ -130,7 +130,7 @@ object Dedup extends QueryModule {
     // only way counts could differ from the string oracle) ~1e-8.
     val gsets = grams.groupBy("doc_id")
       .agg(collect_set(xxhash64(col("g"))).as("hs"))
-    cand
+    val out = cand
       .join(gsets.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
       .join(gsets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
       .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
@@ -139,6 +139,9 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= JaccMin)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
+      .localCheckpoint()
+    grams.unpersist(blocking = false)
+    out
   }
 
   // the synthetic embeddings are near-random (max pairwise cosine ≈ 0.51):

@@ -78,6 +78,9 @@ object Llm extends QueryModule {
   }
 
   def l02(spark: SparkSession, dir: String): DataFrame = {
+    // scoped cache: 5 consumers below; released before returning — the
+    // (tiny) result is localCheckpoint-materialized so the returned plan
+    // reads stored blocks, not the unpersisted shingle table
     val sh = shingles(spark, dir).cache()
     val bands = bandSignatures(sh)
     val cand = bands.as("x")
@@ -92,13 +95,16 @@ object Llm extends QueryModule {
       .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
         col("b") === col("b2") && col("sha") === col("shb"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
+    val out = common
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= 0.4)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Brute-force cosine top-k vs a probe vector — the exact baseline; the
@@ -369,7 +375,7 @@ object Llm extends QueryModule {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .join(exactIdx, Seq("h"), "left")
       .select(col("doc_id"), col("hist_id").as("exact_of"))
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir).cache() // scoped: released before return
     val bands = bandSignatures(sh)
     val histBands = bands.filter(!(col("doc_id") % 10 === 0))
     val newBands = bands.filter(col("doc_id") % 10 === 0)
@@ -390,7 +396,7 @@ object Llm extends QueryModule {
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .filter(round(col("c") / (col("na") + col("nb") - col("c")), 6) >= 0.4)
       .groupBy("a").agg(min(col("b")).as("near_of"))
-    newExact
+    val out = newExact
       .join(near, col("doc_id") === col("a"), "left")
       .select(col("doc_id"),
         when(col("exact_of").isNotNull, "exact_dup")
@@ -398,6 +404,9 @@ object Llm extends QueryModule {
           .otherwise("unique").as("status"),
         coalesce(col("exact_of"), col("near_of")).as("dup_of"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -451,8 +460,8 @@ object Llm extends QueryModule {
          |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
          |bands AS (
          |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % 2 = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % 2 = 1 THEN mh END) AS m1
+         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
          |  FROM minsig GROUP BY doc_id, band),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -487,8 +496,8 @@ object Llm extends QueryModule {
          |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
          |bands AS (
          |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % 2 = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % 2 = 1 THEN mh END) AS m1
+         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
          |  FROM minsig GROUP BY doc_id, band),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

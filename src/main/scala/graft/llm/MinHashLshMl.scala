@@ -48,8 +48,10 @@ object MinHashLshMl extends QueryModule {
         s"array_sort(array_distinct(transform(shingles, s -> pmod(hash(s), $NumFeatures))))"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(NumFeatures).setBinary(true)
-    // cached: fit() makes one pass, transform feeds the band explode, and
-    // the verify join consumes idxset on both sides — 4 passes without it
+    // scoped cache: fit() makes one pass, transform feeds the band
+    // explode, and the verify join consumes idxset on both sides — 4
+    // passes without it; released before returning (pair-sized result
+    // localCheckpoint-materialized below)
     val featurized = tf.transform(sh).cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(4).setSeed(42L)
@@ -66,13 +68,16 @@ object MinHashLshMl extends QueryModule {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.idxset").as("ia"), col("y.idxset").as("ib"))
       .dropDuplicates("a", "b")
-    pairs
+    val out = pairs
       .withColumn("jaccard_dist", round(lit(1.0) -
         size(array_intersect(col("ia"), col("ib"))).cast("double") /
           size(array_union(col("ia"), col("ib"))).cast("double"), 6))
       .filter(col("jaccard_dist") <= MaxDist)
       .select("a", "b", "jaccard_dist")
       .orderBy("a", "b")
+      .localCheckpoint()
+    featurized.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

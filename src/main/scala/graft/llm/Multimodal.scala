@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * stage in PySpark (same shape: iterator of batches in, iterator of
   * batches out; no per-row interpreter crossings).
   *
-  * The actual image/audio decode is STUBBED (this container ships no
-  * codec libraries): `decodeStub` produces deterministic fake features
-  * from the bytes. Everything Spark-side — schema, binary column
-  * handling, batch iteration, partition preservation — is real and
-  * tested (MultimodalSpec).
+  * m01's decode is REAL: payloads are genuine self-describing containers
+  * (binary PPM P6 images, RIFF/PCM WAV audio — both fully specified
+  * public formats needing no codec libraries), built from document text
+  * by `containerTable` and parsed back — header grammar, dimensions,
+  * chunk walk, raster/sample extraction — by `decodePpm`/`decodeWav`.
+  * The DuckDB oracle recomputes every feature straight from the SOURCE
+  * text, so a decoder that misparses the container by even one byte
+  * fails the hash gate. (Lossy formats like JPEG/FLAC stay out of scope:
+  * those genuinely need codec libraries this container doesn't ship.)
   *
   * Scale posture: decode is embarrassingly parallel and stays
   * partition-local (mapPartitions, zero shuffle); batch size bounds peak
@@ -29,11 +33,10 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** Deterministic fake decoder: replace with a real codec at the `???`
-    * boundary in production. Features = 8 evenly-spaced byte samples
-    * normalized to [0,1); checksum = xor-fold. */
+  /** m04's feature extractor over raw (container-less) byte payloads:
+    * 8 evenly-spaced byte samples normalized to [0,1); checksum =
+    * xor-fold. Deterministic byte arithmetic, fully oracle-replayable. */
   def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
-    // real decode would be: val img = ??? ; imageToFeatures(img)
     var checksum = 0L
     var i = 0
     while (i < payload.length) { checksum ^= (payload(i) & 0xffL) << ((i % 8) * 8); i += 1 }
@@ -44,7 +47,95 @@ object Multimodal {
     (checksum, feats)
   }
 
-  /** documents.text bytes stand in for undecoded media payloads. */
+  // ---- real container codecs (PPM P6 / RIFF WAV) -----------------------
+
+  final case class PpmImage(width: Int, height: Int, maxVal: Int, raster: Array[Byte])
+  final case class WavAudio(sampleRate: Int, bitsPerSample: Int, channels: Int,
+      samples: Array[Byte])
+
+  /** Binary PPM (P6): "P6\n<w> <h>\n<maxval>\n" + w·h RGB triplets. */
+  def encodePpm(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == 3 * w * h, s"raster ${raster.length} != 3*$w*$h")
+    s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ raster
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM, mono, 8-bit) + samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate) // byte rate (1 ch × 8 bit)
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits per sample
+    bb.put("data".getBytes); bb.putInt(samples.length); bb.put(samples)
+    bb.array()
+  }
+
+  /** Parse binary PPM: magic, whitespace/#-comment grammar, ASCII dims
+    * and maxval, single whitespace, then exactly 3·w·h raster bytes.
+    * None on any malformation — the decode stage dead-letters, never
+    * throws mid-task. */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        val c = payload(i)
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else go = false
+      }
+    }
+    def asciiInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = asciiInt(); val h = asciiInt(); val mv = asciiInt()
+    i += 1 // the single whitespace byte after maxval
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) None
+    else if (payload.length - i < 3 * w * h) None
+    else Some(PpmImage(w, h, mv,
+      java.util.Arrays.copyOfRange(payload, i, i + 3 * w * h)))
+  }
+
+  /** Parse RIFF/WAVE: container magic, then a little-endian chunk walk
+    * (word-aligned) collecting fmt + data. None on malformation. */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload.length < 12) return None
+    def str4(o: Int) = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(o: Int): Long = (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
+      (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
+    def u16(o: Int): Int = (payload(o) & 0xff) | (payload(o + 1) & 0xff) << 8
+    if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+    var o = 12
+    var rate = -1; var bits = -1; var ch = -1
+    var data: Array[Byte] = null
+    while (o + 8 <= payload.length) {
+      val id = str4(o); val sz = u32(o + 4).toInt
+      if (sz < 0 || o + 8 + sz > payload.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        ch = u16(o + 10); rate = u32(o + 12).toInt; bits = u16(o + 22)
+      } else if (id == "data") {
+        data = java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + sz)
+      }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || bits <= 0 || ch <= 0 || data == null) None
+    else Some(WavAudio(rate, bits, ch, data))
+  }
+
+  /** documents.text bytes stand in for undecoded media payloads
+    * (m02/m04's raw-byte pipelines). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -54,7 +145,7 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The decode stage: batched, partition-local, shuffle-free. */
+  /** m04's byte-sample stage: batched, partition-local, shuffle-free. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -67,10 +158,80 @@ object Multimodal {
     }
   }
 
+  /** m01's media fixtures: REAL containers built from document text —
+    * even doc_ids become binary PPMs (raster = text bytes zero-padded /
+    * truncated to 3·w·h), odd ones 8 kHz mono PCM WAVs (samples = text
+    * bytes). Executor-side construction, one container per row. */
+  def containerTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (id % 2 == 0) {
+            val w = (8 + id % 8).toInt
+            val h = math.max(1L, bytes.length / (3L * w)).toInt
+            MediaRow(id, "image/ppm",
+              encodePpm(w, h, java.util.Arrays.copyOf(bytes, 3 * w * h)))
+          } else MediaRow(id, "audio/wav", encodeWav(8000, bytes))
+        }
+      }
+  }
+
+  final case class MediaDecoded(doc_id: Long, media_type: String, ok: Boolean,
+      n_bytes: Long, n_content: Long, checksum: Long, mean_level: Double,
+      width: Option[Long], height: Option[Long], sample_rate: Option[Long])
+
+  /** The real decode stage: batched, partition-local, shuffle-free.
+    * Sniffs the container by media_type, parses it, and derives features
+    * from the DECODED content (raster pixels / PCM samples), never the
+    * raw payload: checksum = Σ (i+1)·byteᵢ, mean_level = mean byte / 256
+    * (both exact-integer gathers → one fixed-shape double division, the
+    * l26 determinism pattern). Malformed containers surface as ok=false
+    * dead-letter rows instead of failing the task. */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    def stats(content: Array[Byte]): (Long, Double) = {
+      var cs = 0L; var sum = 0L; var i = 0
+      while (i < content.length) {
+        cs += (i + 1).toLong * (content(i) & 0xff)
+        sum += (content(i) & 0xff)
+        i += 1
+      }
+      val mean = if (content.length == 0) 0.0
+        else sum.toDouble / (content.length.toDouble * 256.0)
+      (cs, mean)
+    }
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val reject = MediaDecoded(r.doc_id, r.media_type, ok = false,
+            r.payload.length.toLong, 0L, 0L, 0.0, None, None, None)
+          if (r.media_type.startsWith("image/")) decodePpm(r.payload) match {
+            case Some(img) =>
+              val (cs, mean) = stats(img.raster)
+              MediaDecoded(r.doc_id, r.media_type, ok = true,
+                r.payload.length.toLong, img.raster.length.toLong, cs, mean,
+                Some(img.width.toLong), Some(img.height.toLong), None)
+            case None => reject
+          } else decodeWav(r.payload) match {
+            case Some(wav) =>
+              val (cs, mean) = stats(wav.samples)
+              MediaDecoded(r.doc_id, r.media_type, ok = true,
+                r.payload.length.toLong, wav.samples.length.toLong, cs, mean,
+                None, None, Some(wav.sampleRate.toLong))
+            case None => reject
+          }
+        }
+      }
+    }
+  }
+
   def m01(spark: SparkSession, dir: String): DataFrame =
-    decode(mediaTable(spark, dir)).toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    decodeMedia(containerTable(spark, dir)).toDF()
+      .select("doc_id", "media_type", "ok", "n_bytes", "n_content",
+        "checksum", "mean_level", "width", "height", "sample_rate")
       .orderBy("doc_id")
 
   // ---- frame sampling (video stand-in) --------------------------------
@@ -184,12 +345,49 @@ object MultimodalQueries extends QueryModule {
     "m03_resize" -> (Multimodal.m03 _),
     "m04_media_features" -> (Multimodal.m04 _))
 
-  // m01's xor-fold checksum has no DuckDB image (covered by
-  // MultimodalSpec fixed vectors); m02-m04 are stubbed on byte/char
-  // arithmetic the oracle replays exactly — the corpus is pure ASCII, so
-  // DuckDB char positions == Spark byte positions and md5(substr(text,..))
-  // equals the JVM md5 of the byte slice.
+  // m01's oracle recomputes every decoded feature straight from the
+  // SOURCE text, independently of the container bytes — the corpus is
+  // pure ASCII, so ascii(substr(text, i, 1)) == the raster/sample byte
+  // the JVM decoder extracted; a one-byte header-parse error shifts the
+  // weighted checksum and fails the hash. m02-m04 replay byte/char
+  // arithmetic the same way (md5(substr(text,..)) == JVM md5 of the
+  // byte slice).
   val oracles: Map[String, String] = Map(
+    "m01_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  8 + doc_id % 8 AS w
+        |           FROM documents),
+        |img AS (
+        |  SELECT doc_id, 'image/ppm' AS media_type, TRUE AS ok,
+        |         CAST(3 + length(CAST(w AS VARCHAR)) + 1
+        |              + length(CAST(greatest(1, len // (3*w)) AS VARCHAR)) + 5
+        |              + 3*w*greatest(1, len // (3*w)) AS BIGINT) AS n_bytes,
+        |         CAST(3*w*greatest(1, len // (3*w)) AS BIGINT) AS n_content,
+        |         CAST(coalesce(list_sum(list_transform(
+        |             range(1, least(len, 3*w*greatest(1, len // (3*w))) + 1),
+        |             i -> i * ascii(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
+        |         CAST(coalesce(list_sum(list_transform(
+        |             range(1, least(len, 3*w*greatest(1, len // (3*w))) + 1),
+        |             i -> ascii(substr(text, i, 1)))), 0) AS DOUBLE)
+        |           / (CAST(3*w*greatest(1, len // (3*w)) AS DOUBLE) * 256.0) AS mean_level,
+        |         CAST(w AS BIGINT) AS width,
+        |         CAST(greatest(1, len // (3*w)) AS BIGINT) AS height,
+        |         CAST(NULL AS BIGINT) AS sample_rate
+        |  FROM d WHERE doc_id % 2 = 0),
+        |wav AS (
+        |  SELECT doc_id, 'audio/wav' AS media_type, TRUE AS ok,
+        |         CAST(44 + len AS BIGINT) AS n_bytes,
+        |         CAST(len AS BIGINT) AS n_content,
+        |         CAST(coalesce(list_sum(list_transform(range(1, len + 1),
+        |             i -> i * ascii(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
+        |         CASE WHEN len = 0 THEN 0.0 ELSE
+        |           CAST(coalesce(list_sum(list_transform(range(1, len + 1),
+        |               i -> ascii(substr(text, i, 1)))), 0) AS DOUBLE)
+        |             / (CAST(len AS DOUBLE) * 256.0) END AS mean_level,
+        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |         CAST(8000 AS BIGINT) AS sample_rate
+        |  FROM d WHERE doc_id % 2 <> 0)
+        |SELECT * FROM img UNION ALL SELECT * FROM wav ORDER BY doc_id""".stripMargin,
     "m02_frame_sample" ->
       s"""WITH d AS (SELECT doc_id, text,
          |             (length(text) + ${Multimodal.FrameSize - 1}) // ${Multimodal.FrameSize} AS nf

@@ -226,35 +226,17 @@ object Pipeline extends QueryModule {
     * MinHash pair graph, each document labeled with its component's min
     * doc_id (the canonical representative the dedup pass keeps).
     *
-    * Implementation is min-label propagation to fixpoint: every iteration
-    * is a distributed join + aggregate, the driver only checks the
-    * converged? counter (the standard iterative CC; at 100 TB the
-    * large-star/small-star variant bounds iteration count, and near-dup
-    * components are tiny by construction so propagation converges in a
-    * handful of rounds). localCheckpoint truncates the growing lineage so
-    * iteration N doesn't replay iterations 1..N-1. */
+    * CC runs through graft.Fixpoint.connectedComponentsStar: alternating
+    * large-star/small-star (round count O(log² n) on ANY graph, where
+    * plain min-label propagation pays the component diameter — the
+    * adversarial-chain case), localCheckpoint-truncated lineage, and
+    * superseded iterates unpersisted the moment their successor
+    * materializes (retained checkpoints were the round-4 in-sweep GC
+    * debt). Labels are the component minimum either way, so the
+    * recursive-CTE oracle is unchanged. */
   def l21(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Llm.l02(spark, dir).select("a", "b").localCheckpoint()
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
-      val minNeigh = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
-        .groupBy("a").agg(min("nl").as("mn"))
-      // carry prev inside next: convergence check is a filter over the
-      // checkpointed result, not an extra join job per iteration
-      val next = labels
-        .join(minNeigh.select(col("a").as("id"), col("mn")), Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select("id", "label")
-      iter += 1
-    }
+    val pairs = Llm.l02(spark, dir).select("a", "b")
+    val labels = graft.Fixpoint.connectedComponentsStar(pairs, maxIter = 25)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),

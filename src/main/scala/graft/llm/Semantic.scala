@@ -46,10 +46,10 @@ object Semantic extends QueryModule {
     val assigned = Dedup.kmeansAssign(emb, cents)
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
-      // referenced three times (both pair sides + the verdict join);
-      // uncached, the scan+crossJoin+window assignment subplan runs 3× —
-      // at corpus scale you persist the assignment table once (same
-      // lifecycle as l02d's gram cache; harness sweeps it between queries)
+      // scoped cache: referenced three times (both pair sides + the
+      // verdict join); uncached, the scan+crossJoin+window assignment
+      // subplan runs 3×. Released before returning — the per-vector
+      // result is localCheckpoint-materialized below.
       .cache()
     // explicit renames (not aliases): a self-join of a window-derived
     // plan resolves unambiguously this way
@@ -62,11 +62,14 @@ object Semantic extends QueryModule {
         round(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cosine") >= Tau)
       .groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("dup_of"))
-    assigned.join(dup, Seq("vec_id"), "left")
+    val out = assigned.join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         when(col("dup_of").isNotNull, "dup").otherwise("keep").as("status"),
         col("dup_of"))
       .orderBy("vec_id")
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** l28: content-defined chunking. Boundary after word k iff the word's

@@ -285,19 +285,18 @@ object OdmPipeline {
   def commands(spark: SparkSession, path: String): DataFrame =
     commandsOf(exploded(spark, path))
 
-  private def genIdUdf(batchCmdId: String) =
-    udf((name: String, paramsJson: String, fileOid: String) =>
-      Uuid5.genCmdIdJson(batchCmdId, name, paramsJson, fileOid))
-
   /** Envelope (R13): deterministic cmd_id = gen-cmd-id(batchCmdId, name,
     * params ∪ {file-oid}), sub inherited from the batch command —
     * idempotent across replays, key-order free. Ordered by level so the
     * downstream processor sees parents before children (the relational
-    * image of the reference's depth-wise await). */
+    * image of the reference's depth-wise await). The id is the native
+    * codegen'd gen_cmd_id expression (Uuid5Expression.scala), not a
+    * ScalaUDF — the envelope runs once per command at scale. */
   def enveloped(spark: SparkSession, path: String, batchCmdId: String,
       sub: String): DataFrame =
     commands(spark, path)
-      .withColumn("id", genIdUdf(batchCmdId)(col("name"), col("params_json"), col("file_oid")))
+      .withColumn("id", graft.functions.Uuid5Expression.genCmdId(spark,
+        lit(batchCmdId), col("name"), col("params_json"), col("file_oid")))
       .withColumn("sub", lit(sub))
       .select("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
       .orderBy("level", "name", "params_json")
@@ -314,13 +313,13 @@ object OdmPipeline {
   def gatedCommands(spark: SparkSession, path: String, batchCmdId: String,
       sub: String, events: DataFrame): DataFrame = {
     val lv = exploded(spark, path)
-    val genId = genIdUdf(batchCmdId)
     val ev = events.select(col("cid"), col("name").as("ev_name"))
 
     // entities at a level that allow descent into their children
     def descendants(df: DataFrame, entity: String, cmdName: Column, params: Column): DataFrame = {
       val withId = df.withColumn("cmd_id",
-        genId(cmdName, to_json(params), col("file_oid")))
+        graft.functions.Uuid5Expression.genCmdId(spark,
+          lit(batchCmdId), cmdName, to_json(params), col("file_oid")))
       val passThrough = withId.filter(col("tx") === "update")
       val gated = withId.filter(col("tx").isin("insert", "upsert"))
         .join(ev,
@@ -362,7 +361,8 @@ object OdmPipeline {
 
     commandsOf(lv.copy(studyEvents = seSent, forms = formsSent,
       itemGroups = igSent, items = itemsSent))
-      .withColumn("id", genId(col("name"), col("params_json"), col("file_oid")))
+      .withColumn("id", graft.functions.Uuid5Expression.genCmdId(spark,
+        lit(batchCmdId), col("name"), col("params_json"), col("file_oid")))
       .withColumn("sub", lit(sub))
       .select("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
       .orderBy("level", "name", "params_json")

@@ -28,19 +28,21 @@ object OdmQueries extends QueryModule {
     OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(), BatchCmdId, "importer-1")
 
   /** Dependency-gated command stream (R15): the event log here acknowledges
-    * every command except subject SK01's — its whole subtree must prune.
-    * Exercises the left_semi gating chain end-to-end in the driver env
-    * (OdmPipelineSpec pins the exact expected set). */
+    * every command except subject SK01's — its whole subtree must prune
+    * (reference semantics: import_clinical_data.clj:130-137). The acked
+    * event log derives RELATIONALLY from the envelope stream — a filter on
+    * params_json plus column string surgery — so the whole path is one
+    * DataFrame chain with no driver materialization; OdmPipelineSpec pins
+    * the exact expected set. */
   def c02(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val env = OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(), BatchCmdId, "importer-1")
-    val events = env.collect().toSeq
-      .filter(r => !r.getAs[String]("params_json").contains("SK01"))
-      .map { r =>
-        val entity = r.getAs[String]("name").stripPrefix("odm-import/")
-          .stripPrefix("insert-").stripPrefix("upsert-").stripPrefix("remove-")
-        (r.getAs[String]("id"), s"$entity/created")
-      }.toDF("cid", "name")
+    val events = env
+      .filter(!col("params_json").contains("SK01"))
+      .select(col("id").as("cid"),
+        concat(
+          regexp_replace(col("name"),
+            "^odm-import/(insert-|upsert-|remove-)?", ""),
+          lit("/created")).as("name"))
     OdmPipeline.gatedCommands(spark, OdmPipeline.fixturePath(), BatchCmdId,
       "importer-1", events)
   }

@@ -141,19 +141,6 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
   }
 
-  /** a14: exact multi-percentile profile per group, by rank arithmetic
-    * instead of the built-in `percentile` aggregate. The built-in is a
-    * TypedImperativeAggregate whose buffer is a value→count map of every
-    * distinct input — five of them here, each serialized per partial
-    * through the shuffle; on 600k near-distinct values that measured 53 s
-    * with 18 s of driver GC. The sort-based plan does the work once:
-    * row_number per group, then the 2·|quantiles| interpolation rows per
-    * group come back via a 30-row broadcast equi-join, and
-    * v = vlo + (vhi−vlo)·frac is exactly the built-in's (and DuckDB
-    * quantile_cont's) formula — integer cents keep it bit-identical.
-    * At 100 TB the per-group window is the one non-scalable piece (one
-    * task per group); the fix is the l15 distributed-prefix-sum rank over
-    * (group, cents) range partitions — same join afterwards. */
   /** Exact per-group percentiles by rank arithmetic: row_number per
     * group, then the ≤ 2·|ps|·|groups| bracketing-rank rows come back via
     * a broadcast equi-join and interpolate in quantile_cont's (and the
@@ -224,27 +211,41 @@ object Aggregates extends QueryModule {
     * (|x - median| > 3 · 1.4826 · MAD, the normal-consistent robust
     * z-score). Mean/stddev outlier rules break down exactly when outliers
     * exist (the outliers inflate the threshold); median/MAD is the
-    * data-profiling rule that survives contamination. Two percentile
-    * passes (median, then median of absolute deviations) + one broadcast
-    * join back; values are integer cents so every interpolated median is
-    * an exact dyadic double and the DuckDB comparison is bit-identical
-    * (same trick as a14). Group cardinality is |event_type|, so both
-    * percentile aggregations are tiny at any corpus size; the heavy scans
-    * are map-side. */
+    * data-profiling rule that survives contamination. Both medians go
+    * through the a14 rank-window + broadcast bracketing-rank join, never
+    * the built-in `percentile` map-buffer aggregate (value→count map per
+    * partial — the a14 pathology at scale). Exactness chain: cents are
+    * integers → med is 0.5-grained → absdev is 0.5-grained → MAD (median
+    * of absdev, taken over 2·absdev integers then halved) is
+    * 0.25-grained; every quantity is an exact dyadic double in both
+    * engines. The outlier test is then pinned in integer space:
+    * absdev > 4.4478·mad ⟺ 20000·absdev > 88956·mad, and both products
+    * are exactly-representable integers (absdev·20000 ∈ 10000·ℤ,
+    * mad·88956 ∈ 22239·ℤ), so no last-ulp double-product divergence
+    * between Spark and DuckDB can flip a boundary row. Group cardinality
+    * is |event_type|, so the rank joins are tiny at any corpus size; the
+    * heavy scans are map-side. */
   def a16(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val med = e.groupBy("event_type").agg(expr("percentile(cents, 0.5)").as("med"))
+    val med = rankPercentiles(e, "event_type", Seq(0.5))
+      .select(col("event_type"), col("v").as("med"))
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("absdev", abs(col("cents") - col("med")))
-    val mad = dev.groupBy("event_type").agg(expr("percentile(absdev, 0.5)").as("mad"))
+    // absdev is 0.5-grained; double it into exact integers so the rank
+    // plan interpolates integers (result halved back → 0.25-grained MAD).
+    val mad = rankPercentiles(
+      dev.select(col("event_type"), (col("absdev") * 2).cast("bigint").as("cents")),
+      "event_type", Seq(0.5))
+      .select(col("event_type"), (col("v") / 2.0).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
         first(col("med")).as("median_cents"),
         first(col("mad")).as("mad_cents"),
-        sum(when(col("absdev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+        sum(when((col("absdev") * 20000).cast("bigint") >
+            (col("mad") * 88956).cast("bigint"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy("event_type")
   }
@@ -320,7 +321,9 @@ object Aggregates extends QueryModule {
         |        FROM dev GROUP BY event_type)
         |SELECT dev.event_type, COUNT(*) AS n,
         |       MIN(dev.med) AS median_cents, MIN(mad.mad) AS mad_cents,
-        |       SUM(CASE WHEN dev.absdev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+        |       CAST(SUM(CASE WHEN CAST(dev.absdev * 20000 AS BIGINT)
+        |                        > CAST(mad.mad * 88956 AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
     "a15_heavy_hitters" ->

@@ -80,21 +80,23 @@ object EventTime extends QueryModule {
   /** t07: funnel analysis — the earliest view → click → purchase chain
     * per user, each stage strictly after the one before. Three
     * conditional-min aggregations over the SAME user partitioning, the
-    * later two probing the previous stage's tiny per-user table via a
-    * broadcast join: at 100 TB the events scan dominates and no stage
-    * reshuffles it more than once on user_id (AQE coalesces the
-    * identical partitionings); stage tables are |users| rows, broadcast
-    * material by construction. reached = number of completed stages. */
+    * later two probing the previous stage's per-user table. Stage tables
+    * are |users| rows — NOT unconditionally broadcast material (an
+    * all-users table at 100 TB is a driver OOM), so there is no
+    * broadcast hint: every join is a user_id equi-join that reuses the
+    * stage partitioning, and AQE upgrades it to broadcast at runtime
+    * exactly when the measured stage size allows.
+    * reached = number of completed stages. */
   def t07(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
     val s1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_ms").as("t_view"))
     val s2 = e.filter(col("event_type") === "click")
-      .join(broadcast(s1), "user_id")
+      .join(s1, "user_id")
       .filter(col("ts_ms") > col("t_view"))
       .groupBy("user_id").agg(min("ts_ms").as("t_click"))
     val s3 = e.filter(col("event_type") === "purchase")
-      .join(broadcast(s2), "user_id")
+      .join(s2, "user_id")
       .filter(col("ts_ms") > col("t_click"))
       .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
     s1.join(s2, Seq("user_id"), "left")
@@ -109,16 +111,18 @@ object EventTime extends QueryModule {
     * signup event; each later activity counts toward (cohort_week,
     * week_offset) with distinct users. Weeks are integer epoch-week
     * ordinals (ts_ms div week_ms — no calendar/timezone semantics to
-    * diverge on). Cohort table is per-user (tiny → broadcast); the events
-    * scan joins it map-side, then one distinct-agg shuffle on the
-    * (cohort, offset) grid — bounded by |weeks|², far below event count. */
+    * diverge on). Cohort table is per-user, so no broadcast hint (an
+    * all-users table isn't broadcast-safe at 100 TB) — the user_id
+    * equi-join lets AQE pick broadcast when the measured size allows;
+    * then one distinct-agg shuffle on the (cohort, offset) grid —
+    * bounded by |weeks|², far below event count. */
   def t08(spark: SparkSession, dir: String): DataFrame = {
     val weekMs = 7L * 86400000L
     val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
     val cohort = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts_ms").as("t0"))
       .withColumn("cohort_week", expr(s"t0 div $weekMs"))
-    e.join(broadcast(cohort), "user_id")
+    e.join(cohort, "user_id")
       .filter(col("ts_ms") >= col("t0"))
       .withColumn("week_offset", expr(s"(ts_ms div $weekMs)") - col("cohort_week"))
       .groupBy("cohort_week", "week_offset")
@@ -168,9 +172,10 @@ object EventTime extends QueryModule {
     val hourMs = 3600000L
     val e = Tables.events(spark, dir)
       .withColumn("hour", expr(s"ts_ms div $hourMs"))
-    // cached: bounds, the type list, and the join all derive from this
-    // grid-sized aggregate — ONE events scan total, everything after
-    // operates on |types|·|hours| rows
+    // scoped cache: bounds, the type list, and the join all derive from
+    // this grid-sized aggregate — ONE events scan total, everything after
+    // operates on |types|·|hours| rows; released before returning (the
+    // grid-sized result is localCheckpoint-materialized below)
     val hourly = e.groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .cache()
@@ -180,32 +185,35 @@ object EventTime extends QueryModule {
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("event_type", "hour"), "left")
+    val out = grid.join(hourly, Seq("event_type", "hour"), "left")
       .select(col("event_type"), (col("hour") * hourMs).as("hour_start_ms"),
         coalesce(col("n"), lit(0L)).as("n"),
         col("sum_value").isNotNull.as("observed"),
         last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_ffill"))
       .orderBy("event_type", "hour_start_ms")
+      .localCheckpoint()
+    hourly.unpersist(blocking = false)
+    out
   }
 
   /** t11: t07's funnel with CONVERSION DEADLINES — a click only counts
     * within 24 h of the first view, a purchase within 7 d of that click
     * (the semantics product analytics actually bills: late conversions
     * are organic, not funnel). Same scale shape as t07: per-stage
-    * conditional-min aggs over one user_id partitioning, tiny stage
-    * tables broadcast forward. */
+    * conditional-min aggs over one user_id partitioning, stage joins
+    * left to AQE (per-user tables are not hint-broadcast material). */
   def t11(spark: SparkSession, dir: String): DataFrame = {
     val dayMs = 86400000L
     val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_ms")
     val s1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_ms").as("t_view"))
     val s2 = e.filter(col("event_type") === "click")
-      .join(broadcast(s1), "user_id")
+      .join(s1, "user_id")
       .filter(col("ts_ms") > col("t_view")
         && col("ts_ms") <= col("t_view") + dayMs)
       .groupBy("user_id").agg(min("ts_ms").as("t_click"))
     val s3 = e.filter(col("event_type") === "purchase")
-      .join(broadcast(s2), "user_id")
+      .join(s2, "user_id")
       .filter(col("ts_ms") > col("t_click")
         && col("ts_ms") <= col("t_click") + 7L * dayMs)
       .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))

@@ -25,10 +25,14 @@ object Graph extends QueryModule {
     * side; degrees ride along via equi-joins on the edge key (at scale:
     * the canonical vertex-cut gather — no driver collect anywhere). */
   def g01(spark: SparkSession, dir: String): DataFrame = {
+    // scoped cache (three consumers: two degree aggs + the gather join);
+    // released before returning — the small per-node result is
+    // localCheckpoint-materialized so the returned plan doesn't read the
+    // unpersisted edge table
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-      .cache() // three consumers: two degree aggs + the gather join
+      .cache()
     val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pdeg"))
     val sdeg = edges.groupBy("s").agg(count(lit(1)).as("sdeg"))
     val n = pdeg.select(count(lit(1)).as("np"))
@@ -47,7 +51,7 @@ object Graph extends QueryModule {
       .agg(sum("punits").as("units"), first("sdeg").as("deg"))
       .select(lit("supplier").as("node_type"), col("s").as("node_id"),
         col("deg"), col("units"))
-    toParts.unionByName(toSupps)
+    val out = toParts.unionByName(toSupps)
       .crossJoin(broadcast(n))
       // r1 = 0.15/N + 0.85 · (Σ units)/1e12 / N — identical FP shape in
       // the oracle; the sum is integer, so nothing is order-dependent
@@ -56,6 +60,58 @@ object Graph extends QueryModule {
           + lit(0.85) * (col("units").cast("double") / lit(1000000000000.0))
             / col("n")).as("rank"))
       .orderBy("node_type", "node_id")
+      .localCheckpoint()
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Full PageRank to convergence — g01's step iterated through the
+    * graft.Fixpoint loop (localCheckpoint-truncated lineage, superseded
+    * iterates unpersisted eagerly, driver sees only the convergence
+    * counter). Library-level operator, not an oracled query: float
+    * iteration count depends on tolerance, so it's spec-covered
+    * (GraphSpec asserts rank-mass ≈ 1, convergence within maxIter, and
+    * that no superseded checkpoint blocks stay persisted). Edge/degree
+    * tables are computed once and released at the end; per iteration the
+    * only shuffles are the gather groupBy and the (broadcast-joined)
+    * rank refresh — the same shape a 1000-executor run wants. */
+  def pageRank(spark: SparkSession, dir: String,
+      maxIter: Int = 30, tol: Double = 1e-9): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    // directed both ways over one node-id space: node = type|id
+    val dir2 = edges.select(
+        concat(lit("part|"), col("p")).as("src"),
+        concat(lit("supplier|"), col("s")).as("dst"))
+      .union(edges.select(
+        concat(lit("supplier|"), col("s")).as("src"),
+        concat(lit("part|"), col("p")).as("dst")))
+      .localCheckpoint()
+    val deg = dir2.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nNodes = deg.count()
+    val init = deg.select(col("src").as("node"),
+      lit(1.0 / nNodes).as("rank"), lit(Double.MaxValue).as("delta"))
+    val (fin, _) = graft.Fixpoint.loop(init, maxIter) { cur =>
+      val contrib = dir2.join(deg, "src")
+        .join(cur.select(col("node").as("src"), col("rank")), "src")
+        .groupBy("dst").agg(sum(col("rank") / col("deg")).as("gathered"))
+      cur.select(col("node"), col("rank").as("prev"))
+        .join(contrib.select(col("dst").as("node"), col("gathered")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / lit(nNodes.toDouble)
+            + lit(0.85) * coalesce(col("gathered"), lit(0.0))).as("rank"),
+          col("prev"))
+        .select(col("node"), col("rank"), abs(col("rank") - col("prev")).as("delta"))
+    } { next => next.filter(col("delta") > tol).count() }
+    val out = fin.select(
+        split(col("node"), "\\|").getItem(0).as("node_type"),
+        split(col("node"), "\\|").getItem(1).as("node_id"),
+        col("rank"))
+      .orderBy("node_type", "node_id")
+      .localCheckpoint()
+    Seq(fin, dir2, deg).foreach(graft.Fixpoint.release)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

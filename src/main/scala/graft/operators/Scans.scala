@@ -199,8 +199,16 @@ object Scans extends QueryModule {
     // previous run over different data would match the glob and surface
     // a row the oracle (computed from the CURRENT table) doesn't have
     val base = java.nio.file.Paths.get(tmp)
-    if (java.nio.file.Files.isDirectory(base))
-      java.nio.file.Files.list(base).forEach(p => java.nio.file.Files.delete(p))
+    if (java.nio.file.Files.isDirectory(base)) {
+      // close the listing stream (it holds a directory fd) and delete
+      // only this sink's own doc_*.txt files — anything else in the
+      // scratch dir (e.g. a subdirectory) would make Files.delete throw
+      val st = java.nio.file.Files.list(base)
+      try st.forEach { p =>
+        if (p.getFileName.toString.matches("doc_\\d+\\.txt"))
+          java.nio.file.Files.delete(p)
+      } finally st.close()
+    }
     Tables.documents(spark, dir)
       .filter(col("doc_id") <= 100).select("doc_id", "text")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The driver-side fixpoint utility: convergence, iteration bounds on
+  * adversarial inputs, and — the round-4 lesson — that superseded
+  * localCheckpoint iterates are actually released, not left for GC. */
+class FixpointSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def newPersistedAfter[A](body: => A): (A, Int) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = body
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    (r, (after -- before).size)
+  }
+
+  test("star CC labels a 64-node adversarial chain in far fewer rounds than its diameter") {
+    // path graph 0-1-2-…-63: min-label propagation needs 63 rounds; the
+    // large-star/small-star alternation is O(log² n)
+    val chain = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+    val ((labels, iters), retained) = newPersistedAfter {
+      Fixpoint.connectedComponentsStarWithStats(chain, maxIter = 25)
+    }
+    val rows = labels.collect().map(r => r.getString(0) -> r.getString(1))
+    assert(rows.length === 64)
+    assert(rows.forall(_._2 == "n00"), "single component labeled by its min")
+    assert(iters <= 10, s"star CC should beat the 63-round diameter, took $iters")
+    // only the returned labels checkpoint may stay persisted — every
+    // loop-internal iterate must have been unpersisted
+    assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
+  }
+
+  test("star CC handles forests, singleton-free input, and empty input") {
+    val two = Seq(("b", "a"), ("c", "b"), ("y", "z")).toDF("a", "b")
+    val got = Fixpoint.connectedComponentsStar(two).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    assert(Fixpoint.connectedComponentsStar(empty).count() === 0)
+  }
+
+  test("loop reports iteration count and releases superseded iterates") {
+    // contractive toy iteration: x ← x/2 over 8 rows, converged when all < 1
+    val init = (1 to 8).map(i => i * 100.0).toDF("x")
+    val ((fin, iters), retained) = newPersistedAfter {
+      Fixpoint.loop(init, maxIter = 20)(df => df.select((col("x") / 2).as("x"))) {
+        next => next.filter(col("x") >= 1.0).count()
+      }
+    }
+    // 800 → <1 takes ceil(log2(800)) = 10 halvings
+    assert(iters === 10)
+    assert(fin.agg(max("x")).head().getDouble(0) < 1.0)
+    assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
+    Fixpoint.release(fin)
+  }
+
+  test("full pageRank conserves probability mass and cleans up its checkpoints") {
+    val (pr, retained) = newPersistedAfter {
+      operators.Graph.pageRank(spark, sf, maxIter = 8, tol = 1e-6)
+    }
+    val ranks = pr.select("rank").as[Double].collect()
+    assert(math.abs(ranks.sum - 1.0) < 1e-6, s"mass ${ranks.sum}")
+    assert(ranks.forall(_ > 0.0))
+    assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
+    Fixpoint.release(pr)
+  }
+}

@@ -6,20 +6,77 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSuite {
 
-  test("m01: decode stage is deterministic, batched, and shuffle-free") {
+  test("m01: every real container parses; decode is deterministic and shuffle-free") {
     val out1 = Multimodal.m01(spark, sf).collect()
     val out2 = Multimodal.m01(spark, sf).collect()
     assert(out1.toSeq === out2.toSeq)
     assert(out1.length === 500)
-    // n_bytes equals the utf8 length of the source text
-    val joined = Multimodal.m01(spark, sf)
-      .join(Tables.documents(spark, sf), "doc_id")
-      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
-    assert(joined.count() === 0)
+    // every synthesized PPM/WAV must survive its own header parser
+    assert(out1.forall(_.getBoolean(1 + 1)), "all containers must decode (ok=true)")
+    // wav rows carry the parsed sample rate; ppm rows the parsed dims
+    val byType = out1.groupBy(_.getString(1))
+    assert(byType("audio/wav").forall(r => r.getLong(r.fieldIndex("sample_rate")) === 8000L))
+    assert(byType("image/ppm").forall { r =>
+      val w = r.getLong(r.fieldIndex("width"))
+      w >= 8L && w <= 15L && r.getLong(r.fieldIndex("height")) >= 1L
+    })
     // decode is a narrow map: no Exchange in the plan before the sort
-    val plan = Multimodal.decode(Multimodal.mediaTable(spark, sf))
+    val plan = Multimodal.decodeMedia(Multimodal.containerTable(spark, sf))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode stage shuffled:\n$plan")
+  }
+
+  test("ppm codec: golden vector, comment/whitespace grammar, malformed rejection") {
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60)
+    val ppm = Multimodal.encodePpm(2, 1, raster)
+    assert(new String(ppm.take(11), "US-ASCII") === "P6\n2 1\n255\n")
+    val img = Multimodal.decodePpm(ppm).get
+    assert((img.width, img.height, img.maxVal) === (2, 1, 255))
+    assert(img.raster.toSeq === raster.toSeq)
+    // the header grammar allows comments and mixed whitespace
+    val weird = "P6\n# a comment\n 2\t1 #x\n255\n".getBytes("US-ASCII") ++ raster
+    val img2 = Multimodal.decodePpm(weird).get
+    assert((img2.width, img2.height) === (2, 1) && img2.raster.toSeq === raster.toSeq)
+    // malformed: wrong magic, truncated raster, absurd dims
+    assert(Multimodal.decodePpm("P5\n2 1\n255\nxxxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodePpm(ppm.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpm("P6\n0 1\n255\n".getBytes).isEmpty)
+  }
+
+  test("wav codec: golden vector, chunk walk, malformed rejection") {
+    val samples = "abc".getBytes("US-ASCII")
+    val wav = Multimodal.encodeWav(8000, samples)
+    assert(wav.length === 47)
+    val parsed = Multimodal.decodeWav(wav).get
+    assert((parsed.sampleRate, parsed.bitsPerSample, parsed.channels) === (8000, 8, 1))
+    assert(parsed.samples.toSeq === samples.toSeq)
+    // an extra unknown chunk before data must be skipped, not fatal
+    val withJunk = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + (wav.length - 12))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(wav, 0, 12) // RIFF....WAVE
+      bb.put("LIST".getBytes); bb.putInt(4); bb.put("info".getBytes)
+      bb.put(wav, 12, wav.length - 12)
+      bb.array()
+    }
+    assert(Multimodal.decodeWav(withJunk).get.samples.toSeq === samples.toSeq)
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+  }
+
+  test("decodeMedia features derive from decoded content (fixed vector)") {
+    import spark.implicits._
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60)
+    val media = Seq(Multimodal.MediaRow(2L, "image/ppm",
+      Multimodal.encodePpm(2, 1, raster))).toDS()
+    val r = Multimodal.decodeMedia(media).collect().head
+    assert(r.ok)
+    assert(r.checksum === (1 * 10 + 2 * 20 + 3 * 30 + 4 * 40 + 5 * 50 + 6 * 60).toLong)
+    assert(r.mean_level === 210.0 / (6.0 * 256.0))
+    assert((r.width, r.height) === (Some(2L), Some(1L)))
+    // malformed payload dead-letters as ok=false instead of throwing
+    val bad = Seq(Multimodal.MediaRow(3L, "image/ppm", "nope".getBytes)).toDS()
+    assert(Multimodal.decodeMedia(bad).collect().head.ok === false)
   }
 
   test("decodeStub: fixed vectors") {
