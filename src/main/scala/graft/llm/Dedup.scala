@@ -263,6 +263,54 @@ object Dedup extends QueryModule {
       .orderBy("cid", "dim")
   }
 
+  /** Library-level k-means: the FULL Lloyd fixpoint, not just l26's one
+    * update step. Assignment is kmeansAssign's broadcast-centroid
+    * argmax-cosine (map-side at any corpus size); the update is l26's
+    * integer-micro-unit mean (order-independent BIGINT gathers → one
+    * float per dim); convergence = no centroid dimension moved more
+    * than tolMicro micro-units. Runs through graft.Fixpoint.loop:
+    * iterates are localCheckpoint-truncated and superseded ones are
+    * released eagerly; the embedding scan is cached for the loop and
+    * released before returning. Empty clusters keep their previous
+    * centroid (the standard Lloyd fallback). Not oracled — the
+    * iteration count is data/tolerance-dependent — FixpointSpec asserts
+    * convergence, objective improvement over the seed, and checkpoint
+    * hygiene. Returns (centroids (cid, cvec), iterations). */
+  def kmeansFit(emb: DataFrame, k: Int, maxIter: Int = 20,
+      tolMicro: Long = 100L): (DataFrame, Int) = {
+    graft.functions.VecMath.register(emb.sparkSession)
+    val embC = emb.select("vec_id", "embedding").cache()
+    val init = embC.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        lit(Long.MaxValue).as("moved_micro"))
+    val (fin, iters) = graft.Fixpoint.loop(init, maxIter) { cur =>
+      val dims = kmeansAssign(embC, cur.select("cid", "cvec"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum(expr("CAST(round(x * 1000000.0) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), expr("s div n").as("m"))
+      val newCents = dims.groupBy("cid").agg(expr(
+        "transform(array_sort(collect_list(struct(dim, m))), p -> CAST(p.m / 1000000.0 AS FLOAT))")
+        .as("ncvec"))
+      cur.select(col("cid"), col("cvec").as("pcvec"))
+        .join(newCents, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ncvec"), col("pcvec")).as("cvec"),
+          coalesce(expr(
+            """aggregate(
+              |  zip_with(ncvec, pcvec, (a, b) ->
+              |    abs(CAST(round(a * 1000000.0) AS BIGINT)
+              |        - CAST(round(b * 1000000.0) AS BIGINT))),
+              |  0L, (acc, d) -> greatest(acc, d))""".stripMargin),
+            lit(0L)).as("moved_micro"))
+    } { next => next.filter(col("moved_micro") > tolMicro).count() }
+    val out = fin.select("cid", "cvec").orderBy("cid").localCheckpoint()
+    graft.Fixpoint.release(fin)
+    embC.unpersist(blocking = false)
+    (out, iters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l02c_dedup_simhash" -> l02c,
     "l02d_dedup_ngram_jaccard" -> l02d,

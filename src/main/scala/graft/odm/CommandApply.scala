@@ -39,6 +39,7 @@ object CommandApply {
     itemState(spark, log, col("file_oid"))
 
   def itemState(spark: SparkSession, log: DataFrame, fileOrder: Column): DataFrame = {
+    graft.functions.Uuid5Expression.register(spark)
     val items = log.filter(col("level") === 5)
       .withColumn("p", from_json(col("params_json"),
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -48,7 +49,8 @@ object CommandApply {
       // update-item params carry item_id only; insert/remove carry the
       // (group, oid) pair from which item_id is derivable — normalize key
       .withColumn("key", coalesce(col("p.item_id"),
-        graft.functions.Uuid5.uuid5Udf(col("p.item_group_id"), col("p.item_oid"))))
+        graft.functions.Uuid5Expression.uuid5Native(
+          col("p.item_group_id"), col("p.item_oid"))))
     val w = Window.partitionBy("key").orderBy(fileOrder.desc, col("seq").desc)
     items
       .withColumn("rn", row_number().over(w))

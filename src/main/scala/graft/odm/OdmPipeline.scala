@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   *    :121-148, :102-119) — here a 6-level explode cascade.
   *  - tx-type dispatch with parent inheritance, default :insert (:92-100) —
   *    here coalesce(own, parent, 'insert') carried down the explode chain.
-  *  - UUIDv5 identity chain (:267,:229,:187,:157,:128,:113) — uuid5 UDF.
+  *  - UUIDv5 identity chain (:267,:229,:187,:157,:128,:113) — the
+  *    codegen'd uuid5_native Expression (functions/Uuid5Expression.scala).
   *  - per-level command constructors (:24-69); update emits only at the
   *    item leaf (:111-114 vs :139-143,:168-172,:211-215,:254-258); remove
   *    emits and never cascades (:116-119,:145-148,:174-177,:217-220,
@@ -112,7 +113,14 @@ object OdmPipeline {
   private def effTx(own: Column, parent: Column): Column =
     coalesce(txNorm(own), parent)
 
-  private val u5 = Uuid5.uuid5Udf
+  /** Entity-id derivation rides the codegen'd uuid5_native Expression
+    * (functions/Uuid5Expression.scala), not a ScalaUDF — the chain runs
+    * once per tree node, which at scale is once per item row. Every
+    * entry point that builds a plan through here calls
+    * `Uuid5Expression.register` on its session first (explodedFrom and
+    * splitValidItems do it themselves). */
+  private def u5(ns: Column, name: Column): Column =
+    graft.functions.Uuid5Expression.uuid5Native(ns, name)
 
   /** Explodes the tree into the six normalized entity tables
     * (FIXTURES.md §2) joined flat: one row per item plus carrying every
@@ -135,6 +143,7 @@ object OdmPipeline {
     explodedFrom(odmFiles, cacheLevels = false)
 
   def explodedFrom(odmFiles: DataFrame, cacheLevels: Boolean): ExplodedLevels = {
+    graft.functions.Uuid5Expression.register(odmFiles.sparkSession)
     // each level builds on the CACHED parent when cacheLevels is set, so
     // a consumer touching all six levels parses the XML once, not once
     // per downstream projection
@@ -418,8 +427,10 @@ object OdmIo {
       col("value_datetime").cast("string"))
     val bad = col("value_raw").isNotNull && coerced.isNull
     val evName = "clinical-data-import/validation-failed"
+    graft.functions.Uuid5Expression.register(items.sparkSession)
     val rejects = items.filter(bad).select(
-      Uuid5.uuid5Udf(col("item_id"), lit(evName)).as("id"),
+      graft.functions.Uuid5Expression.uuid5Native(
+        col("item_id"), lit(evName)).as("id"),
       lit(evName).as("name"),
       col("item_oid"), col("data_type"), col("value_raw"), col("file_oid"))
     (items.filter(!bad), rejects)

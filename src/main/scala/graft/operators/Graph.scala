@@ -114,10 +114,94 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g02: THREE chained PageRank power-iterations — the multi-step
+    * fixpoint under the hash gate, not just the single g01 step. The
+    * float-determinism problem of iterated PageRank (each round's gather
+    * is an order-dependent double sum feeding the next round) is removed
+    * by keeping rank itself in INTEGER micro-units end-to-end:
+    *   r₀ = 10¹² div N
+    *   rₜ₊₁(u) = (1.5·10¹¹ div N) + (85 · Σᵥ (rₜ(v) div deg v)) div 100
+    * — every operation is integer (floor-div contributions, BIGINT
+    * gather, floor-div damping), so any partitioning, any engine, any
+    * iteration count produces identical bits; the only double appears in
+    * the final units→rank projection. Runs through Fixpoint.loop (fixed
+    * 3 rounds, superseded iterates released); the oracle unrolls the
+    * same three steps as CTEs. Per round: one shuffle (the gather
+    * groupBy) + one rank-refresh join — the 1000-executor shape. */
+  def g02(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val dir2 = edges.select(
+        concat(lit("part|"), col("p")).as("src"),
+        concat(lit("supplier|"), col("s")).as("dst"))
+      .union(edges.select(
+        concat(lit("supplier|"), col("s")).as("src"),
+        concat(lit("part|"), col("p")).as("dst")))
+      .localCheckpoint()
+    val deg = dir2.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nNodes = deg.count()
+    val init = deg.select(col("src").as("node"),
+      lit(1000000000000L / nNodes).as("r"))
+    val (fin, _) = graft.Fixpoint.loop(init, maxIter = 3) { cur =>
+      val gathered = dir2.join(deg, "src")
+        .join(cur.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("g"))
+      deg.select(col("src").as("node"))
+        .join(gathered.select(col("dst").as("node"), col("g")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000000L / nNodes)
+            + expr("(85 * coalesce(g, 0L)) div 100")).as("r"))
+    } { _ => 1L } // fixed 3 rounds: maxIter is the stop, not convergence
+    val out = fin.select(
+        split(col("node"), "\\|").getItem(0).as("node_type"),
+        split(col("node"), "\\|").getItem(1).cast("bigint").as("node_id"),
+        col("r").as("rank_units"),
+        (col("r").cast("double") / lit(1000000000000.0)).as("rank"))
+      .orderBy("node_type", "node_id")
+      .localCheckpoint()
+    Seq(fin, dir2, deg).foreach(graft.Fixpoint.release)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank_step" -> g01)
+    "g01_pagerank_step" -> g01,
+    "g02_pagerank_iter3" -> g02)
 
   val oracles: Map[String, String] = Map(
+    "g02_pagerank_iter3" ->
+      """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |dir2 AS (
+        |  SELECT 'part|' || p AS src, 'supplier|' || s AS dst FROM edges
+        |  UNION ALL
+        |  SELECT 'supplier|' || s AS src, 'part|' || p AS dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM dir2 GROUP BY src),
+        |n AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000000 // n.n AS r FROM deg, n),
+        |g1 AS (SELECT d.dst AS node, SUM(r0.r // deg.deg) AS g
+        |       FROM dir2 d JOIN deg ON d.src = deg.src JOIN r0 ON r0.node = d.src
+        |       GROUP BY d.dst),
+        |r1 AS (SELECT deg.src AS node,
+        |              150000000000 // n.n + (85 * coalesce(g1.g, 0)) // 100 AS r
+        |       FROM deg CROSS JOIN n LEFT JOIN g1 ON g1.node = deg.src),
+        |g2 AS (SELECT d.dst AS node, SUM(r1.r // deg.deg) AS g
+        |       FROM dir2 d JOIN deg ON d.src = deg.src JOIN r1 ON r1.node = d.src
+        |       GROUP BY d.dst),
+        |r2 AS (SELECT deg.src AS node,
+        |              150000000000 // n.n + (85 * coalesce(g2.g, 0)) // 100 AS r
+        |       FROM deg CROSS JOIN n LEFT JOIN g2 ON g2.node = deg.src),
+        |g3 AS (SELECT d.dst AS node, SUM(r2.r // deg.deg) AS g
+        |       FROM dir2 d JOIN deg ON d.src = deg.src JOIN r2 ON r2.node = d.src
+        |       GROUP BY d.dst),
+        |r3 AS (SELECT deg.src AS node,
+        |              150000000000 // n.n + (85 * coalesce(g3.g, 0)) // 100 AS r
+        |       FROM deg CROSS JOIN n LEFT JOIN g3 ON g3.node = deg.src)
+        |SELECT CASE WHEN node LIKE 'part|%' THEN 'part' ELSE 'supplier' END AS node_type,
+        |       CAST(substr(node, position('|' IN node) + 1) AS BIGINT) AS node_id,
+        |       CAST(r AS BIGINT) AS rank_units,
+        |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM r3 ORDER BY node_type, node_id""".stripMargin,
     "g01_pagerank_step" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM edges GROUP BY p),

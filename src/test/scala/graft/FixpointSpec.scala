@@ -55,6 +55,24 @@ class FixpointSpec extends SparkSuite {
     Fixpoint.release(fin)
   }
 
+  test("kmeansFit: Lloyd fixpoint converges, improves the seed objective, cleans up") {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val ((cents, iters), retained) = newPersistedAfter {
+      llm.Dedup.kmeansFit(emb, k = 8, maxIter = 15)
+    }
+    assert(cents.count() === 8)
+    assert(iters >= 1 && iters <= 15)
+    // fitted centroids must not score worse than the raw seed vectors
+    val seed = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def objective(c: org.apache.spark.sql.DataFrame): Double =
+      llm.Dedup.kmeansAssign(emb, c).agg(avg("ccos")).head().getDouble(0)
+    assert(objective(cents) >= objective(seed) - 1e-9)
+    assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
+    Fixpoint.release(cents)
+  }
+
   test("full pageRank conserves probability mass and cleans up its checkpoints") {
     val (pr, retained) = newPersistedAfter {
       operators.Graph.pageRank(spark, sf, maxIter = 8, tol = 1e-6)

@@ -28,6 +28,33 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
   }
 
+  test("a16: no map-buffer percentile aggregate anywhere in the plan") {
+    // the built-in exact `percentile` is a TypedImperativeAggregate whose
+    // buffer is a value→count map of every distinct input — the known
+    // 100×-scale pathology a14 was rewritten away from; a16 must stay on
+    // the rank-window shape (ObjectHashAggregate is the executor for
+    // TypedImperativeAggregate buffers)
+    val plan = planString(operators.Aggregates.a16(spark, sf))
+    assert(!plan.contains("percentile"), s"built-in percentile crept back:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"map-buffer aggregate crept back:\n$plan")
+  }
+
+  test("c01: command envelope id is the native gen_cmd_id, not a ScalaUDF") {
+    val plan = planString(odm.OdmQueries.c01(spark, sf))
+    assert(!plan.contains("UDF"), s"ScalaUDF in the envelope plan:\n$plan")
+    assert(plan.contains("gen_cmd_id"), s"expected native gen_cmd_id:\n$plan")
+  }
+
+  test("c02: gated stream has no ScalaUDF and no driver-side fixture") {
+    val plan = planString(odm.OdmQueries.c02(spark, sf))
+    assert(!plan.contains("UDF"), s"ScalaUDF in the gated plan:\n$plan")
+    // the acked-event side must be a relational derivation (a scan/
+    // checkpoint-backed subtree), not a LocalTableScan of collected rows
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-materialized fixture crept back:\n$plan")
+  }
+
   test("j02: fact-fact join is a shuffle join when broadcast is disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
