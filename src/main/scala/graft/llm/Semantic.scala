@@ -129,10 +129,41 @@ object Semantic extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private val ProjDims = 8 // target dimensionality of the l30 sketch
+
+  /** l30: random-projection dimensionality reduction (Achlioptas 2003:
+    * a ±1 sign matrix is a valid Johnson-Lindenstrauss projection) —
+    * the embedding-sketch step that feeds cheap ANN/clustering when 64
+    * (or 4096) dims are too wide to shuffle. y_k = Σ_d sign(d,k)·x_d
+    * with the sign drawn from the portable md5 hash of (d,k), so the
+    * "matrix" is derived, never materialized or broadcast — the whole
+    * operator is MAP-ONLY (zero shuffle; the groupBy-free scale shape:
+    * at 100 TB this runs at scan speed). Arithmetic is pinned in integer
+    * micro-units: sign·round-to-micro(x) summed as BIGINT by the
+    * sequence fold, one double division at the end — bit-exact in any
+    * engine at any parallelism. One output row per (vec_id, k). */
+  def l30(spark: SparkSession, dir: String): DataFrame = {
+    val proj =
+      s"""transform(sequence(0, ${ProjDims - 1}), k ->
+         |  aggregate(
+         |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, d) ->
+         |      (1L - 2L * pmod(CAST(conv(substr(md5(
+         |           concat(CAST(d AS STRING), '#', CAST(k AS STRING))
+         |         ), 1, 15), 16, 10) AS BIGINT), 2))
+         |      * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
+         |    0L, (acc, v) -> acc + v))""".stripMargin
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(expr(proj)).as(Seq("k", "y_micro")))
+      .select(col("vec_id"), col("k"),
+        (col("y_micro").cast("double") / lit(1000000.0)).as("y"))
+      .orderBy("vec_id", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l27_semdedup" -> l27,
     "l28_chunk_cdc" -> l28,
-    "l29_perplexity" -> l29)
+    "l29_perplexity" -> l29,
+    "l30_reduce_dim" -> l30)
 
   private def duckCos(v: String, c: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))
@@ -140,6 +171,22 @@ object Semantic extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "l30_reduce_dim" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         unnest(embedding) AS x,
+         |         unnest(range(0, len(embedding))) AS d
+         |  FROM embeddings),
+         |ks AS (SELECT unnest(range(0, $ProjDims)) AS k),
+         |t AS (
+         |  SELECT vec_id, ks.k AS k,
+         |         (1 - 2 * (CAST(('0x' || substr(md5(
+         |              d::VARCHAR || '#' || ks.k::VARCHAR), 1, 15)) AS BIGINT) % 2))
+         |         * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+         |  FROM e CROSS JOIN ks)
+         |SELECT vec_id, CAST(k AS INTEGER) AS k,
+         |       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / 1000000.0 AS y
+         |FROM t GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin,
     "l27_semdedup" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings

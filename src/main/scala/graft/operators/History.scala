@@ -96,13 +96,88 @@ object History extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** h04: MERGE INTO semantics as one relational pass — the lakehouse
+    * upsert/delete apply step (Delta/Iceberg MERGE, reference R17's
+    * remove-never-cascades tombstones at the table level). Base = the
+    * h03-style snapshot at the data-derived cutoff; changes = events after
+    * the cutoff compacted to the latest op per key (every 10th event_id is
+    * a delete, h05's derivation). Merge rules:
+    *   matched  + upsert → update;   matched + delete → drop
+    *   unmatched + upsert → insert;  unmatched + delete → no-op
+    * Shape: two key-partitioned windows + ONE full outer join on the same
+    * key — at 100 TB this is the nightly MERGE: both sides shuffle once on
+    * user_id and the join reuses that partitioning; no second shuffle, no
+    * row explosion. `action` records which MERGE arm fired. */
+  def h04(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+    val cut = e.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("cut"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    val base = e.crossJoin(broadcast(cut)).filter(col("ts_ms") <= col("cut"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("b_event_id"),
+        col("event_type").as("b_type"), col("value").as("b_value"),
+        col("ts_ms").as("b_ts_ms"))
+    val changes = e.crossJoin(broadcast(cut)).filter(col("ts_ms") > col("cut"))
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(10)) === 0, "delete").otherwise("upsert"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("op"), col("event_id").as("c_event_id"),
+        col("event_type").as("c_type"), col("value").as("c_value"),
+        col("ts_ms").as("c_ts_ms"))
+    base.join(changes, Seq("user_id"), "full_outer")
+      // both delete arms end in no row: matched-delete drops the key,
+      // unmatched-delete is a no-op
+      .filter(col("op").isNull || col("op") === "upsert")
+      .select(col("user_id"),
+        coalesce(col("c_event_id"), col("b_event_id")).as("event_id"),
+        coalesce(col("c_type"), col("b_type")).as("event_type"),
+        coalesce(col("c_value"), col("b_value")).as("value"),
+        coalesce(col("c_ts_ms"), col("b_ts_ms")).as("ts_ms"),
+        when(col("op").isNull, "keep")
+          .when(col("b_event_id").isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h01_scd2" -> h01,
     "h02_incremental_agg" -> h02,
     "h03_asof_state" -> h03,
+    "h04_merge_apply" -> h04,
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    "h04_merge_apply" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |c AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cut FROM e),
+        |base AS (
+        |  SELECT user_id, event_id AS b_event_id, event_type AS b_type,
+        |         value AS b_value, ts_ms AS b_ts_ms FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM e, c WHERE ts_ms <= cut) t WHERE rn = 1),
+        |changes AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         event_id AS c_event_id, event_type AS c_type,
+        |         value AS c_value, ts_ms AS c_ts_ms FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM e, c WHERE ts_ms > cut) t WHERE rn = 1)
+        |SELECT coalesce(base.user_id, changes.user_id) AS user_id,
+        |       coalesce(c_event_id, b_event_id) AS event_id,
+        |       coalesce(c_type, b_type) AS event_type,
+        |       coalesce(c_value, b_value) AS value,
+        |       coalesce(c_ts_ms, b_ts_ms) AS ts_ms,
+        |       CASE WHEN op IS NULL THEN 'keep'
+        |            WHEN b_event_id IS NULL THEN 'insert'
+        |            ELSE 'update' END AS action
+        |FROM base FULL OUTER JOIN changes ON base.user_id = changes.user_id
+        |WHERE op IS NULL OR op = 'upsert'
+        |ORDER BY user_id""".stripMargin,
     "h05_changelog_compact" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value,

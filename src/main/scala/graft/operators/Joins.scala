@@ -236,7 +236,68 @@ object Joins extends QueryModule {
       .orderBy("a_key", "b_key")
   }
 
+  /** Conf scope for j17: force the 100 TB physical shape in a local-mode
+    * test. Broadcast is disabled (at real scale the filtered orders side
+    * is still tens of GB — far past any broadcast threshold) and the
+    * bloom-filter application threshold is dropped to 0 so the optimizer
+    * treats our MB-scale scan the way it would treat a 100 TB one. The
+    * restore runs after the caller has FORCED execution (localCheckpoint)
+    * — plan decisions happen at action time, so the confs must still be
+    * set when the action runs. */
+  private def withBloomJoinConfs[T](spark: SparkSession)(f: => T): T = {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+      f
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  /** The j17 join itself, un-materialized — PlanSpec inspects its physical
+    * plan inside the conf scope. */
+  private[graft] def j17Frame(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+
+  /** j17: runtime bloom-filter pruned shuffle join — Spark's runtime
+    * filter injects a BloomFilterAggregate over the selective orders side
+    * and a `bloom_filter_might_contain` filter onto the lineitem scan, so
+    * at 100 TB most fact rows are dropped BEFORE the shuffle instead of
+    * shuffling 6 B rows to discard ~90% at the join. This is the
+    * semi-join-reduction strategy every warehouse engine ships; here it
+    * is the optimizer's own rewrite, demonstrated under the conf profile
+    * a large cluster would run (no broadcast, scan past the application
+    * threshold). Values are byte-identical with or without the filter —
+    * the oracle is the plain join. PlanSpec asserts the rewrite fired. */
+  def j17(spark: SparkSession, dir: String): DataFrame =
+    withBloomJoinConfs(spark) { j17Frame(spark, dir).localCheckpoint() }
+
+  private[graft] def j17Plan(spark: SparkSession, dir: String): String =
+    withBloomJoinConfs(spark) {
+      j17Frame(spark, dir).queryExecution.executedPlan.toString
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j17_bloom_filter_join" -> j17,
     "j16_interval_overlap" -> j16,
     "j15_cross_join" -> j15,
     "j01_join_broadcast" -> j01,
@@ -256,6 +317,11 @@ object Joins extends QueryModule {
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "j17_bloom_filter_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines, $revenue AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j15_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

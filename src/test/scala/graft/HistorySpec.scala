@@ -52,4 +52,26 @@ class HistorySpec extends SparkSuite {
     }
     assert(state == replay)
   }
+
+  test("h04: merge apply equals a per-key replay of the MERGE rules") {
+    val merged = operators.History.h04(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(5))).toMap
+    val e = Tables.events(spark, sf).select("user_id", "event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (e.map(_._3).min + e.map(_._3).max) / 2
+    val base = e.filter(_._3 <= cut).groupBy(_._1)
+      .map { case (u, es) => u -> es.maxBy(t => (t._3, t._2))._2 }
+    val chg = e.filter(_._3 > cut).groupBy(_._1)
+      .map { case (u, es) => u -> es.maxBy(t => (t._3, t._2))._2 }
+    val expect = (base.keySet ++ chg.keySet).flatMap { u =>
+      (base.get(u), chg.get(u)) match {
+        case (b, Some(c)) if c % 10 == 0 => None // delete: drop or no-op
+        case (Some(b), Some(c)) => Some(u -> (c, "update"))
+        case (None, Some(c))    => Some(u -> (c, "insert"))
+        case (Some(b), None)    => Some(u -> (b, "keep"))
+        case (None, None)       => None
+      }
+    }.toMap
+    assert(merged == expect)
+  }
 }

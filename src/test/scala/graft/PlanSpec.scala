@@ -55,6 +55,33 @@ class PlanSpec extends SparkSuite {
       s"driver-materialized fixture crept back:\n$plan")
   }
 
+  test("j17: runtime bloom filter injects under the scale conf profile") {
+    val plan = operators.Joins.j17Plan(spark, sf)
+    assert(plan.contains("bloom_filter_agg"),
+      s"expected a BloomFilterAggregate over the creation side, got:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected might_contain applied to the fact side, got:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join (broadcast disabled), got:\n$plan")
+  }
+
+  test("q06: all three range predicates reach the parquet scan") {
+    // toString truncates the PushedFilters list, so assert on the prefix:
+    // all three columns reach the scan's pushed-filter set
+    val plan = planString(operators.Flagship.q06(spark, sf))
+    assert(plan.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"expected shipdate/discount/quantity pushed filters, got:\n$plan")
+  }
+
+  test("l30: random projection is map-only — no data shuffle") {
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; the projection itself must never hash-shuffle
+    val plan = planString(llm.Semantic.l30(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection should be map-only, got:\n$plan")
+  }
+
   test("j02: fact-fact join is a shuffle join when broadcast is disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
