@@ -141,7 +141,39 @@ object History extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** h06: incremental JOIN-view maintenance — the delta algebra
+    *   Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    * that turns a continuously-maintained join view from O(history) into
+    * O(delta) per refresh. The view here is the orders⋈lineitem revenue
+    * rollup; both inputs split at a fixed date into base (₀) and delta
+    * (Δ). Each of the four terms is partially aggregated INDEPENDENTLY
+    * and the partials merge by re-aggregation (h02's contract: counts and
+    * DECIMAL sums merge exactly) — bit-identical to the full recompute
+    * the oracle runs. At 100 TB only the three delta terms run per
+    * refresh (V₀ is the stored view); each joins a day's delta against a
+    * base keyed the same way — delta-side shuffle only, base side served
+    * by its bucketing. */
+  def h06(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1999-01-01").cast("timestamp_ntz")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val (o0, od) = (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+    val (l0, ld) = (l.filter(col("l_shipdate") < cut), l.filter(col("l_shipdate") >= cut))
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"))
+    term(o0, l0).unionAll(term(od, l0)).unionAll(term(o0, ld)).unionAll(term(od, ld))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n_lines"), sum(col("s")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h06_view_maintain" -> h06,
     "h01_scd2" -> h01,
     "h02_incremental_agg" -> h02,
     "h03_asof_state" -> h03,
@@ -149,6 +181,13 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL recompute — the incremental four-term merge
+    // must equal it bit-for-bit (counts + decimal sums merge exactly)
+    "h06_view_maintain" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "h04_merge_apply" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |                  epoch_ns(ts)//1000000 AS ts_ms FROM events),

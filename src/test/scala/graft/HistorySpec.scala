@@ -74,4 +74,19 @@ class HistorySpec extends SparkSuite {
     }.toMap
     assert(merged == expect)
   }
+
+  test("h06: four-term incremental merge equals the full recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val inc = operators.History.h06(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val full = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Tables.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.toSeq == full.toSeq) // bit-exact, not approximate
+  }
 }
