@@ -90,16 +90,21 @@ object Dedup extends QueryModule {
     * the corpus grows — candidates scale with true near-dups (25 pairs
     * at sf0.01 → 253 at sf0.1), not with corpus². */
   def l02d(spark: SparkSession, dir: String): DataFrame = {
-    // scoped cache: referenced six times downstream (rare-df agg, both
-    // candidate sides, both exact-verify sides, sizes) — without it the
-    // substring explode re-runs per reference; released before returning
-    // (the pair-sized result is localCheckpoint-materialized below)
-    val grams = Tables.documents(spark, dir)
+    // scoped cache on the per-doc DISTINCT-gram array: computed once from
+    // each document row, it feeds (a) the exploded gram stream for the
+    // rarity count and (b) the map-side hash sets for exact verify —
+    // released before returning (the pair-sized result is
+    // localCheckpoint-materialized below)
+    val gramsArr = Tables.documents(spark, dir)
       // <GramLen-char docs yield no grams (descending-sequence guard)
       .filter(length(col("text")) >= GramLen)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))")).as("g"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))").as("gs"))
       .cache()
+    // all pairing/rarity plumbing shuffles the 8-byte gram HASH, never
+    // the gram string — the string exists only inside its document row
+    val grams = gramsArr.select(col("doc_id"),
+      explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))
     // rarity cap is CORPUS-RELATIVE: max(RareDf, 1% of docs). An absolute
     // cap silently de-tunes as the corpus grows (a gram shared by every
     // copy in a 10×-duplicated cluster exceeds it and the cluster stops
@@ -111,25 +116,30 @@ object Dedup extends QueryModule {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= 2 &&
         col("df") <= greatest(lit(RareDf), (col("n_docs") / 100).cast("long")))
+    // the candidate self-join runs on the RARE-gram subset only — both
+    // sides are pre-filtered to rare grams before the pair shuffle, so
+    // the full gram stream (the big table) never shuffles for pairing;
+    // the rg cache holds the small filtered stream for its two uses
+    val rg = grams.join(rare.select("g"), "g").cache()
     // candidates must share >= MinShared rare grams: true near-dups share
     // hundreds, so this drops the one-coincidental-gram junk pairs that
     // would otherwise dominate the exact-verify join (40× fewer
     // candidates at sf0.1 for a ~2% recall cost, asserted in DedupSpec)
-    val cand = grams.as("x")
-      .join(rare.select("g"), "g")
-      .join(grams.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val cand = rg.select(col("g"), col("doc_id").as("a"))
+      .join(rg.select(col("g"), col("doc_id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared_rare"))
       .filter(col("n_shared_rare") >= MinShared)
       .select("a", "b")
-    // exact verify via per-doc gram-HASH arrays + codegen'd array_intersect:
-    // two small joins (|cand| rows each) instead of re-joining every
-    // candidate against the full gram table on (doc, gram) — that join
-    // shuffles |cand|·grams_per_doc rows and was the dominant cost. 64-bit
-    // xxhash64 over ≤ millions of distinct grams makes a collision (the
-    // only way counts could differ from the string oracle) ~1e-8.
-    val gsets = grams.groupBy("doc_id")
-      .agg(collect_set(xxhash64(col("g"))).as("hs"))
+    // exact verify via per-doc gram-HASH arrays + codegen'd
+    // array_intersect: the hash set derives MAP-SIDE from the cached
+    // per-doc array (zero shuffle — a doc's grams never leave their row),
+    // then two |cand|-row joins. 64-bit xxhash64 over ≤ millions of
+    // distinct grams makes a collision (the only way counts could differ
+    // from the string oracle) ~1e-8.
+    val gsets = gramsArr.select(col("doc_id"),
+      expr("transform(gs, g -> xxhash64(g))").as("hs"))
     val out = cand
       .join(gsets.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
       .join(gsets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
@@ -140,7 +150,8 @@ object Dedup extends QueryModule {
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
       .localCheckpoint()
-    grams.unpersist(blocking = false)
+    rg.unpersist(blocking = false)
+    gramsArr.unpersist(blocking = false)
     out
   }
 

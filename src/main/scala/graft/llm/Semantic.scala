@@ -142,15 +142,28 @@ object Semantic extends QueryModule {
     * micro-units: sign·round-to-micro(x) summed as BIGINT by the
     * sequence fold, one double division at the end — bit-exact in any
     * engine at any parallelism. One output row per (vec_id, k). */
+  /** The ±1 sign for projection lane k, input dim d — the md5-derived
+    * value both engines agree on (the oracle re-derives it in SQL). The
+    * matrix is row-independent, so it is computed ONCE here and embedded
+    * in the plan as a literal (the executor-side alternative — md5 inside
+    * the fold lambda — re-hashed all dims×lanes per ROW: measured 2.2 s
+    * vs 0.6 s at sf0.1). At real scale this is the "tiny broadcast side"
+    * done as a constant: 64×8 longs inside the codegen'd expression. */
+  private def projSign(d: Int, k: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    1L - 2L * (java.lang.Long.parseLong(hex.take(15), 16) % 2)
+  }
+
   def l30(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64 // embeddings table vector width
+    val signRows = (0 until ProjDims).map(k =>
+      s"array(${(0 until dims).map(d => s"${projSign(d, k)}L").mkString(",")})")
     val proj =
       s"""transform(sequence(0, ${ProjDims - 1}), k ->
          |  aggregate(
-         |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, d) ->
-         |      (1L - 2L * pmod(CAST(conv(substr(md5(
-         |           concat(CAST(d AS STRING), '#', CAST(k AS STRING))
-         |         ), 1, 15), 16, 10) AS BIGINT), 2))
-         |      * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
+         |    zip_with(embedding, element_at(array(${signRows.mkString(",\n      ")}), k + 1),
+         |      (x, s) -> s * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
          |    0L, (acc, v) -> acc + v))""".stripMargin
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(expr(proj)).as(Seq("k", "y_micro")))
