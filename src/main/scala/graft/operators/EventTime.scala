@@ -225,7 +225,28 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** t12: exact DISTINCT users per sliding window (6 h window, 1 h
+    * slide) — the aggregation sliding windows make hard: distinct does
+    * NOT merge across panes, so pane-level partials can't be reused the
+    * way t02's count/sum are. The scale shape is the bounded explode
+    * (each event lands in window/slide = 6 panes — Spark's `window()`
+    * generator) followed by a two-level distinct (partial de-dup on
+    * (window, user) before the count shuffle — Catalyst plans the
+    * distinct agg exactly that way). At 100 TB the alternatives are this
+    * (exact, 6× row amplification) or a13's mergeable HLL sketches per
+    * tumbling pane (approximate, zero amplification) — both live in this
+    * library; this query is the exact half of that trade. */
+  def t12(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("event_ts"), "6 hours", "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"),
+        col("n_users"), col("n_events"))
+      .orderBy("win_start_ms")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_sliding_distinct" -> t12,
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
     "t10_resample_ffill" -> t10,
@@ -239,6 +260,18 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // each event belongs to the 6 hourly-aligned windows whose start is
+    // in (hour_floor(ts) - 5h .. hour_floor(ts)] — the same bounded
+    // explode Spark's window() generator performs
+    "t12_sliding_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |x AS (SELECT user_id,
+        |             unnest(generate_series((ts_ms // 3600000) - 5, ts_ms // 3600000))
+        |               * 3600000 AS win_start_ms
+        |      FROM e)
+        |SELECT win_start_ms, COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM x GROUP BY win_start_ms ORDER BY win_start_ms""".stripMargin,
     "t11_conversion_window" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
         |           FROM events),

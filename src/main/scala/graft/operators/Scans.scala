@@ -299,7 +299,30 @@ object Scans extends QueryModule {
           expr("try_cast(o_orderpriority AS INT)")).as("prio_int"))
       .orderBy("o_orderkey")
 
+  /** p08: NULL-semantics torture — the corner every engine must agree
+    * on before any two of its answers are comparable: COUNT(*) vs
+    * COUNT(col) under NULLs, NULL as a grouping key (one group, not
+    * dropped), and the null-safe join (`<=>` / IS NOT DISTINCT FROM)
+    * where the NULL fact rows DO match the NULL dim row while plain
+    * equality matches nothing. The dim side is pre-aggregated (21 rows)
+    * and broadcast; `eq_matched` shows plain `=` disagreeing with the
+    * null-safe join on exactly the NULL group. */
+  def p08(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 20 END AS k")
+    val d = Tables.customer(spark, dir).selectExpr(
+        "CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 20 END AS k2")
+      .groupBy("k2").agg(count(lit(1)).as("dim_n"))
+    f.join(broadcast(d), col("k") <=> col("k2"), "left")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        max(col("dim_n")).as("dim_n"),
+        max(when(col("k") === col("k2"), 1).otherwise(0)).as("eq_matched"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_null_semantics" -> p08,
     "p07_casts" -> p07,
     "s01_scan_parquet" -> s01,
     "s02_scan_pruned" -> s02,
@@ -327,6 +350,20 @@ object Scans extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "p08_null_semantics" ->
+      """WITH f AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_custkey % 20 END AS k FROM orders),
+        |d AS (
+        |  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |              ELSE c_custkey % 20 END AS k2, COUNT(*) AS dim_n
+        |  FROM customer GROUP BY 1)
+        |SELECT k, COUNT(*) AS n, COUNT(k) AS n_k,
+        |       MAX(dim_n) AS dim_n,
+        |       MAX(CASE WHEN k = k2 THEN 1 ELSE 0 END) AS eq_matched
+        |FROM f LEFT JOIN d ON f.k IS NOT DISTINCT FROM d.k2
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
     "p07_casts" ->
       """SELECT o_orderkey,
         |       CAST(o_orderkey AS VARCHAR) AS key_str,
