@@ -76,6 +76,23 @@ object StreamingLift {
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** t12's sliding distinct, incremental — CHAINED stateful operators
+    * (Spark 3.5+ multi-stateful support): the window() generator fans
+    * each event into its 6 hourly panes, stateful dropDuplicates holds
+    * one (pane, user) key per distinct user per pane (exact distinct is
+    * non-mergeable, so the state IS the distinct set — the watermark
+    * evicts closed panes), and the downstream windowed count is then an
+    * ordinary mergeable agg. State per pane = distinct users, sharded by
+    * (pane, user) across executors. */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .select(window(col("event_ts"), "6 hours", "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("n_users"))
+
   /** Stream-static enrichment: the dimension is a plain batch DataFrame;
     * Spark re-broadcasts it per micro-batch. */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =

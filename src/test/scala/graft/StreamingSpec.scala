@@ -58,6 +58,19 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "win_start_ms", "event_type", "n", "sum_value"))
   }
 
+  test("sliding distinct: chained stateful dedup+agg == batch == t12") {
+    val streamed = runStream(StreamingLift.slidingDistinct)
+      .filter(col("win_start_ms") < Sentinel - 21600000L) // drop sentinel panes
+    val batch = StreamingLift.slidingDistinct(
+      batchEvents.withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+    assert(sortedRows(streamed, "win_start_ms", "n_users") ===
+      sortedRows(batch, "win_start_ms", "n_users"))
+    // and the lift agrees with the registered batch query's distinct counts
+    val t12 = operators.EventTime.t12(spark, sf).select("win_start_ms", "n_users")
+    assert(sortedRows(batch, "win_start_ms", "n_users") ===
+      sortedRows(t12, "win_start_ms", "n_users"))
+  }
+
   test("session windows: streaming append == batch") {
     val streamed = runStream(StreamingLift.session)
       .filter(col("user_id") >= 0)
