@@ -276,9 +276,11 @@ object Dedup extends QueryModule {
 
   /** Library-level k-means: the FULL Lloyd fixpoint, not just l26's one
     * update step. Assignment is kmeansAssign's broadcast-centroid
-    * argmax-cosine (map-side at any corpus size); the update is l26's
-    * integer-micro-unit mean (order-independent BIGINT gathers → one
-    * float per dim); convergence = no centroid dimension moved more
+    * argmax-cosine (map-side at any corpus size); the update gathers
+    * l26-style integer micro-units but divides with FLOOR (`s div n`,
+    * deterministic at any partitioning) — it differs from l26's exact
+    * double mean by < 1 micro-unit per dimension, which is inside the
+    * convergence tolerance; convergence = no centroid dimension moved more
     * than tolMicro micro-units. Runs through graft.Fixpoint.loop:
     * iterates are localCheckpoint-truncated and superseded ones are
     * released eagerly; the embedding scan is cached for the loop and

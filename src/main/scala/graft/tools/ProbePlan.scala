@@ -9,8 +9,15 @@ object ProbePlan {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    args.drop(1).foreach {
+    // first arg is the data dir only if it looks like a path; otherwise
+    // every arg is a query name (guards `ProbePlan j17` silently doing
+    // nothing because "j17" was taken as the dir)
+    val (d, names) = args.headOption match {
+      case Some(p) if p.startsWith("/") => (p, args.drop(1).toSeq)
+      case _ => ("/root/testdata/sf0.01", args.toSeq)
+    }
+    require(names.nonEmpty, "usage: ProbePlan [sfDir] <query|j17>...")
+    names.foreach {
       case "j17" => println(graft.operators.Joins.j17Plan(spark, d))
       case q =>
         println(s"=== $q ===")
