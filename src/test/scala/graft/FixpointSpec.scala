@@ -40,6 +40,32 @@ class FixpointSpec extends SparkSuite {
     assert(Fixpoint.connectedComponentsStar(empty).count() === 0)
   }
 
+  test("star CC equals brute-force union-find on seeded random graphs") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(30)
+      val m = rnd.nextInt(2 * n)
+      val edges = (0 until m).map(_ =>
+        (f"v${rnd.nextInt(n)}%02d", f"v${rnd.nextInt(n)}%02d"))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // brute force: union-find over the same edge list
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val expect = parent.keys.toSeq.groupBy(find).values
+          .map(_.toSet).toSet
+        val got = Fixpoint.connectedComponentsStar(edges.toDF("a", "b"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+          .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+        assert(got === expect, s"seed=$seed n=$n m=$m")
+      }
+    }
+  }
+
   test("loop reports iteration count and releases superseded iterates") {
     // contractive toy iteration: x ← x/2 over 8 rows, converged when all < 1
     val init = (1 to 8).map(i => i * 100.0).toDF("x")
