@@ -324,7 +324,48 @@ object Dedup extends QueryModule {
     (out, iters)
   }
 
+  /** l35: URL canonicalization + dedup — the web-crawl front door that
+    * runs BEFORE any content dedup: the same page arrives as casing/
+    * default-port/fragment/utm/trailing-slash variants, and collapsing
+    * them is a pure map-side string normalization + one groupBy on the
+    * canonical key (contrast l01's content hash: this needs no document
+    * bytes at all). Six deterministic messy variants are synthesized per
+    * order key; canonicalization = strip fragment, lowercase
+    * scheme://host, drop :80, drop utm_* params, trim trailing slash —
+    * each step a regexp with NO capture-group replacement (Java regex vs
+    * RE2 backreference syntax differs; plain patterns behave identically,
+    * which is what makes the DuckDB oracle exact). */
+  def l35(spark: SparkSession, dir: String): DataFrame = {
+    val urls = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      """CASE CAST(o_orderkey % 6 AS INT)
+        |  WHEN 0 THEN concat('HTTP://Example.COM:80/items/', o_orderkey % 2000, '/')
+        |  WHEN 1 THEN concat('http://example.com/items/', o_orderkey % 2000)
+        |  WHEN 2 THEN concat('http://example.com/items/', o_orderkey % 2000,
+        |                     '?utm_source=x&utm_campaign=y')
+        |  WHEN 3 THEN concat('http://example.com/items/', o_orderkey % 2000, '#frag')
+        |  WHEN 4 THEN concat('http://example.com/items/', o_orderkey % 2000,
+        |                     '?ref=2&utm_medium=z')
+        |  ELSE concat('https://Other.org/p?q=', o_orderkey % 2000)
+        |END AS url""".stripMargin)
+    urls
+      .withColumn("s1", expr("regexp_replace(url, '#.*', '')"))
+      .withColumn("pre", expr(
+        "regexp_replace(lower(regexp_extract(s1, '^[a-zA-Z]+://[^/?#]+', 0)), ':80$', '')"))
+      .withColumn("rest", expr(
+        "substring(s1, length(regexp_extract(s1, '^[a-zA-Z]+://[^/?#]+', 0)) + 1)"))
+      .withColumn("rest", expr("regexp_replace(rest, 'utm_[a-z]+=[^&]*&', '')"))
+      .withColumn("rest", expr("regexp_replace(rest, '[?&]utm_[a-z]+=[^&]*', '')"))
+      .withColumn("rest", expr("regexp_replace(rest, '/+$', '')"))
+      .withColumn("canon_url", concat(col("pre"), col("rest")))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("o_orderkey")).as("keep_key"))
+      .orderBy("canon_url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l35_url_dedup" -> l35,
     "l02c_dedup_simhash" -> l02c,
     "l02d_dedup_ngram_jaccard" -> l02d,
     "l02e_dedup_embed" -> l02e,
@@ -337,6 +378,36 @@ object Dedup extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "l35_url_dedup" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |         CASE CAST(o_orderkey % 6 AS INT)
+        |           WHEN 0 THEN concat('HTTP://Example.COM:80/items/', o_orderkey % 2000, '/')
+        |           WHEN 1 THEN concat('http://example.com/items/', o_orderkey % 2000)
+        |           WHEN 2 THEN concat('http://example.com/items/', o_orderkey % 2000,
+        |                              '?utm_source=x&utm_campaign=y')
+        |           WHEN 3 THEN concat('http://example.com/items/', o_orderkey % 2000, '#frag')
+        |           WHEN 4 THEN concat('http://example.com/items/', o_orderkey % 2000,
+        |                              '?ref=2&utm_medium=z')
+        |           ELSE concat('https://Other.org/p?q=', o_orderkey % 2000)
+        |         END AS url
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey, url,
+        |         regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''),
+        |                        '^[a-zA-Z]+://[^/?#]+')), ':80$', '')
+        |         || regexp_replace(regexp_replace(regexp_replace(
+        |              substring(regexp_replace(url, '#.*', ''),
+        |                length(regexp_extract(regexp_replace(url, '#.*', ''),
+        |                       '^[a-zA-Z]+://[^/?#]+')) + 1),
+        |              'utm_[a-z]+=[^&]*&', ''),
+        |              '[?&]utm_[a-z]+=[^&]*', ''),
+        |              '/+$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT url) AS n_variants,
+        |       MIN(o_orderkey) AS keep_key
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     "l26_kmeans_update" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
