@@ -1,18 +1,25 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Driver-side fixpoint pattern shared by the iterative operators (l21
-  * connected components, full PageRank): each iterate is truncated with
-  * localCheckpoint (eager) so iteration N never replays iterations
-  * 1..N−1, the convergence probe runs over the checkpointed blocks (a
-  * local count, no recompute), and — the round-4 lesson — the superseded
-  * iterate's blocks are unpersisted the moment the next one is
-  * materialized instead of waiting for driver GC. Retained superseded
-  * checkpoints were exactly the l21/g01 in-sweep GC debt: ContextCleaner
-  * frees them only when a driver GC collects the RDD reference, and a
-  * busy 24 g heap can go hundreds of jobs between full GCs.
+  * connected components, full PageRank, kmeansFit): each iterate is
+  * truncated with localCheckpoint (eager) so iteration N never replays
+  * iterations 1..N−1, the convergence probe rides the SAME job as the
+  * checkpoint via observe() metrics (one Spark job per iteration — a
+  * separate count() would double per-iteration latency at scale), and —
+  * the round-4 lesson — the superseded iterate's blocks are unpersisted
+  * the moment the next one is materialized instead of waiting for driver
+  * GC. Retained superseded checkpoints were exactly the l21/g01 in-sweep
+  * GC debt: ContextCleaner frees them only when a driver GC collects the
+  * RDD reference, and a busy 24 g heap can go hundreds of jobs between
+  * full GCs.
   */
 object Fixpoint {
 
@@ -26,26 +33,77 @@ object Fixpoint {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  /** Iterate `step` from `init` until `changed` reports 0 or `maxIter`.
-    * `step`'s result is localCheckpoint-materialized before `changed`
-    * runs, so the probe and all downstream consumers read stored blocks.
-    * Returns the final iterate (still persisted — callers that loop
-    * further or return lazily on top of it own the release) and the
-    * iteration count. `init` itself is checkpointed and released. */
+  private val obsId = new AtomicLong(0L)
+
+  /** Pull one observed Long metric, with a belt-and-braces fallback: the
+    * listener delivery is asynchronous relative to the eager checkpoint's
+    * return (measured: milliseconds), so obs.get normally returns
+    * instantly; if delivery somehow never fires we fall back to an
+    * explicit job rather than deadlock the driver. A null metric (sum
+    * over an empty iterate) reads as 0 = converged. */
+  private def observedLong(obs: Observation, fallback: => Long): Long =
+    try {
+      Await.result(Future(obs.get)(ExecutionContext.global), 120.seconds)
+        .valuesIterator.toSeq.headOption.flatMap(Option(_)) match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case Some(l: Long) => l
+        case _ => 0L
+      }
+    } catch { case _: TimeoutException => fallback }
+
+  /** Iterate `step` from `init` until no output row satisfies
+    * `changedPred` or `maxIter`. The convergence probe is an observe()
+    * aggregate computed BY the job that materializes each iterate's
+    * localCheckpoint — exactly one Spark job per iteration
+    * (FixpointSpec listener-counts this). Returns the final iterate
+    * (still persisted — the caller owns its release) and the iteration
+    * count. All superseded iterates, and on failure the current one,
+    * are released eagerly. */
+  def loopObserved(init: DataFrame, maxIter: Int)
+                  (step: DataFrame => DataFrame)
+                  (changedPred: Column): (DataFrame, Int) = {
+    var cur = init.localCheckpoint()
+    var iters = 0
+    var go = true
+    try {
+      while (go && iters < maxIter) {
+        val obs = Observation(s"graft_fix_${obsId.incrementAndGet()}")
+        val next = step(cur)
+          .observe(obs, sum(when(changedPred, 1L).otherwise(0L)).as("changed"))
+          .localCheckpoint()
+        try go = observedLong(obs, next.filter(changedPred).count()) > 0
+        catch { case t: Throwable => release(next); throw t }
+        release(cur) // superseded — next is materialized
+        cur = next
+        iters += 1
+      }
+      (cur, iters)
+    } catch { case t: Throwable => release(cur); throw t }
+  }
+
+  /** General-probe variant: `changed` runs as its own job over the
+    * checkpointed iterate (use loopObserved unless the probe genuinely
+    * can't be expressed as a row-predicate aggregate). Failure paths
+    * release the in-flight iterates before rethrowing — a throw mid-loop
+    * must not leave checkpoint blocks persisted for the session (the
+    * GC-debt failure mode this file exists to prevent). */
   def loop(init: DataFrame, maxIter: Int)
           (step: DataFrame => DataFrame)
           (changed: DataFrame => Long): (DataFrame, Int) = {
     var cur = init.localCheckpoint()
     var iters = 0
     var go = true
-    while (go && iters < maxIter) {
-      val next = step(cur).localCheckpoint()
-      go = changed(next) > 0
-      release(cur) // superseded — next is materialized
-      cur = next
-      iters += 1
-    }
-    (cur, iters)
+    try {
+      while (go && iters < maxIter) {
+        val next = step(cur).localCheckpoint()
+        try go = changed(next) > 0
+        catch { case t: Throwable => release(next); throw t }
+        release(cur) // superseded — next is materialized
+        cur = next
+        iters += 1
+      }
+      (cur, iters)
+    } catch { case t: Throwable => release(cur); throw t }
   }
 
   /** Connected components by alternating large-star / small-star
@@ -55,7 +113,7 @@ object Fixpoint {
     * alternation converges in O(log² n) rounds on any graph — each
     * round is two neighborhood-min aggregations + joins, all
     * shuffle-partitioned on node id, nothing driver-side but the
-    * convergence counter. At convergence the edge set is a union of
+    * convergence signature. At convergence the edge set is a union of
     * stars centered at each component's minimum node.
     *
     * Input: undirected edges as (a, b) pairs, any orientation, no self
@@ -101,29 +159,56 @@ object Fixpoint {
         .filter(col("a") =!= col("b")).distinct()
     }
 
-    // convergence = edge set stable: (count, Σ xxhash64) as the cheap
-    // set signature — decimal sum so ANSI mode can't overflow-throw
-    def sig(edges: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = edges.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")), lit(0))
-          .as("h")).head()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // Convergence = edge set stable, detected by the set signature
+    // (count, Σ xxhash64 as DECIMAL so ANSI mode can't overflow-throw),
+    // observed ON the checkpoint job — one Spark job per round. ACCEPTED
+    // COLLISION RISK, documented per the round-5 advice: declaring
+    // convergence early requires two successive DISTINCT edge sets with
+    // equal cardinality AND equal 64-bit-hash sums — for non-adversarial
+    // inputs that is a ~2⁻⁶⁴ event per round (the hash sum is a uniform
+    // 64-bit-entropy function of the set), orders of magnitude below
+    // machine-error rates; the exact alternative (exceptAll probe) costs
+    // an extra shuffle job per round. A collision also only DELAYS
+    // nothing — it stops one alternation early, which GraphSpec's
+    // union-find property test would catch if it ever fired at test SF.
+    val sigCols = Seq(
+      count(lit(1)).as("sig_n"),
+      coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("sig_h"))
 
-    var cur = init.localCheckpoint()
-    var curSig = sig(cur)
+    def observedSig(obs: Observation, edges: DataFrame): (Long, java.math.BigDecimal) =
+      try {
+        val m = Await.result(Future(obs.get)(ExecutionContext.global), 120.seconds)
+        (m.get("sig_n").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          m.get("sig_h").flatMap(Option(_)).map(_.asInstanceOf[java.math.BigDecimal])
+            .getOrElse(java.math.BigDecimal.ZERO))
+      } catch {
+        case _: TimeoutException =>
+          val r = edges.agg(sigCols.head, sigCols.tail: _*).head()
+          (r.getLong(0), r.getDecimal(1))
+      }
+
+    val initObs = Observation(s"graft_cc_${obsId.incrementAndGet()}")
+    var cur = init.observe(initObs, sigCols.head, sigCols.tail: _*).localCheckpoint()
+    var curSig = observedSig(initObs, cur)
     var iters = 0
     var go = curSig._1 > 0
-    while (go && iters < maxIter) {
-      val next = star(star(cur, large = true), large = false).localCheckpoint()
-      val nextSig = sig(next)
-      go = nextSig != curSig
-      release(cur)
-      cur = next
-      curSig = nextSig
-      iters += 1
-    }
+    try {
+      while (go && iters < maxIter) {
+        val obs = Observation(s"graft_cc_${obsId.incrementAndGet()}")
+        val next = star(star(cur, large = true), large = false)
+          .observe(obs, sigCols.head, sigCols.tail: _*)
+          .localCheckpoint()
+        val nextSig =
+          try observedSig(obs, next)
+          catch { case t: Throwable => release(next); throw t }
+        go = nextSig != curSig
+        release(cur)
+        cur = next
+        curSig = nextSig
+        iters += 1
+      }
+    } catch { case t: Throwable => release(cur); throw t }
     // converged stars: every edge is (member, center); centers label themselves
     val labels = cur.select(col("a").as("id"), col("b").as("label"))
       .union(cur.select(col("b").as("id"), col("b").as("label")))

@@ -281,7 +281,9 @@ object Dedup extends QueryModule {
     * deterministic at any partitioning) — it differs from l26's exact
     * double mean by < 1 micro-unit per dimension, which is inside the
     * convergence tolerance; convergence = no centroid dimension moved more
-    * than tolMicro micro-units. Runs through graft.Fixpoint.loop:
+    * than tolMicro micro-units. Runs through graft.Fixpoint.loopObserved
+    * (the convergence probe is an observe() metric on the checkpoint job
+    * itself — one Spark job per Lloyd round):
     * iterates are localCheckpoint-truncated and superseded ones are
     * released eagerly; the embedding scan is cached for the loop and
     * released before returning. Empty clusters keep their previous
@@ -296,7 +298,7 @@ object Dedup extends QueryModule {
     val init = embC.filter(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         lit(Long.MaxValue).as("moved_micro"))
-    val (fin, iters) = graft.Fixpoint.loop(init, maxIter) { cur =>
+    val (fin, iters) = graft.Fixpoint.loopObserved(init, maxIter) { cur =>
       val dims = kmeansAssign(embC, cur.select("cid", "cvec"))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -317,7 +319,7 @@ object Dedup extends QueryModule {
               |        - CAST(round(b * 1000000.0) AS BIGINT))),
               |  0L, (acc, d) -> greatest(acc, d))""".stripMargin),
             lit(0L)).as("moved_micro"))
-    } { next => next.filter(col("moved_micro") > tolMicro).count() }
+    } (col("moved_micro") > tolMicro)
     val out = fin.select("cid", "cvec").orderBy("cid").localCheckpoint()
     graft.Fixpoint.release(fin)
     embC.unpersist(blocking = false)

@@ -65,8 +65,9 @@ object Graph extends QueryModule {
     out
   }
 
-  /** Full PageRank to convergence — g01's step iterated through the
-    * graft.Fixpoint loop (localCheckpoint-truncated lineage, superseded
+  /** Full PageRank to convergence — g01's step iterated through
+    * graft.Fixpoint.loopObserved (localCheckpoint-truncated lineage,
+    * convergence probe observed on the checkpoint job itself, superseded
     * iterates unpersisted eagerly, driver sees only the convergence
     * counter). Library-level operator, not an oracled query: float
     * iteration count depends on tolerance, so it's spec-covered
@@ -92,7 +93,7 @@ object Graph extends QueryModule {
     val nNodes = deg.count()
     val init = deg.select(col("src").as("node"),
       lit(1.0 / nNodes).as("rank"), lit(Double.MaxValue).as("delta"))
-    val (fin, _) = graft.Fixpoint.loop(init, maxIter) { cur =>
+    val (fin, _) = graft.Fixpoint.loopObserved(init, maxIter) { cur =>
       val contrib = dir2.join(deg, "src")
         .join(cur.select(col("node").as("src"), col("rank")), "src")
         .groupBy("dst").agg(sum(col("rank") / col("deg")).as("gathered"))
@@ -103,7 +104,7 @@ object Graph extends QueryModule {
             + lit(0.85) * coalesce(col("gathered"), lit(0.0))).as("rank"),
           col("prev"))
         .select(col("node"), col("rank"), abs(col("rank") - col("prev")).as("delta"))
-    } { next => next.filter(col("delta") > tol).count() }
+    } (col("delta") > tol)
     val out = fin.select(
         split(col("node"), "\\|").getItem(0).as("node_type"),
         split(col("node"), "\\|").getItem(1).as("node_id"),
@@ -143,7 +144,7 @@ object Graph extends QueryModule {
     val nNodes = deg.count()
     val init = deg.select(col("src").as("node"),
       lit(1000000000000L / nNodes).as("r"))
-    val (fin, _) = graft.Fixpoint.loop(init, maxIter = 3) { cur =>
+    val (fin, _) = graft.Fixpoint.loopObserved(init, maxIter = 3) { cur =>
       val gathered = dir2.join(deg, "src")
         .join(cur.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div deg").as("contrib"))
@@ -153,7 +154,7 @@ object Graph extends QueryModule {
         .select(col("node"),
           (lit(150000000000L / nNodes)
             + expr("(85 * coalesce(g, 0L)) div 100")).as("r"))
-    } { _ => 1L } // fixed 3 rounds: maxIter is the stop, not convergence
+    } (lit(true)) // fixed 3 rounds: maxIter is the stop, not convergence
     val out = fin.select(
         split(col("node"), "\\|").getItem(0).as("node_type"),
         split(col("node"), "\\|").getItem(1).cast("bigint").as("node_id"),

@@ -81,6 +81,55 @@ class FixpointSpec extends SparkSuite {
     Fixpoint.release(fin)
   }
 
+  test("loopObserved: convergence probe rides the checkpoint job — one job per iteration") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // drain any in-flight listener events from earlier tests, then count
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val init = (1 to 8).map(i => i * 100.0).toDF("x")
+      val ((fin, iters), retained) = newPersistedAfter {
+        Fixpoint.loopObserved(init, maxIter = 20)(
+          df => df.select((col("x") / 2).as("x")))(col("x") >= 1.0)
+      }
+      // poll the async listener bus until the count is stable
+      var seen = -1
+      var stableFor = 0
+      while (stableFor < 6) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == seen) stableFor += 1 else { seen = now; stableFor = 0 }
+      }
+      assert(iters === 10) // same contraction as the loop test above
+      assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
+      // init checkpoint + one checkpoint job per iteration, NO probe jobs
+      // (the old shape was 2·iters + 1: checkpoint + count per round)
+      assert(seen <= iters + 2, s"expected ≤ ${iters + 2} jobs, saw $seen")
+      assert(fin.agg(max("x")).head().getDouble(0) < 1.0)
+      Fixpoint.release(fin)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("loopObserved releases in-flight iterates when the step throws") {
+    val init = (1 to 4).map(_.toDouble).toDF("x")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[RuntimeException] {
+      Fixpoint.loopObserved(init, maxIter = 10) { df =>
+        if (df.head().getDouble(0) >= 0.25) df.select((col("x") / 2).as("x"))
+        else throw new RuntimeException("boom mid-iteration")
+      }(col("x") >= 0.0)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"failure path leaked ${(after -- before).size} persisted iterates")
+  }
+
   test("kmeansFit: Lloyd fixpoint converges, improves the seed objective, cleans up") {
     graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, sf)
