@@ -37,8 +37,16 @@ object Dedup extends QueryModule {
     * separate true near-dups (hd ≤ 5) from topic-mates (hd ≥ 10) cleanly.
     * Candidates share one of four 12-bit bands; verification keeps
     * Hamming distance ≤ 6. */
-  def l02c(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
+  def l02c(spark: SparkSession, dir: String): DataFrame =
+    simHashNearDupPairs(Tables.documents(spark, dir))
+
+  /** Library path for l02c over any (doc_id, text) frame. Band buckets
+    * above bucketCap are dropped before the candidate join (a fingerprint
+    * flood — mass-identical boilerplate — is exact dedup's job, and its
+    * bucket is quadratic pair work); the oracle applies the same cap. */
+  /** (doc_id, fp) 48-bit SimHash fingerprints — one aggregation pass. */
+  private def simHashFingerprints(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // <3-word docs yield no shingles; unguarded, sequence(1, size(w)-2)
       // is descending and element_at(w, 0) throws (oracle's range is empty)
@@ -58,16 +66,114 @@ object Dedup extends QueryModule {
         (0 until SimBits).map(b =>
           when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("fp"))
-    val bands = fp.select(col("doc_id"), col("fp"),
-      explode(sequence(lit(0), lit(3))).as("j"))
+
+  /** (doc_id, fp, j, band) SimHash band rows, uncapped. */
+  private def simHashBands(docs: DataFrame): DataFrame =
+    simHashFingerprints(docs)
+      .select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("band", expr("shiftright(fp, j * 12) & 4095"))
+
+  /** Σ |bucket|·(|bucket|−1)/2 over the (j, band) SimHash buckets — the
+    * candidate pairs the band join would generate uncapped, from bucket
+    * sizes alone (ScalePatternsSpec's growth probe). */
+  def simHashBandWork(docs: DataFrame): Long =
+    simHashBands(docs)
+      .groupBy("j", "band").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+
+  /** Corpus-scaled SimHash band width: random (non-dup) band collisions
+    * generate ≈ nBands·n²/2^bandBits candidate pairs, so a PINNED width
+    * is quadratic in the corpus — measured 82× band work for 10× docs at
+    * the fixture's 12 bits. Growing the width as log2 keeps expected
+    * random collisions ≈ target·n/2 (linear): bandBits =
+    * ceil(log2(nBands·n/target)), floored at the fixture's 12. The
+    * fingerprint needs nBands·bandBits bits; [[simHashNearDupPairsScaled]]
+    * draws 60 bits per seed-prefixed md5 word, so width is not capped by
+    * a single hash. Wider bands trade recall (a near-dup pair must agree
+    * on all bandBits bits of some band) — the same dial as
+    * [[scaledPlanes]], with OR-amplification (more bands) the recall-side
+    * counterweight. */
+  def scaledSimBandBits(n: Long, nBands: Int = 4, target: Long = 1L): Int =
+    math.max(12, math.ceil(math.log(nBands.toDouble * math.max(1L, n) / target)
+      / math.log(2.0)).toInt)
+
+  /** Generalized SimHash band rows over seed-prefixed md5 words: bit b of
+    * the fingerprint comes from bit (b % 60) of md5((b/60) || '|' || t).
+    * Output: (doc_id, bands) with bands(j) packing bits
+    * [j·bandBits, (j+1)·bandBits) — the bands partition the bit space, so
+    * Hamming distance is Σ_j bit_count(bands(j) XOR bands'(j)). */
+  private def simHashBandArrays(docs: DataFrame, nBands: Int,
+      bandBits: Int): DataFrame = {
+    val simBits = nBands * bandBits
+    val words = (simBits + 59) / 60
+    val withHv = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
+        .as("t"))
+      .select(col("doc_id") +: (0 until words).map(k =>
+        expr(s"CAST(conv(substr(md5(concat('$k|', t)), 1, 15), 16, 10) AS BIGINT)")
+          .as(s"hv$k")): _*)
+    withHv
+      .groupBy("doc_id")
+      .agg(
+        sum(when(expr("(shiftright(hv0, 0) & 1) = 1"), 1).otherwise(-1)).as("s0"),
+        (1 until simBits).map(b =>
+          sum(when(expr(s"(shiftright(hv${b / 60}, ${b % 60}) & 1) = 1"), 1)
+            .otherwise(-1)).as(s"s$b")): _*)
+      .select(col("doc_id"), array((0 until nBands).map(j =>
+        (0 until bandBits).map(i =>
+          when(col(s"s${j * bandBits + i}") >= 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _)): _*).as("bands"))
+  }
+
+  /** The scale path for l02c: band width derived from the corpus so
+    * random band collisions stay linear in n (ScalePatternsSpec pins the
+    * law on the real corpus, where the fixture's pinned 12-bit bands
+    * measure quadratic). Hamming budget scales with the fingerprint:
+    * simBits/8, the fixture's 6-of-48 ratio. */
+  def simHashNearDupPairsScaled(docs: DataFrame, nBands: Int = 4,
+      target: Long = 1L, bucketCap: Int = Llm.BandBucketCap): DataFrame = {
+    val bandBits = scaledSimBandBits(docs.count(), nBands, target)
+    val maxHamming = nBands * bandBits / 8
+    val fp = simHashBandArrays(docs, nBands, bandBits)
+    val bands = Llm.capBuckets(
+      fp.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("j", "band"))),
+      Seq("j", "band"), bucketCap)
+    bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.band") === col("y.band")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)), 0, (acc, v) -> acc + v)")
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** Band-bucket pair work of the scaled SimHash at a given width — the
+    * growth probe ScalePatternsSpec runs at two corpus sizes. */
+  def simHashBandWorkScaled(docs: DataFrame, nBands: Int, bandBits: Int): Long =
+    simHashBandArrays(docs, nBands, bandBits)
+      .select(posexplode(col("bands")).as(Seq("j", "band")))
+      .groupBy("j", "band").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 6,
+      bucketCap: Int = Llm.BandBucketCap): DataFrame = {
+    val bands = Llm.capBuckets(simHashBands(docs), Seq("j", "band"), bucketCap)
     bands.as("x").join(bands.as("y"),
         col("x.j") === col("y.j") && col("x.band") === col("y.band")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("bit_count(x.fp ^ y.fp)").cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
 
@@ -89,20 +195,13 @@ object Dedup extends QueryModule {
     * vocabulary instead of the alphabet, and rare grams stay rare as
     * the corpus grows — candidates scale with true near-dups (25 pairs
     * at sf0.01 → 253 at sf0.1), not with corpus². */
-  def l02d(spark: SparkSession, dir: String): DataFrame = {
-    // scoped cache on the per-doc DISTINCT-gram array: computed once from
-    // each document row, it feeds (a) the exploded gram stream for the
-    // rarity count and (b) the map-side hash sets for exact verify —
-    // released before returning (the pair-sized result is
-    // localCheckpoint-materialized below)
-    val gramsArr = Tables.documents(spark, dir)
-      // <GramLen-char docs yield no grams (descending-sequence guard)
-      .filter(length(col("text")) >= GramLen)
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))").as("gs"))
-      .cache()
-    // all pairing/rarity plumbing shuffles the 8-byte gram HASH, never
-    // the gram string — the string exists only inside its document row
+  def l02d(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+
+  /** The rare grams of a corpus (g = xxhash64 of the 8-gram, df) under
+    * the corpus-relative rarity cap — shared by the pair pipeline and
+    * the candidate-work probe. */
+  private def rareGrams(gramsArr: DataFrame, docs: DataFrame): DataFrame = {
     val grams = gramsArr.select(col("doc_id"),
       explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))
     // rarity cap is CORPUS-RELATIVE: max(RareDf, 1% of docs). An absolute
@@ -110,12 +209,44 @@ object Dedup extends QueryModule {
     // copy in a 10×-duplicated cluster exceeds it and the cluster stops
     // pairing). The count arrives as a broadcast 1-row join, not a
     // driver-side action.
-    val nDocs = Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("n_docs"))
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    grams.groupBy("g").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= 2 &&
         col("df") <= greatest(lit(RareDf), (col("n_docs") / 100).cast("long")))
+      .select("g", "df")
+  }
+
+  private def gramArrays(docs: DataFrame): DataFrame =
+    docs
+      // <GramLen-char docs yield no grams (descending-sequence guard)
+      .filter(length(col("text")) >= GramLen)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))").as("gs"))
+
+  /** Σ df·(df−1)/2 over the rare grams — the candidate pairs the rare-gram
+    * self-join generates (with multiplicity across grams), from the df
+    * table alone. The growth law ScalePatternsSpec pins: because the
+    * rarity cap is corpus-relative, this tracks true near-dup mass, not
+    * corpus². */
+  def ngramCandidateWork(docs: DataFrame): Long =
+    rareGrams(gramArrays(docs), docs)
+      .agg(coalesce(sum(expr("(df * (df - 1)) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+
+  /** Library path for l02d over any (doc_id, text) frame. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    // scoped cache on the per-doc DISTINCT-gram array: computed once from
+    // each document row, it feeds (a) the exploded gram stream for the
+    // rarity count and (b) the map-side hash sets for exact verify —
+    // released before returning (the pair-sized result is
+    // localCheckpoint-materialized below)
+    val gramsArr = gramArrays(docs).cache()
+    // all pairing/rarity plumbing shuffles the 8-byte gram HASH, never
+    // the gram string — the string exists only inside its document row
+    val grams = gramsArr.select(col("doc_id"),
+      explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))
+    val rare = rareGrams(gramsArr, docs)
     // the candidate self-join runs on the RARE-gram subset only — both
     // sides are pre-filtered to rare grams before the pair shuffle, so
     // the full gram stream (the big table) never shuffles for pairing;
@@ -161,19 +292,41 @@ object Dedup extends QueryModule {
   // standard recall-for-throughput trade, asserted in DedupSpec
   private val CosMin = 0.4
 
-  /** l02e: embedding-cosine near-dup — hyperplane-LSH same-bucket
-    * prefilter (16 buckets from Llm.Hyperplanes), exact cosine ≥ CosMin
-    * verify. The bucket equi-join is the 100 TB-safe shape: shuffle on
-    * sig, never all-pairs. */
-  def l02e(spark: SparkSession, dir: String): DataFrame = {
-    // sig (the 4-plane mega-expression) and the norm are computed ONCE PER
+  /** Corpus-scaled hyperplane count: enough planes that the expected
+    * bucket population stays ≈ targetBucket as the corpus grows —
+    * planes = ceil(log2(n / targetBucket)), floored at 4 (the oracled
+    * fixture constant). With B = 2^planes ∈ [n/target, 2n/target], the
+    * same-sig join generates Θ(n·target) candidate pairs — LINEAR in n,
+    * where any pinned plane count silently degrades to all-pairs/2^p
+    * (ScalePatternsSpec pins the growth exponent). */
+  def scaledPlanes(n: Long, targetBucket: Long = 16L): Int =
+    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+      / math.log(2.0)).toInt)
+
+  /** Corpus-scaled cluster count for the k-means-family operators
+    * (SemDeDup, IVF): k = n / targetCluster keeps per-cluster pair work
+    * O(n·targetCluster) — the floor of 16 preserves the oracled
+    * fixture literals at test SF. */
+  def scaledK(n: Long, targetCluster: Long = 16L): Int =
+    math.max(16L, n / targetCluster).toInt
+
+  /** Library path for l02e over any (vec_id, embedding) frame with an
+    * explicit plane count — [[embedNearDupPairsScaled]] derives the count
+    * from the corpus; the oracled l02e pins 4 planes (16 buckets), the
+    * fixture shape whose literals the DuckDB oracle replays. Recall at a
+    * given plane count trades against bucket size; OR-amplification
+    * (multiple independent tables, l02-style banding) is the orthogonal
+    * recall dial and multiplies this per-table work by #tables. */
+  def embedNearDupPairs(emb0: DataFrame, nPlanes: Int,
+      cosMin: Double): DataFrame = {
+    // sig (the plane mega-expression) and the norm are computed ONCE PER
     // VECTOR before the join — per-pair they'd each re-run for every
     // candidate (norms alone are 2 of the 3 array folds). Both join sides
     // project the SAME plan, so the sig/norm stage and its exchange
     // canonicalize identically and ReuseExchange materializes them once.
-    graft.functions.VecMath.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("sig", expr(Llm.sigExprSpark("embedding")))
+    graft.functions.VecMath.register(emb0.sparkSession)
+    val emb = emb0
+      .withColumn("sig", expr(Llm.sigExprSpark("embedding", Llm.hyperplanes(nPlanes))))
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
       .select("vec_id", "embedding", "sig", "nrm")
     emb.as("x")
@@ -181,10 +334,39 @@ object Dedup extends QueryModule {
         col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("dot", expr("vec_dot(x.embedding, y.embedding)"))
       .withColumn("cosine", round(col("dot") / (col("x.nrm") * col("y.nrm")), 6))
-      .filter(col("cosine") >= CosMin)
+      .filter(col("cosine") >= cosMin)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
       .orderBy("a", "b")
   }
+
+  /** The scale path: plane count derived from the corpus size so the
+    * candidate-pair join stays linear in n (one count() job up front —
+    * at 100 TB that's a metadata-cheap scan next to the pair join it
+    * right-sizes). */
+  def embedNearDupPairsScaled(emb: DataFrame, cosMin: Double = CosMin,
+      targetBucket: Long = 16L): DataFrame =
+    embedNearDupPairs(emb, scaledPlanes(emb.count(), targetBucket), cosMin)
+
+  /** Σ |bucket|·(|bucket|−1)/2 over the sig buckets — the exact number of
+    * candidate pairs the same-sig join generates, computed from bucket
+    * SIZES (one aggregation) without running the join. ScalePatternsSpec
+    * uses this to pin the linear-growth law. */
+  def embedCandidateWork(emb: DataFrame, nPlanes: Int): Long = {
+    graft.functions.VecMath.register(emb.sparkSession)
+    emb.withColumn("sig", expr(Llm.sigExprSpark("embedding", Llm.hyperplanes(nPlanes))))
+      .groupBy("sig").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+  }
+
+  /** l02e: embedding-cosine near-dup — hyperplane-LSH same-bucket
+    * prefilter (16 buckets from Llm.Hyperplanes), exact cosine ≥ CosMin
+    * verify. The bucket equi-join is the 100 TB-safe shape: shuffle on
+    * sig, never all-pairs — with the plane count the fixture literal 4
+    * here (the oracle needs literals) and corpus-scaled in
+    * [[embedNearDupPairsScaled]]. */
+  def l02e(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupPairs(Tables.embeddings(spark, dir), nPlanes = 4, cosMin = CosMin)
 
   private val NProbe = 2
 
@@ -291,11 +473,14 @@ object Dedup extends QueryModule {
     * iteration count is data/tolerance-dependent — FixpointSpec asserts
     * convergence, objective improvement over the seed, and checkpoint
     * hygiene. Returns (centroids (cid, cvec), iterations). */
-  def kmeansFit(emb: DataFrame, k: Int, maxIter: Int = 20,
+  def kmeansFit(emb: DataFrame, k: Int = 0, maxIter: Int = 20,
       tolMicro: Long = 100L): (DataFrame, Int) = {
     graft.functions.VecMath.register(emb.sparkSession)
     val embC = emb.select("vec_id", "embedding").cache()
-    val init = embC.filter(col("vec_id").between(1, k))
+    // k ≤ 0 → corpus-scaled: clusters grow with the data so per-cluster
+    // work (SemDeDup pairs, IVF list scans) stays bounded
+    val k0 = if (k > 0) k else scaledK(embC.count())
+    val init = embC.filter(col("vec_id").between(1, k0))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         lit(Long.MaxValue).as("moved_micro"))
     val (fin, iters) = graft.Fixpoint.loopObserved(init, maxIter) { cur =>
@@ -444,9 +629,13 @@ object Dedup extends QueryModule {
          |  SELECT doc_id,
          |         SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
          |  FROM bits GROUP BY doc_id),
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, fp, j.j, (fp >> (j.j * 12)) & 4095 AS band
-         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j)
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |bsz AS (SELECT j, band, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT b.doc_id, b.fp, b.j, b.band
+         |  FROM bands0 b JOIN bsz USING (j, band) WHERE bsz <= ${Llm.BandBucketCap})
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |       CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
          |FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   * banded buckets → candidate-pair join → exact-Jaccard verify pipeline.
   * Work is linear in corpus size until the bucket join, which only pairs
   * documents sharing a band signature — the 100 TB-safe alternative to the
-  * quadratic all-pairs similarity join. Skewed buckets (boilerplate docs)
-  * would be handled by AQE skew splitting + a bucket-size cap at real scale.
+  * quadratic all-pairs similarity join. Skewed buckets are handled two
+  * ways: AQE skew splitting re-plans oversize shuffle partitions, and a
+  * BUCKET-SIZE CAP ([[BandBucketCap]]) drops band buckets whose membership
+  * exceeds the cap before the pair join — a boilerplate flood (10⁶ docs
+  * sharing a signature) is otherwise a single 10¹² -pair bucket that AQE
+  * can split but not shrink. Dropped buckets are mass-identical documents,
+  * which exact dedup (l01) already collapses; [[minHashBucketAudit]]
+  * surfaces the dropped mass, and DedupSpec's adversarial flood test pins
+  * the bound.
   */
 object Llm extends QueryModule {
 
@@ -36,9 +43,10 @@ object Llm extends QueryModule {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
 
-  /** Word-3-shingles of lowered text, distinct per doc. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Word-3-shingles of lowered text, distinct per doc, over any
+    * (doc_id, text) frame. */
+  private[llm] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // docs under 3 words have no 3-shingles; without the guard
       // sequence(1, size(w)-2) turns DESCENDING ([1,0]) and element_at(w,0)
@@ -48,6 +56,9 @@ object Llm extends QueryModule {
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
         .as("sh"))
       .distinct()
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
 
   private val NumHashes = 8
   private val RowsPerBand = 2 // 4 bands
@@ -77,12 +88,34 @@ object Llm extends QueryModule {
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
   }
 
-  def l02(spark: SparkSession, dir: String): DataFrame = {
+  /** Band buckets whose membership exceeds this never enter a candidate
+    * join: a flooded bucket of b docs is b²/2 pairs of work, and a 10⁶-doc
+    * boilerplate bucket is 5·10¹¹ pairs AQE can split but not shrink.
+    * Mass-identical documents are exact dedup's job (l01), not the
+    * near-dup pass's. 256 is far above any organic bucket at the test SFs
+    * (measured max ≈ dup-cluster size ~10), so the capped queries stay
+    * bit-identical to their oracles — which apply the SAME cap. */
+  private[llm] val BandBucketCap = 256
+
+  /** Keep only rows of `bands` whose bucket (the `keys` tuple) has ≤ cap
+    * members. The membership count is one aggregation on the same keys
+    * the candidate join shuffles on, so with AQE both sides reuse one
+    * exchange; per-bucket audit goes through [[minHashBucketAudit]]. */
+  private[llm] def capBuckets(bands: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    bands
+      .join(bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz")), keys)
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+
+  /** Library path for l02 over any (doc_id, text) frame: MinHash banded
+    * candidates (bucket-capped) + exact shingle-Jaccard verify. */
+  def minHashNearDupPairs(docs: DataFrame, jaccMin: Double = 0.4,
+      bucketCap: Int = BandBucketCap): DataFrame = {
     // scoped cache: 5 consumers below; released before returning — the
     // (tiny) result is localCheckpoint-materialized so the returned plan
     // reads stored blocks, not the unpersisted shingle table
-    val sh = shingles(spark, dir).cache()
-    val bands = bandSignatures(sh)
+    val sh = shinglesOf(docs).cache()
+    val bands = capBuckets(bandSignatures(sh), Seq("band", "m0", "m1"), bucketCap)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
@@ -99,13 +132,26 @@ object Llm extends QueryModule {
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= jaccMin)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
       .localCheckpoint()
     sh.unpersist(blocking = false)
     out
   }
+
+  /** Dropped-mass audit for the capped banded join: one row per band
+    * bucket with its membership and whether [[minHashNearDupPairs]]'s cap
+    * excluded it — the "log the dropped mass" side channel, as a frame a
+    * pipeline can sink next to its pairs output. */
+  def minHashBucketAudit(docs: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame =
+    bandSignatures(shinglesOf(docs))
+      .groupBy("band", "m0", "m1").agg(count(lit(1)).as("bsz"))
+      .withColumn("dropped", col("bsz") > bucketCap)
+
+  def l02(spark: SparkSession, dir: String): DataFrame =
+    minHashNearDupPairs(Tables.documents(spark, dir))
 
   /** Brute-force cosine top-k vs a probe vector — the exact baseline; the
     * LSH-bucketed scale path for all-pairs is l02's shape applied to
@@ -136,19 +182,30 @@ object Llm extends QueryModule {
     * trades via plane count and multi-probe. Hyperplanes are literal
     * constants (seeded), so the DuckDB oracle replays bit-for-bit.
     */
-  val Hyperplanes: Seq[Seq[Int]] = {
+  /** The first `n` deterministic ±1 hyperplanes from the fixed seed.
+    * PREFIX property: the seeded sequence is consumed in order, so
+    * hyperplanes(m) is a prefix of hyperplanes(n) for m ≤ n — scaling the
+    * plane count up never changes the oracled 4-plane constants. */
+  def hyperplanes(n: Int): Seq[Seq[Int]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
+    Seq.fill(n)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
   }
+
+  val Hyperplanes: Seq[Seq[Int]] = hyperplanes(4)
 
   /** Callers must VecMath.register(spark) first. ±1 weights are exact in
     * FLOAT, and vec_dot folds left-to-right in DOUBLE — bit-identical to
     * the aggregate(zip_with(..)) fold this replaces, but codegen'd (HOFs
     * are CodegenFallback: an interpreted lambda per element). */
-  def sigExprSpark(vcol: String): String =
-    Hyperplanes.zipWithIndex.map { case (h, j) =>
+  def sigExprSpark(vcol: String): String = sigExprSpark(vcol, Hyperplanes)
+
+  /** Parameterized signature over an arbitrary plane set — the scale
+    * path: Dedup.scaledPlanes derives the count from corpus size so
+    * bucket population stays ~targetBucket as the corpus grows. */
+  def sigExprSpark(vcol: String, planes: Seq[Seq[Int]]): String =
+    planes.zipWithIndex.map { case (h, j) =>
       val arr = h.mkString("array(", "D, ", "D)")
-      s"CAST(vec_dot($vcol, CAST($arr AS ARRAY<FLOAT>)) >= 0 AS INT) * ${1 << j}"
+      s"CAST(vec_dot($vcol, CAST($arr AS ARRAY<FLOAT>)) >= 0 AS INT) * ${1L << j}L"
     }.mkString(" + ")
 
   /** DuckDB image of sigExprSpark — same literal hyperplanes. */
@@ -458,11 +515,15 @@ object Llm extends QueryModule {
          |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
          |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
          |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, h // $RowsPerBand AS band,
          |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
          |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
          |  FROM minsig GROUP BY doc_id, band),
+         |bsz AS (SELECT band, m0, m1, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2, 3),
+         |bands AS (
+         |  SELECT b.doc_id, b.band, b.m0, b.m1
+         |  FROM bands0 b JOIN bsz USING (band, m0, m1) WHERE bsz <= $BandBucketCap),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y

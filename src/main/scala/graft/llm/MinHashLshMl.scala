@@ -58,10 +58,15 @@ object MinHashLshMl extends QueryModule {
     val model = lsh.fit(featurized)
     // (table, minhash) band key per doc: the model's hash output, lifted
     // out of ML vectors once per DOC (not once per candidate pair)
-    val bands = model.transform(featurized)
-      .select(col("doc_id"), col("idxset"), posexplode(col("hashes")))
-      .select(col("doc_id"), col("idxset"), col("pos").as("t"),
-        vector_to_array(col("col")).getItem(0).as("hv"))
+    // same flood posture as l02/l02c: band buckets above the cap never
+    // enter the pair join (mass-identical docs are exact dedup's job);
+    // the membership count shuffles on the same (t, hv) key as the join
+    val bands = Llm.capBuckets(
+      model.transform(featurized)
+        .select(col("doc_id"), col("idxset"), posexplode(col("hashes")))
+        .select(col("doc_id"), col("idxset"), col("pos").as("t"),
+          vector_to_array(col("col")).getItem(0).as("hv")),
+      Seq("t", "hv"), Llm.BandBucketCap)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.t") === col("y.t") && col("x.hv") === col("y.hv")
           && col("x.doc_id") < col("y.doc_id"))

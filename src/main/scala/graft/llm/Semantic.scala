@@ -39,10 +39,24 @@ object Semantic extends QueryModule {
     * keep rule as l02). Cosines are rounded to 6 dp before the
     * threshold so the float image matches the oracle bit-for-bit. */
   def l27(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecMath.register(spark)
     val emb = Tables.embeddings(spark, dir)
+    // 16 fixed centroids: the fixture literal the DuckDB oracle replays —
+    // the corpus-scaled library path is semDedupScaled below
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    semDedup(emb, cents, Tau)
+  }
+
+  /** SemDeDup over any (vec_id, embedding) frame against an arbitrary
+    * centroid table (cid, cvec) — the assignment is map-side (centroids
+    * broadcast), the pair join shuffles once on cluster id. Pair work is
+    * O(Σ|c|²), so k must GROW with the corpus for the bound to mean
+    * anything: [[semDedupScaled]] derives k = n/targetCluster
+    * (ScalePatternsSpec pins the resulting ~linear candidate growth);
+    * production seeds kmeansFit(emb) — whose default k is the same
+    * scaled law — and passes the fitted centroids here. */
+  def semDedup(emb: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VecMath.register(emb.sparkSession)
     val assigned = Dedup.kmeansAssign(emb, cents)
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
@@ -60,7 +74,7 @@ object Semantic extends QueryModule {
     val dup = x.join(y, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
       .withColumn("cosine",
         round(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")), 6))
-      .filter(col("cosine") >= Tau)
+      .filter(col("cosine") >= tau)
       .groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("dup_of"))
     val out = assigned.join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
@@ -70,6 +84,40 @@ object Semantic extends QueryModule {
       .localCheckpoint()
     assigned.unpersist(blocking = false)
     out
+  }
+
+  /** The scale path: k derived from corpus size (k = n/targetCluster,
+    * floor 16) with deterministic seed centroids — the first k vectors,
+    * the same seeding kmeansFit starts from; swap in kmeansFit(emb)'s
+    * fitted centroids for quality at the same pair-work bound. */
+  def semDedupScaled(emb: DataFrame, tau: Double = Tau,
+      targetCluster: Long = 16L): DataFrame = {
+    val k = Dedup.scaledK(emb.count(), targetCluster)
+    val cents = emb.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    semDedup(emb, cents, tau)
+  }
+
+  /** Σ |cluster|·(|cluster|−1)/2 under the argmax-cosine assignment —
+    * the exact within-cluster pair count the SemDeDup join generates,
+    * from cluster SIZES only (no pair join, embeddings dropped before
+    * the assignment shuffle). ScalePatternsSpec pins the growth law. */
+  def semDedupCandidateWork(emb: DataFrame, cents: DataFrame): Long = {
+    graft.functions.VecMath.register(emb.sparkSession)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        """vec_dot(embedding, cvec)
+          | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
+      .select(col("vec_id"), col("cid"), col("ccos"))
+      // argmax via max(struct): lexicographic max on (ccos, -cid) ==
+      // highest cosine, smallest cid on ties — same tie-break as
+      // kmeansAssign's window, without shuffling embedding arrays
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
+      .select((-col("m.ncid")).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
   }
 
   /** l28: content-defined chunking. Boundary after word k iff the word's

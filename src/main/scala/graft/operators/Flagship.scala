@@ -95,16 +95,113 @@ object Flagship extends QueryModule {
         count(lit(1)).as("n_lines"))
   }
 
+  /** q18: TPC-H Q18 (large-volume customer) — the agg-derived IN-subquery
+    * torture. Written as SQL so CATALYST does the decorrelation: the
+    * HAVING-filtered subquery must rewrite to a left-semi join against
+    * the aggregated lineitem (RewritePredicateSubquery), never a per-row
+    * subquery execution — PlanSpec pins `Join LeftSemi` in the optimized
+    * plan. At 100 TB both the semi-join build side and the outer join
+    * chain shuffle once on orderkey and reuse the partitioning. Quantity
+    * sums accumulate in DECIMAL(38,4) (the cross-engine contract). */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q18_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q18_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q18_lineitem")
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM graft_q18_customer
+        |JOIN graft_q18_orders ON c_custkey = o_custkey
+        |JOIN graft_q18_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM graft_q18_lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+        |         o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** q21: TPC-H Q21 (suppliers who kept orders waiting) — the
+    * EXISTS + NOT EXISTS self-join chain. The synthetic lineitem has no
+    * receipt/commit dates, so "late" is the row-local stand-in
+    * l_tax > l_discount; the correlation SHAPE is Q21's exactly: an
+    * EXISTS (another supplier touched the order) and a NOT EXISTS (no
+    * OTHER supplier was late on it), both correlated on l_orderkey.
+    * Catalyst must decorrelate to one left-semi and one left-anti join
+    * on orderkey (PlanSpec pins both); all three lineitem sides shuffle
+    * on the same key — no per-row subquery, no quadratic re-scan. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q21_supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q21_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q21_lineitem")
+    spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM graft_q21_supplier
+        |JOIN graft_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN graft_q21_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_tax > l1.l_discount
+        |  AND EXISTS (
+        |    SELECT 1 FROM graft_q21_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_q21_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_tax > l3.l_discount)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q00_flagship" -> q00,
     "q03_shipping_priority" -> q03,
     "q05_local_supplier" -> q05,
-    "q06_forecast_revenue" -> q06)
+    "q06_forecast_revenue" -> q06,
+    "q18_large_volume_customer" -> q18,
+    "q21_waiting_suppliers" -> q21)
 
   private val discRevenue =
     "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+        |         o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_tax > l1.l_discount
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_tax > l3.l_discount)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q03_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
          |       o_orderpriority, $discRevenue AS revenue

@@ -172,8 +172,71 @@ object History extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Latest-op-wins live rows of a changelog slice: one row per user whose
+    * winning op is an upsert (h05's compaction semantics). */
+  private def liveRows(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select("user_id", "event_type", "v")
+  }
+
+  /** Aggregate-view maintenance WITH RETRACTIONS — h06's delta algebra
+    * extended to a changelog that deletes. The view is Σ/count of live
+    * rows per event_type; a delta batch maintains it as insert/retract
+    * pairs instead of a recompute:
+    *
+    *   retract(old state) for every user the delta touches that was live
+    *   in the base; insert(new state) for every user whose post-delta
+    *   winner is an upsert. ΔV = Σ(±1, ±value); V₁ = reaggregate(V₀ ∪ ΔV).
+    *
+    * Correctness lean: every touched user's post-delta winner IS their
+    * latest delta row (delta timestamps all exceed base timestamps), so
+    * the new state derives from the delta alone — the base is only probed
+    * for the retract side, a key-join a bucketed base table serves
+    * without a full shuffle. Counts and DECIMAL(38,4) sums are invertible
+    * (x + v − v = x exactly), which is what makes retraction maintenance
+    * exact; min/max are NOT invertible under deletes — they need h02-style
+    * full partials or ordered state, the documented boundary of this
+    * operator. Groups maintained down to zero rows drop out of the view
+    * (n_live > 0), matching the recompute image. */
+  def maintainAggView(base: DataFrame, delta: DataFrame): DataFrame = {
+    val v0 = liveRows(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val touched = delta.select("user_id").distinct()
+    val retracts = liveRows(base).join(touched, "user_id")
+      .select(col("event_type"), lit(-1L).as("n"), (-col("v")).as("s"))
+    val inserts = liveRows(delta)
+      .select(col("event_type"), lit(1L).as("n"), col("v").as("s"))
+    val deltaV = retracts.unionAll(inserts)
+      .groupBy("event_type").agg(sum("n").as("n"), sum("s").as("s"))
+    v0.unionAll(deltaV)
+      .groupBy("event_type")
+      .agg(sum("n").as("n_live"), sum("s").cast("double").as("sum_value"))
+      .filter(col("n_live") > 0)
+      .orderBy("event_type")
+  }
+
+  /** h07: the oracled instance of [[maintainAggView]] — ops derived as in
+    * h05 (every 10th event_id deletes), split at the h02 data-derived
+    * cutoff; the oracle is the FULL recompute over the post-delta live
+    * set, which the incremental merge must equal bit-for-bit. */
+  def h07(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec(col("value")).as("v"), col("ts_ms"),
+        when(pmod(col("event_id"), lit(10)) === 0, "delete")
+          .otherwise("upsert").as("op"))
+    val cut = e.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("cut"))
+    val ec = e.crossJoin(broadcast(cut))
+    maintainAggView(
+      ec.filter(col("ts_ms") <= col("cut")),
+      ec.filter(col("ts_ms") > col("cut")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h06_view_maintain" -> h06,
+    "h07_view_retract" -> h07,
     "h01_scd2" -> h01,
     "h02_incremental_agg" -> h02,
     "h03_asof_state" -> h03,
@@ -181,6 +244,24 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL recompute over the post-delta live set — the
+    // insert/retract merge must equal it bit-for-bit
+    "h07_view_retract" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(value AS DECIMAL(38,4)) AS v,
+        |         epoch_ns(ts)//1000000 AS ts_ms,
+        |         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events),
+        |live AS (
+        |  SELECT user_id, event_type, v FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM e) t
+        |  WHERE rn = 1 AND op = 'upsert')
+        |SELECT event_type, COUNT(*) AS n_live,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle is the FULL recompute — the incremental four-term merge
     // must equal it bit-for-bit (counts + decimal sums merge exactly)
     "h06_view_maintain" ->

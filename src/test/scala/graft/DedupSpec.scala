@@ -59,6 +59,20 @@ class DedupSpec extends SparkSuite {
     assert(overlap * 2 >= sim.size, s"only $overlap of ${sim.size} SimHash pairs confirmed by MinHash")
   }
 
+  test("scaled SimHash agrees with the fixture on this corpus's near-dup pairs") {
+    // at 500 docs the scaled width floors to the fixture's 12 bits, so
+    // the two variants differ only in hash sourcing (seed-prefixed md5
+    // words) — they must surface substantially the same near-dup mass
+    val fixture = pairs(Dedup.l02c(spark, sf))
+    val scaled = pairs(Dedup.simHashNearDupPairsScaled(
+      Tables.documents(spark, sf)))
+    assert(scaled.nonEmpty)
+    val overlap = fixture.intersect(scaled).size
+    info(s"fixture=${fixture.size} scaled=${scaled.size} overlap=$overlap")
+    assert(overlap * 2 >= fixture.size,
+      s"scaled SimHash lost the fixture's near-dups: $overlap/${fixture.size}")
+  }
+
   test("l02d n-gram Jaccard is exact on candidates: spot-check one pair against direct computation") {
     val got = Dedup.l02d(spark, sf).collect()
     assert(got.nonEmpty)
@@ -90,6 +104,41 @@ class DedupSpec extends SparkSuite {
     assert(bucketed.subsetOf(exact), s"false positives: ${bucketed.diff(exact)}")
     info(s"LSH-bucket recall: ${bucketed.size}/${exact.size}")
     assert(bucketed.size * 10 >= exact.size, "recall collapsed below 10%")
+  }
+
+  test("adversarial flood: a bucket of identical docs never reaches the banded pair joins") {
+    // a boilerplate flood shares every band signature — uncapped, a
+    // 10⁶-doc bucket is 5·10¹¹ candidate pairs that AQE can split but
+    // not shrink; the bucket cap (256) drops it (mass-identical docs are
+    // exact dedup l01's job) and the audit surfaces the dropped mass.
+    // 300 copies keeps the uncapped control join test-sized.
+    val flood = 300L
+    val boiler = "the very same boilerplate text repeated verbatim across " +
+      "every single copy of this flooded document cluster again and again"
+    val docs = spark.range(1, flood + 201).select(col("id").as("doc_id"),
+      when(col("id") <= flood, lit(boiler))
+        .otherwise(concat(lit("unique document number "), col("id"),
+          lit(" carrying its own words "), md5(col("id").cast("string"))))
+        .as("text"))
+    val audit = Llm.minHashBucketAudit(docs)
+    val dropped = audit.filter(col("dropped"))
+    assert(dropped.count() === 4, "the flood floods all 4 band buckets")
+    assert(dropped.agg(max("bsz")).head().getLong(0) === flood)
+    val mh = pairs(Llm.minHashNearDupPairs(docs))
+    assert(!mh.exists(p => p._1 <= flood && p._2 <= flood),
+      "capped MinHash must emit no flood-internal pairs")
+    val sh = pairs(Dedup.simHashNearDupPairs(docs))
+    assert(!sh.exists(p => p._1 <= flood && p._2 <= flood),
+      "capped SimHash must emit no flood-internal pairs")
+    // the flood is still fully collapsed where it belongs: exact dedup
+    val exact = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    assert(exact === flood)
+    // and with the cap raised above the flood, the pairs come back —
+    // proving the cap (not a lost signature) is what excluded them
+    val uncapped = Llm.minHashNearDupPairs(docs, bucketCap = 2000)
+      .filter(col("a") <= flood && col("b") <= flood).count()
+    assert(uncapped === flood * (flood - 1) / 2)
   }
 
   test("l03c IVF searches a fraction of the corpus with useful recall vs exact top-10") {

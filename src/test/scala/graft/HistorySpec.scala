@@ -26,6 +26,42 @@ class HistorySpec extends SparkSuite {
     }
   }
 
+  test("h07: retraction maintenance equals full recompute over random insert/delete interleavings") {
+    import spark.implicits._
+    // seeded random changelogs: users collide, deletes interleave with
+    // upserts, and the base/delta split point varies — every split must
+    // maintain to the same view the full recompute produces
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(200)
+      val log = (1 to n).map { i =>
+        (rnd.nextInt(40).toLong, // user_id: heavy collision
+          i.toLong, // event_id: unique, breaks ts ties
+          s"t${rnd.nextInt(4)}",
+          BigDecimal(rnd.nextInt(20000) - 10000).setScale(4) / 100,
+          (1000 + rnd.nextInt(500)).toLong, // ts_ms: many ties
+          if (rnd.nextInt(4) == 0) "delete" else "upsert")
+      }.toDF("user_id", "event_id", "event_type", "v", "ts_ms", "op")
+        .withColumn("v", col("v").cast("decimal(38,4)"))
+      // full recompute: the oracle image
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+      val expect = log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "upsert")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_live"), sum("v").cast("double").as("sum_value"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      // three different split points per log — ts-based so base/delta
+      // keep the "delta is strictly later" contract
+      for (q <- Seq(1100L, 1250L, 1400L)) {
+        val got = operators.History.maintainAggView(
+          log.filter(col("ts_ms") <= q), log.filter(col("ts_ms") > q))
+          .collect().map(_.toSeq).toSeq
+        assert(got === expect, s"seed=$seed split=$q")
+      }
+    }
+  }
+
   test("h02: merged partials equal the single-pass full aggregate exactly") {
     val merged = operators.History.h02(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))

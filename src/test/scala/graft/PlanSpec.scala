@@ -152,6 +152,26 @@ class PlanSpec extends SparkSuite {
       s"aggregate path fell out of codegen:\n$executed")
   }
 
+  test("q18: agg-derived IN subquery decorrelates to a left-semi join") {
+    val df = operators.Flagship.q18(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftSemi"),
+      s"IN subquery must rewrite to a semi join:\n$opt")
+    assert(!opt.toLowerCase.contains("insubquery") && !opt.contains("ListQuery"),
+      s"unrewritten subquery survived optimization:\n$opt")
+    assert(df.collect().nonEmpty, "q18 returned no rows at test SF")
+  }
+
+  test("q21: EXISTS + NOT EXISTS chain decorrelates to semi + anti joins") {
+    val df = operators.Flagship.q21(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftSemi"), s"EXISTS must become a semi join:\n$opt")
+    assert(opt.contains("Join LeftAnti"), s"NOT EXISTS must become an anti join:\n$opt")
+    assert(!opt.toLowerCase.contains("exists#") || !opt.contains("Filter exists"),
+      s"per-row exists predicate survived:\n$opt")
+    assert(df.collect().nonEmpty, "q21 returned no rows at test SF")
+  }
+
   test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
     val plan = planString(llm.Pipeline.l14(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),

@@ -150,6 +150,103 @@ class ScalePatternsSpec extends SparkSuite {
     assert(filtered < base.getLong(0))
   }
 
+  // --- candidate-pair growth laws -----------------------------------------
+  // The difference between "bucketed" and "all-pairs ÷ constant": with
+  // corpus-SCALED parameters (scaledPlanes / scaledK) candidate-pair work
+  // must grow ~linearly in corpus size; any pinned bucket/cluster count
+  // makes it quadratic. Synthetic corpora give three controlled sizes.
+
+  /** Deterministic synthetic embeddings: 64 uniform floats in [-1, 1)
+    * derived from xxhash64(vec_id, dim) — reproducible, no RNG state. */
+  private def synthEmb(n: Int) =
+    spark.range(1, n + 1).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + CAST(d AS BIGINT)), 2000) / 1000.0 - 1.0 AS FLOAT))")
+        .as("embedding"))
+
+  private def growthExponent(ns: Seq[Int], works: Seq[Long]): Double =
+    math.log(works.last.toDouble / math.max(1L, works.head)) /
+      math.log(ns.last.toDouble / ns.head)
+
+  test("l02e scaled planes: same-sig pair work grows ~linearly, not quadratically") {
+    val ns = Seq(500, 2000, 8000)
+    val planes = ns.map(n => llm.Dedup.scaledPlanes(n))
+    assert(planes.distinct.size > 1, s"plane count must grow with n: $planes")
+    val works = ns.zip(planes).map { case (n, p) =>
+      llm.Dedup.embedCandidateWork(synthEmb(n), p)
+    }
+    val exp = growthExponent(ns, works)
+    info(s"n=$ns planes=$planes work=$works exponent=$exp")
+    assert(works.forall(_ > 0))
+    assert(exp < 1.5, s"scaled pair work must stay near-linear (got $exp, quadratic = 2)")
+    // the pinned 4-plane fixture at the same top size is the quadratic shape
+    val fixed = llm.Dedup.embedCandidateWork(synthEmb(ns.last), 4)
+    info(s"fixed-4-plane work at n=${ns.last}: $fixed")
+    assert(works.last * 4 <= fixed,
+      s"scaled (${works.last}) must be well under pinned-plane work ($fixed)")
+  }
+
+  test("l27 scaled k: within-cluster pair work grows ~linearly, not quadratically") {
+    val ns = Seq(400, 1600, 6400)
+    val ks = ns.map(n => llm.Dedup.scaledK(n))
+    assert(ks.distinct.size > 1, s"k must grow with n: $ks")
+    val works = ns.zip(ks).map { case (n, k) =>
+      val emb = synthEmb(n)
+      val cents = emb.filter(col("vec_id") <= k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      llm.Semantic.semDedupCandidateWork(emb, cents)
+    }
+    val exp = growthExponent(ns, works)
+    info(s"n=$ns k=$ks work=$works exponent=$exp")
+    assert(works.forall(_ > 0))
+    assert(exp < 1.5, s"scaled cluster pair work must stay near-linear (got $exp)")
+    val fixed16 = {
+      val emb = synthEmb(ns.last)
+      val cents = emb.filter(col("vec_id") <= 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      llm.Semantic.semDedupCandidateWork(emb, cents)
+    }
+    info(s"fixed-16-cluster work at n=${ns.last}: $fixed16")
+    assert(works.last * 4 <= fixed16,
+      s"scaled (${works.last}) must be well under fixed-k work ($fixed16)")
+  }
+
+  test("real corpus: banded candidate work grows sub-quadratically sf0.01 → sf0.1") {
+    val d1 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val d10 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val nRatio = d10.count().toDouble / d1.count() // 10×
+    def minHashWork(d: org.apache.spark.sql.DataFrame): Long =
+      llm.Llm.minHashBucketAudit(d)
+        .agg(coalesce(sum(expr("(bsz * (bsz - 1)) div 2")), lit(0L)))
+        .head().getLong(0)
+    // simhash at corpus-scaled band width (the pinned 12-bit fixture
+    // measures 82× work for this 10× corpus — random band collisions are
+    // quadratic at fixed width, which is why the width must scale)
+    def simHashScaledWork(d: org.apache.spark.sql.DataFrame): Long =
+      llm.Dedup.simHashBandWorkScaled(d, nBands = 4,
+        bandBits = llm.Dedup.scaledSimBandBits(d.count()))
+    val probes: Seq[(String, org.apache.spark.sql.DataFrame => Long)] = Seq(
+      "l02_minhash_bands" -> minHashWork,
+      "l02c_simhash_scaled_bands" -> simHashScaledWork,
+      "l02d_rare_grams" -> llm.Dedup.ngramCandidateWork)
+    probes.foreach { case (name, probe) =>
+      val (w1, w10) = (math.max(1L, probe(d1)), probe(d10))
+      val ratio = w10.toDouble / w1
+      info(f"$name: sf0.01=$w1 sf0.1=$w10 ratio=$ratio%.1f (n ratio $nRatio%.1f)")
+      // sub-quadratic with headroom: quadratic would be nRatio² = 100×
+      assert(ratio <= nRatio * 4,
+        s"$name candidate work grew ${ratio}× for a ${nRatio}× corpus")
+    }
+    // embeddings side: the scaled library path beats the pinned fixture
+    val e10 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val scaled = llm.Dedup.embedCandidateWork(e10,
+      llm.Dedup.scaledPlanes(e10.count()))
+    val pinned = llm.Dedup.embedCandidateWork(e10, 4)
+    info(s"l02e sf0.1: scaled=$scaled pinned4=$pinned")
+    assert(scaled * 2 <= pinned,
+      s"corpus-scaled planes ($scaled) must undercut the pinned fixture ($pinned)")
+  }
+
   test("corrupt-record quarantine: bad JSON rows split to a dead-letter side (R2/R3)") {
     val f = Files.createTempFile("graft_quarantine", ".jsonl")
     Files.writeString(f,
