@@ -164,6 +164,102 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.set(modeKey, prevMode)
   }
 
+  test("stateful dedup survives stop/restart: state recovers from the durable checkpoint, exactly-once") {
+    // The reference's at-least-once + idempotent-replay posture
+    // (broker requeue on crash, deterministic ids) exercised as a REAL
+    // restart: a stateful query dies between micro-batches, data keeps
+    // arriving while nothing runs (the requeue gap), and the restarted
+    // query must (a) resume from the checkpointed offsets without
+    // re-emitting and (b) recover the dedup STATE store — a restart with
+    // state loss would pass the 51-150 repeats straight through.
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = Files.createTempDirectory("graft_rec_sink").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+    val t0 = 1700000000000L
+    def ev(id: Long) = Ev(id, id % 7, "e", id * 1.5, t0 + (id % 25) * 60000L)
+    val stream = MemoryStream[Ev]
+    def start() = StreamingLift.dedup(
+        stream.toDF().withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    stream.addData((1L to 100L).map(ev))
+    q1.processAllAvailable()
+    q1.stop()
+    // two pending batches land while NO query is running; 51-150 repeat
+    // ids the first incarnation already emitted or that span the restart
+    stream.addData((51L to 150L).map(ev))
+    stream.addData((101L to 200L).map(ev))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // the parquet streaming sink's _spark_metadata log is the
+    // exactly-once read surface (uncommitted batch files are invisible)
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 200, "each id exactly once across the restart")
+    assert(out.select("event_id").distinct().count() === 200)
+    // and the streamed result equals the batch dedup of the same input
+    val batch = (1L to 100L).map(ev) ++ (51L to 150L).map(ev) ++ (101L to 200L).map(ev)
+    assert(out.count() === batch.toDF().dropDuplicates("event_id").count())
+  }
+
+  test("transformWithState timers survive stop/restart: sessions close exactly once after recovery") {
+    // the timer-state flavor: SessionTimeoutProcessor re-arms event-time
+    // timers from recovered ValueState — a restart must neither lose the
+    // open session (it still closes when the watermark passes) nor close
+    // it twice. The stop lands BETWEEN a session's events, so the open
+    // session's (last_ts, count) state crosses the restart boundary.
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = Files.createTempDirectory("graft_tmr_sink").toString
+    val ckpt = Files.createTempDirectory("graft_tmr_ckpt").toString
+    try {
+      val t0 = 1700000000000L
+      val stream = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+      def start() = StreamingLift.sessionTimeouts(
+          stream.toDS().toDF("user_id", "ts_ms")
+            .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+            .withWatermark("event_ts", "10 minutes")
+            .select(col("user_id"), col("ts_ms"), col("event_ts"))
+            .as[(Long, Long, java.sql.Timestamp)])
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      // user 1: two events 5 min apart — an OPEN session when we stop
+      stream.addData((1L, t0), (1L, t0 + 300000L))
+      q1.processAllAvailable()
+      q1.stop()
+      // third event extends the recovered session; then far-future events
+      // advance the watermark past last + 30 min (watermark moves at
+      // batch END, so a second batch fires the timer)
+      stream.addData((1L, t0 + 600000L))
+      val q2 = start()
+      q2.processAllAvailable()
+      stream.addData((2L, t0 + 7200000L))
+      q2.processAllAvailable()
+      stream.addData((2L, t0 + 7800000L))
+      q2.processAllAvailable()
+      q2.stop()
+      val closed = spark.read.parquet(sink)
+        .select("user_id", "last_ts_ms", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // exactly ONE close for user 1, with all three events — the state
+      // (and its re-armed timer) crossed the restart
+      assert(closed === Set((1L, t0 + 600000L, 3L)),
+        s"expected one 3-event session close, got $closed")
+    } finally spark.conf.set(providerKey, prev)
+  }
+
   test("transformWithState: final ValueState count + ListState top-3 == batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
