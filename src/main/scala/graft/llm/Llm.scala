@@ -215,36 +215,48 @@ object Llm extends QueryModule {
       s"CAST(list_sum(list_transform(range(1, 65), i -> CAST($vcol[i] AS DOUBLE) * ($arr)[i])) >= 0 AS INT) * ${1 << j}"
     }.mkString(" + ")
 
-  def l03b(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecMath.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("sig", expr(sigExprSpark("embedding")))
+  /** Library path for l03b: top-k by exact cosine over the multi-probe
+    * LSH candidate set — buckets within Hamming `radius` of the probe's
+    * signature. The radius is THE recall/latency dial: radius r scans
+    * Σ_{i≤r} C(planes, i) / 2^planes of the corpus; AnnSpec sweeps it
+    * against the exact scan at all three SFs and pins recall
+    * monotonicity. Probe row = vec_id 0. */
+  def annSearch(emb0: DataFrame, k: Int = 10, radius: Int = 1,
+      planes: Seq[Seq[Int]] = Hyperplanes): DataFrame = {
+    graft.functions.VecMath.register(emb0.sparkSession)
+    val emb = emb0.withColumn("sig", expr(sigExprSpark("embedding", planes)))
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("p"), col("sig").as("psig"))
     emb.filter(col("vec_id") =!= 0)
-      // multi-probe: own bucket + the 4 at Hamming distance 1 (5/16 of
-      // the space scanned; recall/latency dial = plane count + radius)
-      .join(broadcast(probe), expr("bit_count(sig ^ psig) <= 1"))
+      .join(broadcast(probe), expr(s"bit_count(sig ^ psig) <= $radius"))
       .withColumn("dot", expr("vec_dot(embedding, p)"))
       .withColumn("na", expr("sqrt(vec_dot(embedding, embedding))"))
       .withColumn("nb", expr("sqrt(vec_dot(p, p))"))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
+  def l03b(spark: SparkSession, dir: String): DataFrame =
+    // multi-probe: own bucket + the 4 at Hamming distance 1 (5/16 of
+    // the space scanned; recall/latency dial = plane count + radius)
+    annSearch(Tables.embeddings(spark, dir))
+
   /** Diagnostic for AnnSpec: how many vectors the multi-probe touches. */
-  def l03bProbedCount(spark: SparkSession, dir: String): Long = {
-    graft.functions.VecMath.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("sig", expr(sigExprSpark("embedding")))
+  def annProbedCount(emb0: DataFrame, radius: Int = 1,
+      planes: Seq[Seq[Int]] = Hyperplanes): Long = {
+    graft.functions.VecMath.register(emb0.sparkSession)
+    val emb = emb0.withColumn("sig", expr(sigExprSpark("embedding", planes)))
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("sig").as("psig"))
     emb.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe), expr("bit_count(sig ^ psig) <= 1"))
+      .join(broadcast(probe), expr(s"bit_count(sig ^ psig) <= $radius"))
       .count()
   }
+
+  def l03bProbedCount(spark: SparkSession, dir: String): Long =
+    annProbedCount(Tables.embeddings(spark, dir))
 
   def l04(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

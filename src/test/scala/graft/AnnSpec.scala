@@ -3,22 +3,43 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** l03b (multi-probe LSH ANN) quality: candidates are a strict subset of
-  * the corpus, and recall@10 against the exact scan (l03) is meaningful. */
+  * the corpus, and recall@10 against the exact scan (l03) is meaningful —
+  * swept over the probe radius (the recall/latency dial) at ALL THREE
+  * test scale factors, not just one. */
 class AnnSpec extends SparkSuite {
 
-  test("ANN prunes the corpus and keeps useful recall vs exact top-10") {
-    val exact = llm.Llm.l03(spark, sf).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val ann = llm.Llm.l03b(spark, sf).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(ann.size <= 10)
-    val recall = exact.intersect(ann).size
-    info(s"recall@10 = $recall/10")
-    assert(recall >= 3, s"multi-probe recall collapsed: $recall/10")
-    // pruning is real: the probed region is well under the full corpus
-    val total = Tables.embeddings(spark, sf).count()
-    val probed = llm.Llm.l03bProbedCount(spark, sf)
-    info(s"probed $probed of $total vectors")
-    assert(probed < total * 2 / 3)
+  private val sfs = Seq(
+    "sf0.001" -> "/root/testdata/sf0.001",
+    "sf0.01" -> "/root/testdata/sf0.01",
+    "sf0.1" -> "/root/testdata/sf0.1")
+
+  test("multi-probe recall sweep: monotone in radius, useful at radius 1, exact at full radius") {
+    for ((name, dir) <- sfs) {
+      val emb = Tables.embeddings(spark, dir)
+      val total = emb.count() - 1 // minus the probe row
+      val exact = llm.Llm.l03(spark, dir).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val sweep = (0 to 4).map { r =>
+        val ann = llm.Llm.annSearch(emb, k = 10, radius = r)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val probed = llm.Llm.annProbedCount(emb, radius = r)
+        (r, exact.intersect(ann).size, probed)
+      }
+      info(s"$name recall@10 by radius: " +
+        sweep.map { case (r, rec, p) => s"r=$r: $rec/10 ($p/$total probed)" }
+          .mkString(", "))
+      // recall never decreases as the radius widens
+      sweep.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a, s"$name: recall not monotone in radius: $sweep")
+      }
+      // the default radius keeps useful recall everywhere
+      assert(sweep(1)._2 >= 3, s"$name: radius-1 recall collapsed: ${sweep(1)}")
+      // pruning is real at the default radius (5/16 of buckets scanned)
+      assert(sweep(1)._3 < total * 2 / 3,
+        s"$name: radius-1 probed ${sweep(1)._3} of $total")
+      // full radius scans everything and recovers the exact answer
+      assert(sweep(4)._2 === 10, s"$name: full-radius recall: ${sweep(4)}")
+      assert(sweep(4)._3 === total)
+    }
   }
 }
