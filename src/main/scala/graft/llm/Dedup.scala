@@ -200,7 +200,17 @@ object Dedup extends QueryModule {
 
   /** The rare grams of a corpus (g = xxhash64 of the 8-gram, df) under
     * the corpus-relative rarity cap — shared by the pair pipeline and
-    * the candidate-work probe. */
+    * the candidate-work probe.
+    *
+    * COLLISION EXPOSURE (round-5 advice): both the df-rarity counts here
+    * AND the exact-verify intersections downstream run in 64-bit
+    * xxhash64 space while the DuckDB oracle works on gram strings. A
+    * cross-gram collision could perturb the rare set (two grams merge
+    * their df) or inflate an intersection; over ≤ millions of distinct
+    * grams the birthday bound keeps that ~1e-8 per corpus. DedupSpec
+    * asserts distinct-hash == distinct-string gram counts at the test
+    * SFs, so the test corpus is verified collision-free rather than
+    * assumed. */
   private def rareGrams(gramsArr: DataFrame, docs: DataFrame): DataFrame = {
     val grams = gramsArr.select(col("doc_id"),
       explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))

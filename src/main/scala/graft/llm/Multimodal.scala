@@ -91,20 +91,26 @@ object Multimodal {
         else go = false
       }
     }
-    def asciiInt(): Int = {
+    // Long accumulation + a dimension bound: an adversarial header (e.g.
+    // 20-digit dims) must not overflow 3·w·h into a small positive Int
+    // that passes the length check and makes copyOfRange throw — the
+    // contract is malformed → None, never an exception
+    def asciiInt(): Long = {
       skipWs()
-      var v = 0; var any = false
+      var v = 0L; var any = false
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+        if (v < Int.MaxValue) v = v * 10 + (payload(i) - '0')
+        i += 1; any = true
       }
-      if (any) v else -1
+      if (any) v else -1L
     }
     val w = asciiInt(); val h = asciiInt(); val mv = asciiInt()
     i += 1 // the single whitespace byte after maxval
-    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) None
-    else if (payload.length - i < 3 * w * h) None
-    else Some(PpmImage(w, h, mv,
-      java.util.Arrays.copyOfRange(payload, i, i + 3 * w * h)))
+    val maxDim = 1 << 20 // far above any real PPM; keeps 3·w·h in Long range
+    if (w <= 0 || h <= 0 || w > maxDim || h > maxDim || mv <= 0 || mv > 255) None
+    else if (payload.length.toLong - i < 3L * w * h) None
+    else Some(PpmImage(w.toInt, h.toInt, mv.toInt,
+      java.util.Arrays.copyOfRange(payload, i, i + 3 * w.toInt * h.toInt)))
   }
 
   /** Parse RIFF/WAVE: container magic, then a little-endian chunk walk
@@ -120,8 +126,12 @@ object Multimodal {
     var rate = -1; var bits = -1; var ch = -1
     var data: Array[Byte] = null
     while (o + 8 <= payload.length) {
-      val id = str4(o); val sz = u32(o + 4).toInt
-      if (sz < 0 || o + 8 + sz > payload.length) return None
+      // chunk size stays in Long until bounds-checked: a ~2³¹ declared
+      // size would wrap o+8+sz in Int arithmetic, dodge the range check,
+      // and throw in copyOfRange — malformed must mean None, not a throw
+      val id = str4(o); val szL = u32(o + 4)
+      if (szL < 0 || o + 8L + szL > payload.length) return None
+      val sz = szL.toInt
       if (id == "fmt ") {
         if (sz < 16) return None
         ch = u16(o + 10); rate = u32(o + 12).toInt; bits = u16(o + 22)

@@ -243,7 +243,15 @@ object Joins extends QueryModule {
     * treats our MB-scale scan the way it would treat a 100 TB one. The
     * restore runs after the caller has FORCED execution (localCheckpoint)
     * — plan decisions happen at action time, so the confs must still be
-    * set when the action runs. */
+    * set when the action runs.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION (round-5 advice): these are
+    * session-global SQL confs, so any query CONCURRENTLY planning on the
+    * same SparkSession inside this scope would see broadcast disabled and
+    * the altered bloom thresholds. The harness (Verify/Bench/tests) runs
+    * queries strictly sequentially, which is the supported mode; a
+    * concurrent caller should isolate via spark.newSession() (child
+    * sessions share the catalog/cache but carry their own conf). */
   private def withBloomJoinConfs[T](spark: SparkSession)(f: => T): T = {
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",

@@ -87,6 +87,23 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(j - expect) < 1e-6, s"pair ($a,$b): got $j expected $expect")
   }
 
+  test("l02d hash space is collision-free on the test corpora: distinct hashes == distinct grams") {
+    // the df-rarity counts and exact-verify intersections both run in
+    // xxhash64 space while the oracle uses gram strings — prove the test
+    // corpora have zero cross-gram collisions (the only way the two
+    // images could diverge)
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val grams = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 8)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)))")).as("g"))
+      val strings = grams.select("g").distinct().count()
+      val hashes = grams.select(xxhash64(col("g")).as("h")).distinct().count()
+      info(s"$dir: $strings distinct grams, $hashes distinct hashes")
+      assert(strings === hashes, s"xxhash64 collision among $strings grams in $dir")
+    }
+  }
+
   test("l02e bucket-prefiltered cosine pairs are a subset of the exact >=0.4 pairs") {
     val bucketed = Dedup.l02e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -41,6 +41,11 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodePpm("P5\n2 1\n255\nxxxxxx".getBytes).isEmpty)
     assert(Multimodal.decodePpm(ppm.dropRight(1)).isEmpty)
     assert(Multimodal.decodePpm("P6\n0 1\n255\n".getBytes).isEmpty)
+    // adversarial overflow headers: 20-digit dims and an Int-wrapping
+    // 3·w·h product must dead-letter (None), never throw (round-5 advice)
+    assert(Multimodal.decodePpm("P6\n99999999999999999999 1\n255\n".getBytes).isEmpty)
+    assert(Multimodal.decodePpm("P6\n46341 46341\n255\nxx".getBytes).isEmpty)
+    assert(Multimodal.decodePpm("P6\n715827883 2\n255\nxxxxxx".getBytes).isEmpty)
   }
 
   test("wav codec: golden vector, chunk walk, malformed rejection") {
@@ -62,6 +67,12 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeWav(withJunk).get.samples.toSeq === samples.toSeq)
     assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
     assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    // adversarial chunk size ~2³¹: o+8+sz wraps in Int arithmetic — must
+    // bounds-check in Long and dead-letter, never throw (round-5 advice)
+    val evil = wav.clone()
+    evil(40) = 0xf7.toByte; evil(41) = 0xff.toByte // "data" size field
+    evil(42) = 0xff.toByte; evil(43) = 0x7f.toByte // = Int.MaxValue - 8
+    assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
   test("decodeMedia features derive from decoded content (fixed vector)") {
