@@ -157,18 +157,156 @@ object Flagship extends QueryModule {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  // ---- decorrelation suite (q02/q04/q17/q20/q22) -------------------------
+  //
+  // One SQL body per query, parameterized on the table-name prefix ("" for
+  // the DuckDB oracle, "graft_tpch_" for the Spark temp views) and the
+  // timestamp-literal keyword (Spark reads the parquet millis columns as
+  // TIMESTAMP_NTZ; DuckDB's plain TIMESTAMP is already ntz) — so both
+  // engines run the LITERALLY identical query shape and the hash gate
+  // exercises Catalyst's decorrelation, not a transcription.
+
+  private def tpchViews(spark: SparkSession, dir: String): Unit = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_tpch_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_tpch_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_tpch_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_tpch_supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_tpch_part")
+  }
+
+  /** q02: TPC-H Q2's correlated-scalar-MIN shape (the synthetic schema has
+    * no partsupp, so lineitem plays the supply relation): for each small
+    * part, the supplier rows that shipped it at the corpus-minimum price.
+    * Catalyst must rewrite the correlated MIN subquery to an aggregate
+    * joined back on partkey (RewriteCorrelatedScalarSubquery) — never a
+    * per-outer-row rescan; PlanSpec pins zero surviving subquery
+    * expressions. At 100 TB both sides shuffle once on partkey and the
+    * min-aggregate is partial+final. Double equality on the min is exact:
+    * both engines MIN over the identical parquet doubles. */
+  private def q02Sql(p: String, ts: String): String =
+    s"""SELECT DISTINCT s_name, s_acctbal, p_partkey, p_name,
+       |       l_extendedprice AS min_price
+       |FROM ${p}part
+       |JOIN ${p}lineitem ON p_partkey = l_partkey
+       |JOIN ${p}supplier ON s_suppkey = l_suppkey
+       |WHERE p_size < 10
+       |  AND l_extendedprice = (
+       |    SELECT MIN(l2.l_extendedprice) FROM ${p}lineitem l2
+       |    WHERE l2.l_partkey = p_partkey)
+       |ORDER BY s_acctbal DESC, p_partkey, s_name, min_price
+       |LIMIT 100""".stripMargin
+
+  /** q04: TPC-H Q4 (order-priority checking) — the plain-EXISTS shape:
+    * orders in a quarter with at least one "late" line ("late" = the
+    * row-local l_tax > l_discount stand-in, as in q21), counted by
+    * priority. Decorrelates to one left-semi join on orderkey; the
+    * lineitem side aggregates nothing, so the semi join IS the query. */
+  private def q04Sql(p: String, ts: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM ${p}orders
+       |WHERE o_orderdate >= $ts '1996-01-01'
+       |  AND o_orderdate < $ts '1996-04-01'
+       |  AND EXISTS (
+       |    SELECT 1 FROM ${p}lineitem
+       |    WHERE l_orderkey = o_orderkey AND l_tax > l_discount)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** q17: TPC-H Q17 (small-quantity-order revenue) — the correlated-scalar-
+    * AVG shape: brand lines whose quantity is under a fifth of that part's
+    * corpus-wide average. Written as `l_quantity * 5 < AVG` (exact: the
+    * synthetic quantities are integer-valued doubles, so the AVG's sum is
+    * exact in IEEE double in both engines and the one division is the same
+    * op). Revenue accumulates DECIMAL(38,4) and surfaces as DOUBLE/7.0. */
+  private def q17Sql(p: String, ts: String): String =
+    s"""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+       |            / 7.0 AS DOUBLE) AS avg_yearly,
+       |       COUNT(*) AS n_small
+       |FROM ${p}lineitem
+       |JOIN ${p}part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#7'
+       |  AND l_quantity * 5 < (
+       |    SELECT AVG(l2.l_quantity) FROM ${p}lineitem l2
+       |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** q20: TPC-H Q20's nested-IN chain (suppliers who shipped meaningful
+    * volume of a named part family in a year): an IN whose subquery GROUPs
+    * with a HAVING, itself containing another IN. Catalyst flattens both
+    * INs to left-semi joins — part→lineitem semi on partkey, then the
+    * aggregated (suppkey,partkey) groups semi into supplier on suppkey —
+    * with no ListQuery survivor (PlanSpec). All shuffles are on the join
+    * keys; nothing re-executes per outer row. */
+  private def q20Sql(p: String, ts: String): String =
+    s"""SELECT s_suppkey, s_name, s_acctbal
+       |FROM ${p}supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM ${p}lineitem
+       |  WHERE l_partkey IN (
+       |      SELECT p_partkey FROM ${p}part WHERE p_name LIKE '%ring%')
+       |    AND l_shipdate >= $ts '1996-01-01'
+       |    AND l_shipdate < $ts '1997-01-01'
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 50)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** q22: TPC-H Q22 (global-sales opportunity) — the uncorrelated-scalar +
+    * NOT-EXISTS composite: above-average-balance customers dormant since
+    * mid-2000, grouped by the last two digits of the customer name (the
+    * cntrycode stand-in). The average-balance comparison is written
+    * bal*COUNT > SUM in DECIMAL so it is exact and order-independent in
+    * both engines (no double AVG in the predicate). The two scalar
+    * subqueries rightly SURVIVE optimization (each executes once and
+    * broadcasts — that is the 100 TB plan you want); the NOT EXISTS must
+    * decorrelate to a left-anti join on custkey. */
+  private def q22Sql(p: String, ts: String): String =
+    s"""SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, COUNT(*) AS numcust,
+       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+       |FROM ${p}customer
+       |WHERE CAST(c_acctbal AS DECIMAL(38,4))
+       |        * (SELECT COUNT(*) FROM ${p}customer c2 WHERE c2.c_acctbal > 0.0)
+       |      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(38,4)))
+       |         FROM ${p}customer c2 WHERE c2.c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM ${p}orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= $ts '2000-07-01')
+       |GROUP BY SUBSTRING(c_name, 17, 2)
+       |ORDER BY cntrycode""".stripMargin
+
+  private def tpchRun(sql: (String, String) => String)
+                     (spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(sql("graft_tpch_", "TIMESTAMP_NTZ"))
+  }
+
+  def q02(spark: SparkSession, dir: String): DataFrame = tpchRun(q02Sql)(spark, dir)
+  def q04(spark: SparkSession, dir: String): DataFrame = tpchRun(q04Sql)(spark, dir)
+  def q17(spark: SparkSession, dir: String): DataFrame = tpchRun(q17Sql)(spark, dir)
+  def q20(spark: SparkSession, dir: String): DataFrame = tpchRun(q20Sql)(spark, dir)
+  def q22(spark: SparkSession, dir: String): DataFrame = tpchRun(q22Sql)(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q00_flagship" -> q00,
+    "q02_min_cost_supplier" -> q02,
     "q03_shipping_priority" -> q03,
+    "q04_priority_check" -> q04,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
+    "q17_small_qty_revenue" -> q17,
     "q18_large_volume_customer" -> q18,
-    "q21_waiting_suppliers" -> q21)
+    "q20_part_volume_suppliers" -> q20,
+    "q21_waiting_suppliers" -> q21,
+    "q22_dormant_customers" -> q22)
 
   private val discRevenue =
     "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q02_min_cost_supplier" -> q02Sql("", "TIMESTAMP"),
+    "q04_priority_check" -> q04Sql("", "TIMESTAMP"),
+    "q17_small_qty_revenue" -> q17Sql("", "TIMESTAMP"),
+    "q20_part_volume_suppliers" -> q20Sql("", "TIMESTAMP"),
+    "q22_dormant_customers" -> q22Sql("", "TIMESTAMP"),
     "q18_large_volume_customer" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,

@@ -172,6 +172,46 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().nonEmpty, "q21 returned no rows at test SF")
   }
 
+  test("q02/q17: correlated scalar MIN/AVG subqueries decorrelate to aggregate joins") {
+    for ((name, df) <- Seq("q02" -> operators.Flagship.q02(spark, sf),
+                           "q17" -> operators.Flagship.q17(spark, sf))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("scalar-subquery"),
+        s"$name: correlated scalar subquery survived optimization (per-row rescan):\n$opt")
+      assert(opt.contains("Join"), s"$name: expected decorrelated join:\n$opt")
+      assert(df.collect().nonEmpty, s"$name returned no rows at test SF")
+    }
+  }
+
+  test("q04: EXISTS decorrelates to one left-semi join") {
+    val df = operators.Flagship.q04(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftSemi"), s"EXISTS must become a semi join:\n$opt")
+    assert(!opt.toLowerCase.contains("exists#") || !opt.contains("Filter exists"),
+      s"per-row exists predicate survived:\n$opt")
+    assert(df.collect().nonEmpty, "q04 returned no rows at test SF")
+  }
+
+  test("q20: nested IN chain flattens to two left-semi joins, no ListQuery") {
+    val df = operators.Flagship.q20(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val semis = "Join LeftSemi".r.findAllIn(opt).size
+    assert(semis >= 2, s"expected both INs as semi joins, found $semis:\n$opt")
+    assert(!opt.contains("ListQuery"), s"unrewritten IN survived:\n$opt")
+    assert(df.collect().nonEmpty, "q20 returned no rows at test SF")
+  }
+
+  test("q22: NOT EXISTS becomes a left-anti join; the uncorrelated scalars execute once") {
+    val df = operators.Flagship.q22(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftAnti"), s"NOT EXISTS must become an anti join:\n$opt")
+    // the two uncorrelated scalar subqueries SHOULD survive: each runs once
+    // and broadcasts into the pushed filter — that is the right 100 TB plan
+    assert("scalar-subquery".r.findAllIn(opt).size >= 2,
+      s"expected the once-executed scalar subqueries in the plan:\n$opt")
+    assert(df.collect().nonEmpty, "q22 returned no rows at test SF")
+  }
+
   test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
     val plan = planString(llm.Pipeline.l14(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
