@@ -273,6 +273,88 @@ object Flagship extends QueryModule {
        |GROUP BY SUBSTRING(c_name, 17, 2)
        |ORDER BY cntrycode""".stripMargin
 
+  /** q12: TPC-H Q12's shape (shipping modes and order priority) — the
+    * two-conditional-sums-over-a-join aggregate. The synthetic lineitem has
+    * no l_shipmode, so l_returnflag carries the mode role; the priority
+    * CASE pair is Q12's verbatim. One join shuffle on orderkey, then the
+    * conditional sums are map-side partial aggregates — at 100 TB the
+    * whole query is one exchange plus a 3-row final agg. */
+  private def q12Sql(p: String, ts: String): String =
+    s"""SELECT l_returnflag AS ship_mode,
+       |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                THEN 1 ELSE 0 END) AS high_line_count,
+       |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |                THEN 1 ELSE 0 END) AS low_line_count
+       |FROM ${p}orders
+       |JOIN ${p}lineitem ON o_orderkey = l_orderkey
+       |WHERE l_shipdate >= $ts '1996-01-01'
+       |  AND l_shipdate < $ts '1997-01-01'
+       |GROUP BY l_returnflag
+       |ORDER BY ship_mode""".stripMargin
+
+  /** q14: TPC-H Q14 (promo revenue) — the conditional-ratio aggregate.
+    * Both branches accumulate DECIMAL(38,4) (ELSE 0 cast to the same type
+    * so the unified CASE type is identical in both engines); the ratio is
+    * taken AFTER both sums surface as DOUBLE — one IEEE division on
+    * bit-identical inputs, never decimal division (whose precision/scale
+    * rules differ across engines). Map-side partial sums; zero shuffles
+    * beyond the partkey join. */
+  private def q14Sql(p: String, ts: String): String =
+    s"""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+       |         ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+       |       / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |                       AS DECIMAL(38,4))) AS DOUBLE)
+       |       AS DOUBLE) AS promo_revenue,
+       |       COUNT(*) AS n_lines
+       |FROM ${p}lineitem
+       |JOIN ${p}part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= $ts '1996-09-01'
+       |  AND l_shipdate < $ts '1996-10-01'""".stripMargin
+
+  /** q16: TPC-H Q16 (parts/supplier relationship) — the NOT-IN torture:
+    * a negated membership subquery (suppliers with weak balance stand in
+    * for Q16's complaint suppliers; lineitem plays partsupp). NOT IN is
+    * null-aware — Catalyst must plan a left-ANTI join whose condition
+    * carries the null-check (NAAJ), never a per-row membership probe;
+    * PlanSpec pins `Join LeftAnti` with no ListQuery survivor. The
+    * COUNT(DISTINCT l_suppkey) expands to the standard two-pass
+    * distinct-aggregate — both shuffles on the group keys. */
+  private def q16Sql(p: String, ts: String): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM ${p}part
+       |JOIN ${p}lineitem ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#13'
+       |  AND p_type <> 'PROMO'
+       |  AND p_size IN (5, 10, 15, 20, 25, 30)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM ${p}supplier WHERE s_acctbal < 2000.0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q19: TPC-H Q19 (discounted revenue) — the disjunctive-predicate
+    * (OR-of-ANDs) join: three brand/size/quantity branches over
+    * part ⋈ lineitem. The join itself must stay an EQUI hash join on
+    * partkey (PlanSpec pins no nested-loop/cartesian product) with the
+    * disjunction evaluated as a codegen'd post-join filter; the
+    * branch-local part predicates (brand, size) also exist purely on the
+    * part side, so the union bound `p_size <= 15` is checked pushable.
+    * At 100 TB the disjunction costs nothing: one partkey shuffle, the
+    * filter rides the join's generated code. */
+  private def q19Sql(p: String, ts: String): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |                     AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM ${p}lineitem
+       |JOIN ${p}part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |         AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |         AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   private def tpchRun(sql: (String, String) => String)
                      (spark: SparkSession, dir: String): DataFrame = {
     tpchViews(spark, dir)
@@ -281,7 +363,11 @@ object Flagship extends QueryModule {
 
   def q02(spark: SparkSession, dir: String): DataFrame = tpchRun(q02Sql)(spark, dir)
   def q04(spark: SparkSession, dir: String): DataFrame = tpchRun(q04Sql)(spark, dir)
+  def q12(spark: SparkSession, dir: String): DataFrame = tpchRun(q12Sql)(spark, dir)
+  def q14(spark: SparkSession, dir: String): DataFrame = tpchRun(q14Sql)(spark, dir)
+  def q16(spark: SparkSession, dir: String): DataFrame = tpchRun(q16Sql)(spark, dir)
   def q17(spark: SparkSession, dir: String): DataFrame = tpchRun(q17Sql)(spark, dir)
+  def q19(spark: SparkSession, dir: String): DataFrame = tpchRun(q19Sql)(spark, dir)
   def q20(spark: SparkSession, dir: String): DataFrame = tpchRun(q20Sql)(spark, dir)
   def q22(spark: SparkSession, dir: String): DataFrame = tpchRun(q22Sql)(spark, dir)
 
@@ -292,8 +378,12 @@ object Flagship extends QueryModule {
     "q04_priority_check" -> q04,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
+    "q12_priority_by_mode" -> q12,
+    "q14_promo_revenue" -> q14,
+    "q16_supplier_part_count" -> q16,
     "q17_small_qty_revenue" -> q17,
     "q18_large_volume_customer" -> q18,
+    "q19_disjunctive_revenue" -> q19,
     "q20_part_volume_suppliers" -> q20,
     "q21_waiting_suppliers" -> q21,
     "q22_dormant_customers" -> q22)
@@ -304,6 +394,10 @@ object Flagship extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q02_min_cost_supplier" -> q02Sql("", "TIMESTAMP"),
     "q04_priority_check" -> q04Sql("", "TIMESTAMP"),
+    "q12_priority_by_mode" -> q12Sql("", "TIMESTAMP"),
+    "q14_promo_revenue" -> q14Sql("", "TIMESTAMP"),
+    "q16_supplier_part_count" -> q16Sql("", "TIMESTAMP"),
+    "q19_disjunctive_revenue" -> q19Sql("", "TIMESTAMP"),
     "q17_small_qty_revenue" -> q17Sql("", "TIMESTAMP"),
     "q20_part_volume_suppliers" -> q20Sql("", "TIMESTAMP"),
     "q22_dormant_customers" -> q22Sql("", "TIMESTAMP"),

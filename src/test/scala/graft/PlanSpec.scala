@@ -212,6 +212,35 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().nonEmpty, "q22 returned no rows at test SF")
   }
 
+  test("q16: NOT IN plans as a null-aware left-anti join, no ListQuery") {
+    val df = operators.Flagship.q16(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftAnti"), s"NOT IN must become an anti join:\n$opt")
+    // null-aware form: the anti condition is `(k = k2) OR isnull(k = k2)` —
+    // plain anti (without the isnull arm) would silently change NOT IN's
+    // three-valued semantics
+    assert("Join LeftAnti.*isnull".r.findFirstIn(opt).isDefined,
+      s"anti join lost the null-aware arm:\n$opt")
+    assert(!opt.contains("ListQuery"), s"unrewritten IN survived:\n$opt")
+    assert(df.collect().nonEmpty, "q16 returned no rows at test SF")
+  }
+
+  test("q19: disjunctive predicate keeps the equi hash join and pushes per-side unions to the scans") {
+    val df = operators.Flagship.q19(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR-of-ANDs degraded the join to a product:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash equi-join on partkey:\n$plan")
+    // each branch constrains l_quantity and (p_brand,p_size) separately, so
+    // the per-side unions of the disjunction must reach BOTH parquet scans
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity".r
+      .findFirstIn(plan).isDefined,
+      s"lineitem scan lost the pushed quantity disjunction:\n$plan")
+    assert("Or\\(And\\(EqualTo\\(p_brand".r.findFirstIn(plan).isDefined,
+      s"part scan lost the pushed brand/size disjunction:\n$plan")
+    assert(df.collect().nonEmpty, "q19 returned no rows at test SF")
+  }
+
   test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
     val plan = planString(llm.Pipeline.l14(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
