@@ -129,9 +129,20 @@ object Bench {
       s""""gc_sec":${qsJson(gcByQuery)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record
-    if (only.isEmpty)
+    if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes("UTF-8"))
+      // per-round archive (bench_full.json alone is clobbered each sweep,
+      // losing round-over-round per-query history): current round =
+      // highest driver-written BENCH_rNN.json + 1
+      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt)
+      val round = if (rounds.isEmpty) 0 else rounds.max + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"bench_full_r$round%02d.json"),
+        full.getBytes("UTF-8"))
+    }
     println(line)
     spark.stop()
   }

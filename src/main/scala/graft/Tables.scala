@@ -27,21 +27,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a raw long
-    * (legacy conf) and derive:
-    *   - ts      : long, epoch nanos (raw)
+  /** events loader, adaptive to how the driver generated `ts`:
+    *   - parquet TIMESTAMP(MICROS/MILLIS) → Spark reads a (ntz) timestamp;
+    *   - parquet TIMESTAMP(NANOS) → Spark's reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless nanos are read as a raw long
+    *     (legacy conf), which we enable up front (no-op for µs files).
+    * Either way the derived columns every event-time query consumes are:
     *   - ts_ms   : long, epoch millis (floor)
     *   - event_ts: timestamp at millisecond precision (UTC session).
-    * Event-time queries operate on ms precision so the DuckDB oracle
-    * (which reads full nanos) can reproduce values exactly via
-    * epoch_ns(ts)//1000000.
+    * Millisecond flooring keeps values exactly reproducible by the DuckDB
+    * oracle (epoch_ns(ts)//1000000 — exact for both ns and µs storage).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("event_ts", timestamp_millis(expr("ts div 1000000")))
+    val raw = table(spark, dir, "events")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _                                   => epochMs(col("ts"))
+    }
+    raw.withColumn("ts_ms", tsMs)
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
   }
 
   /** Scratch path for sink round-trip queries, unique per input dir

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * expression's own contract) — exactly the broadcast-once shape wanted.
   */
 object BloomFunctions {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "graft_bloom") {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -137,7 +137,8 @@ object Uuid5 {
 
   def uuid5Col(ns: Column, name: Column): Column = uuid5Udf(ns, name)
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "uuid5") {
     spark.udf.register("uuid5", (ns: String, name: String) =>
       if (ns == null || name == null) null else uuid5(ns, name))
+  }
 }

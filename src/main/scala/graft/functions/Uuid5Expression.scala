@@ -107,7 +107,7 @@ object Uuid5Expression {
 
   /** SQL-registry entry point: SELECT uuid5_native(ns, name) /
     * gen_cmd_id(batch, name, params_json, file_oid). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "uuid5_native") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "uuid5_native", exprs => Uuid5Expression(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

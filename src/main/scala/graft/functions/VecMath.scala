@@ -87,7 +87,8 @@ case class FloatVecDot(left: Expression, right: Expression)
 object VecMath {
   /** SQL-registry entry point: SELECT vec_dot(a, b). Idempotent — query
     * builders call it before constructing plans that use the function. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegisterOnce(spark, "vec_dot") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+  }
 }

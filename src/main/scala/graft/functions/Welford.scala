@@ -40,5 +40,7 @@ object Welford {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.udf.register("welford", org.apache.spark.sql.functions.udaf(agg))
+    RegisterOnce(spark, "welford") {
+      spark.udf.register("welford", org.apache.spark.sql.functions.udaf(agg))
+    }
 }

@@ -98,14 +98,19 @@ object Llm extends QueryModule {
   private[llm] val BandBucketCap = 256
 
   /** Keep only rows of `bands` whose bucket (the `keys` tuple) has ≤ cap
-    * members. The membership count is one aggregation on the same keys
-    * the candidate join shuffles on, so with AQE both sides reuse one
-    * exchange; per-bucket audit goes through [[minHashBucketAudit]]. */
-  private[llm] def capBuckets(bands: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    * members. The membership count is a window count partitioned on the
+    * same keys the candidate join shuffles on — the bands plan is
+    * evaluated ONCE and the count rides that single exchange (a
+    * groupBy+self-join here would re-evaluate the signature aggregation
+    * and add a second exchange; measured 2× on l02). Per-bucket audit
+    * goes through [[minHashBucketAudit]]. */
+  private[llm] def capBuckets(bands: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     bands
-      .join(bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz")), keys)
+      .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= cap)
       .drop("bsz")
+  }
 
   /** Library path for l02 over any (doc_id, text) frame: MinHash banded
     * candidates (bucket-capped) + exact shingle-Jaccard verify. */

@@ -281,10 +281,10 @@ object Flagship extends QueryModule {
     * whole query is one exchange plus a 3-row final agg. */
   private def q12Sql(p: String, ts: String): String =
     s"""SELECT l_returnflag AS ship_mode,
-       |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-       |                THEN 1 ELSE 0 END) AS high_line_count,
-       |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-       |                THEN 1 ELSE 0 END) AS low_line_count
+       |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        |FROM ${p}orders
        |JOIN ${p}lineitem ON o_orderkey = l_orderkey
        |WHERE l_shipdate >= $ts '1996-01-01'
