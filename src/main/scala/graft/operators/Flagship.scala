@@ -172,6 +172,8 @@ object Flagship extends QueryModule {
     Tables.lineitem(spark, dir).createOrReplaceTempView("graft_tpch_lineitem")
     Tables.supplier(spark, dir).createOrReplaceTempView("graft_tpch_supplier")
     Tables.part(spark, dir).createOrReplaceTempView("graft_tpch_part")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_tpch_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_tpch_region")
   }
 
   /** q02: TPC-H Q2's correlated-scalar-MIN shape (the synthetic schema has
@@ -355,6 +357,176 @@ object Flagship extends QueryModule {
        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
        |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q07: TPC-H Q7 (volume shipping) — the two-nation bilateral-flow join:
+    * lineitem's supplier nation and order's customer nation constrained to
+    * an unordered pair via OR-of-ANDs over two broadcast nation aliases,
+    * grouped by (supp_nation, cust_nation, year). Both nation sides are
+    * 25-row broadcasts at any scale; the fact chain shuffles once on
+    * orderkey and once on custkey — same exchanges Q5 needs. Year is
+    * EXTRACTed then CAST BIGINT (Spark yields INT, DuckDB BIGINT — the
+    * pin makes the surfaced schema identical). */
+  private def q07Sql(p: String, ts: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+       |           AS volume
+       |  FROM ${p}supplier
+       |  JOIN ${p}lineitem ON s_suppkey = l_suppkey
+       |  JOIN ${p}orders ON o_orderkey = l_orderkey
+       |  JOIN ${p}customer ON c_custkey = o_custkey
+       |  JOIN ${p}nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN ${p}nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_19')
+       |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_12'))
+       |    AND l_shipdate >= $ts '1996-01-01'
+       |    AND l_shipdate < $ts '1998-01-01') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q08: TPC-H Q8 (national market share) — the conditional-share-of-total
+    * aggregate over the full 8-table join graph (minus partsupp, absent
+    * from the synthetic schema): one nation's volume share per order year
+    * within a region's market for a part type. Share = DOUBLE ratio of two
+    * DECIMAL(38,4) sums (q14's exactness discipline); nation/region are
+    * broadcast, the fact chain reuses the q5 exchanges. */
+  private def q08Sql(p: String, ts: String): String =
+    s"""SELECT o_year,
+       |       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+       |                          ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+       |            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+       |           AS volume,
+       |         n2.n_name AS nation
+       |  FROM ${p}part
+       |  JOIN ${p}lineitem ON p_partkey = l_partkey
+       |  JOIN ${p}supplier ON s_suppkey = l_suppkey
+       |  JOIN ${p}orders ON l_orderkey = o_orderkey
+       |  JOIN ${p}customer ON o_custkey = c_custkey
+       |  JOIN ${p}nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN ${p}region ON n1.n_regionkey = r_regionkey
+       |  JOIN ${p}nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA'
+       |    AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= $ts '1996-01-01'
+       |    AND o_orderdate < $ts '1998-01-01') all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  /** q09: TPC-H Q9 (product-type profit) — profit per supplier nation per
+    * year over a part-name LIKE filter. The synthetic schema has no
+    * partsupp/ps_supplycost, so cost is proxied by p_retailprice *
+    * l_quantity * 0.1 — the SHAPE (5-way join, LIKE-filtered part side,
+    * two-key rollup, negative-capable sum) is Q9's. The LIKE filter prunes
+    * part before its join (pushed to the scan); amount is computed in
+    * IEEE double textually identically in both engines, then accumulated
+    * DECIMAL(38,4). */
+  private def q09Sql(p: String, ts: String): String =
+    s"""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |         CAST(l_extendedprice * (1.0 - l_discount)
+       |              - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,4))
+       |           AS amount
+       |  FROM ${p}part
+       |  JOIN ${p}lineitem ON p_partkey = l_partkey
+       |  JOIN ${p}supplier ON s_suppkey = l_suppkey
+       |  JOIN ${p}orders ON o_orderkey = l_orderkey
+       |  JOIN ${p}nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%widget%') profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q10: TPC-H Q10 (returned-item reporting) — quarter of orders, lines
+    * restricted to returnflag 'R', revenue per customer, top 20. The
+    * canonical "who cost us money" report: one custkey shuffle, one
+    * orderkey shuffle, nation broadcast, then a 20-row TakeOrdered —
+    * no global sort materializes at any scale. */
+  private def q10Sql(p: String, ts: String): String =
+    s"""SELECT c_custkey, c_name, $discRevenue AS revenue, c_acctbal, n_name
+       |FROM ${p}customer
+       |JOIN ${p}orders ON c_custkey = o_custkey
+       |JOIN ${p}lineitem ON l_orderkey = o_orderkey
+       |JOIN ${p}nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= $ts '1996-01-01'
+       |  AND o_orderdate < $ts '1996-04-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** q11: TPC-H Q11 (important stock) — the HAVING-vs-uncorrelated-scalar
+    * shape: per-part supply value within a nation group, kept only when it
+    * exceeds a fraction of that group's total. lineitem stands in for
+    * partsupp (no such table in the synthetic schema); the scalar subquery
+    * re-aggregates the SAME filtered join — Catalyst executes it once and
+    * broadcasts the threshold into the HAVING filter (it must survive as
+    * a scalar-subquery node, q22's discipline, not decorrelate). Fraction
+    * compare is DOUBLE-on-DECIMAL-sums: exact inputs, one IEEE multiply. */
+  private def q11Sql(p: String, ts: String): String =
+    s"""SELECT l_partkey,
+       |       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
+       |            AS DOUBLE) AS value
+       |FROM ${p}lineitem
+       |JOIN ${p}supplier ON s_suppkey = l_suppkey
+       |WHERE s_nationkey < 5
+       |GROUP BY l_partkey
+       |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
+       |            AS DOUBLE) >
+       |  (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
+       |               AS DOUBLE) * 0.001
+       |   FROM ${p}lineitem
+       |   JOIN ${p}supplier ON s_suppkey = l_suppkey
+       |   WHERE s_nationkey < 5)
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** q13: TPC-H Q13 (customer order-count distribution) — the
+    * outer-join-then-double-aggregate shape: LEFT OUTER customer→orders
+    * with a join-side-only predicate (priority stands in for the
+    * o_comment NOT LIKE of the original), COUNT(o_orderkey) per customer
+    * (NULL-preserving: no-order customers count 0), then the histogram of
+    * those counts. The outer join's filter must stay ON the join (pushing
+    * it below would turn customers with only-excluded orders into
+    * missing rows, not zeros). Two shuffles: custkey join, c_count agg. */
+  private def q13Sql(p: String, ts: String): String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM ${p}customer
+       |  LEFT OUTER JOIN ${p}orders
+       |    ON c_custkey = o_custkey
+       |   AND o_orderpriority <> '4-NOT SPECIFIED'
+       |  GROUP BY c_custkey) c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q15: TPC-H Q15 (top supplier) — the view-then-argmax shape: quarterly
+    * revenue per supplier (a CTE both engines see identically), joined to
+    * supplier and filtered to the MAX via an uncorrelated scalar subquery
+    * over the same CTE. The max compare happens on the exact DECIMAL(38,4)
+    * sums (ties included, per spec), surfacing as DOUBLE only in the
+    * select list. The CTE aggregates once per reference under AQE's
+    * exchange reuse; the scalar executes once and broadcasts. */
+  private def q15Sql(p: String, ts: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |                  AS DECIMAL(38,4))) AS total_revenue
+       |  FROM ${p}lineitem
+       |  WHERE l_shipdate >= $ts '1996-01-01'
+       |    AND l_shipdate < $ts '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM ${p}supplier
+       |JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
   private def tpchRun(sql: (String, String) => String)
                      (spark: SparkSession, dir: String): DataFrame = {
     tpchViews(spark, dir)
@@ -363,6 +535,13 @@ object Flagship extends QueryModule {
 
   def q02(spark: SparkSession, dir: String): DataFrame = tpchRun(q02Sql)(spark, dir)
   def q04(spark: SparkSession, dir: String): DataFrame = tpchRun(q04Sql)(spark, dir)
+  def q07(spark: SparkSession, dir: String): DataFrame = tpchRun(q07Sql)(spark, dir)
+  def q08(spark: SparkSession, dir: String): DataFrame = tpchRun(q08Sql)(spark, dir)
+  def q09(spark: SparkSession, dir: String): DataFrame = tpchRun(q09Sql)(spark, dir)
+  def q10(spark: SparkSession, dir: String): DataFrame = tpchRun(q10Sql)(spark, dir)
+  def q11(spark: SparkSession, dir: String): DataFrame = tpchRun(q11Sql)(spark, dir)
+  def q13(spark: SparkSession, dir: String): DataFrame = tpchRun(q13Sql)(spark, dir)
+  def q15(spark: SparkSession, dir: String): DataFrame = tpchRun(q15Sql)(spark, dir)
   def q12(spark: SparkSession, dir: String): DataFrame = tpchRun(q12Sql)(spark, dir)
   def q14(spark: SparkSession, dir: String): DataFrame = tpchRun(q14Sql)(spark, dir)
   def q16(spark: SparkSession, dir: String): DataFrame = tpchRun(q16Sql)(spark, dir)
@@ -378,7 +557,14 @@ object Flagship extends QueryModule {
     "q04_priority_check" -> q04,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
+    "q07_volume_shipping" -> q07,
+    "q08_market_share" -> q08,
+    "q09_product_profit" -> q09,
+    "q10_returned_items" -> q10,
+    "q11_important_stock" -> q11,
     "q12_priority_by_mode" -> q12,
+    "q13_order_distribution" -> q13,
+    "q15_top_supplier" -> q15,
     "q14_promo_revenue" -> q14,
     "q16_supplier_part_count" -> q16,
     "q17_small_qty_revenue" -> q17,
@@ -394,6 +580,13 @@ object Flagship extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q02_min_cost_supplier" -> q02Sql("", "TIMESTAMP"),
     "q04_priority_check" -> q04Sql("", "TIMESTAMP"),
+    "q07_volume_shipping" -> q07Sql("", "TIMESTAMP"),
+    "q08_market_share" -> q08Sql("", "TIMESTAMP"),
+    "q09_product_profit" -> q09Sql("", "TIMESTAMP"),
+    "q10_returned_items" -> q10Sql("", "TIMESTAMP"),
+    "q11_important_stock" -> q11Sql("", "TIMESTAMP"),
+    "q13_order_distribution" -> q13Sql("", "TIMESTAMP"),
+    "q15_top_supplier" -> q15Sql("", "TIMESTAMP"),
     "q12_priority_by_mode" -> q12Sql("", "TIMESTAMP"),
     "q14_promo_revenue" -> q14Sql("", "TIMESTAMP"),
     "q16_supplier_part_count" -> q16Sql("", "TIMESTAMP"),

@@ -241,6 +241,44 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().nonEmpty, "q19 returned no rows at test SF")
   }
 
+  test("q11/q15: uncorrelated scalar thresholds survive as once-executed subqueries") {
+    for ((name, df) <- Seq("q11" -> operators.Flagship.q11(spark, sf),
+                           "q15" -> operators.Flagship.q15(spark, sf))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the group-total / max threshold runs ONCE and broadcasts into the
+      // filter — decorrelating it per-row would rescan the fact table
+      assert(opt.contains("scalar-subquery"),
+        s"$name: expected the once-executed scalar threshold subquery:\n$opt")
+      assert(df.collect().nonEmpty, s"$name returned no rows at test SF")
+    }
+  }
+
+  test("q13: join-side-only predicate stays ON the left outer join") {
+    val df = operators.Flagship.q13(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftOuter"),
+      s"customer->orders must stay a left outer join:\n$opt")
+    // the priority predicate belongs to the join condition (or the orders
+    // side beneath it) — NEVER a post-join filter, which would drop
+    // customers whose only orders are excluded instead of counting 0
+    val postJoinFilter = opt.linesIterator.takeWhile(!_.contains("Join LeftOuter"))
+      .exists(l => l.trim.startsWith("Filter") && l.contains("o_orderpriority"))
+    assert(!postJoinFilter, s"priority predicate migrated above the outer join:\n$opt")
+    assert(df.collect().nonEmpty, "q13 returned no rows at test SF")
+  }
+
+  test("q07/q08: bilateral nation constraints keep equi joins, dims broadcast") {
+    for ((name, df) <- Seq("q07" -> operators.Flagship.q07(spark, sf),
+                           "q08" -> operators.Flagship.q08(spark, sf))) {
+      val plan = planString(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: nation pairing degraded to a product:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected broadcast nation/region dims:\n$plan")
+      assert(df.collect().nonEmpty, s"$name returned no rows at test SF")
+    }
+  }
+
   test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
     val plan = planString(llm.Pipeline.l14(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
