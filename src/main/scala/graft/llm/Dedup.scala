@@ -561,7 +561,47 @@ object Dedup extends QueryModule {
       .orderBy("canon_url")
   }
 
+  /** l34: cross-document segment-level boilerplate removal (the CCNet /
+    * RefinedWeb paragraph-dedup stage): drop every text segment that
+    * appears verbatim in ≥ 3 distinct documents, preserving each
+    * document's remaining segment order. The synthetic corpus has no
+    * newlines, so the segmentation rule is explicit: consecutive 8-token
+    * blocks (real corpora would split on '\n\n'; the dataflow is
+    * identical). Shape at 100 TB: segmentization is map-only (sequence +
+    * slice over the token array, no explode-then-regroup); the
+    * document-frequency pass is one seg-key shuffle; removal is a
+    * left-anti join on the same key; reassembly sorts WITHIN each doc's
+    * collected struct list (array_sort of (seg_idx, seg) — no window, no
+    * global sort). Docs whose every segment is boilerplate survive as
+    * empty strings via the final left join (same in the oracle). */
+  def l34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(a) / 8.0) AS INT) - 1),
+          |          i -> array_join(slice(a, i * 8 + 1, 8), ' '))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 3)
+      .select("seg")
+    val cleaned = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), p -> p.seg), ' ')")
+        .as("clean"),
+        count(lit(1)).as("kept"))
+    docs.select("doc_id")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("text_clean"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l34_seg_dedup" -> l34,
     "l35_url_dedup" -> l35,
     "l02c_dedup_simhash" -> l02c,
     "l02d_dedup_ngram_jaccard" -> l02d,
@@ -575,6 +615,24 @@ object Dedup extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "l34_seg_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |flat AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+        |         FROM toks),
+        |segs AS (SELECT doc_id, (pos - 1) // 8 AS seg_idx,
+        |                string_agg(tok, ' ' ORDER BY pos) AS seg
+        |         FROM flat GROUP BY doc_id, (pos - 1) // 8),
+        |boiler AS (SELECT seg FROM segs GROUP BY seg
+        |           HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM segs
+        |         ANTI JOIN boiler USING (seg)),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean,
+        |               COUNT(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(text_clean, '') AS text_clean,
+        |       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "l35_url_dedup" ->
       """WITH u AS (
         |  SELECT o_orderkey,

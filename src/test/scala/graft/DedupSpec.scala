@@ -158,6 +158,27 @@ class DedupSpec extends SparkSuite {
     assert(uncapped === flood * (flood - 1) / 2)
   }
 
+  test("l34 equals an independent driver-side recomputation at test SF") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def segsOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    val docFreq = raw.toSeq.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = raw.map { case (id, t) =>
+      val kept = segsOf(t).filter(s => docFreq(s) < 3)
+      id -> ((kept.mkString(" "), kept.size.toLong))
+    }
+    val actual = Dedup.l34(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(actual.size === expected.size)
+    for ((id, exp) <- expected) assert(actual(id) === exp, s"doc $id diverged")
+    // the threshold actually fires at this SF (op does real work)
+    assert(expected.exists { case (id, (clean, _)) => clean != raw(id) },
+      "no boilerplate segment was removed — test corpus degenerate?")
+  }
+
   test("l03c IVF searches a fraction of the corpus with useful recall vs exact top-10") {
     val exact = Llm.l03(spark, sf).select("vec_id")
       .collect().map(_.getLong(0)).toSet
