@@ -385,6 +385,37 @@ object Llm extends QueryModule {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** l36: leakage-safe split assignment — the train/test-contamination
+    * guard l11 lacks: two IDENTICAL documents must never land in
+    * different splits (The Pile / C4 postmortem lesson: eval leakage via
+    * duplicates). Every document is keyed by its content hash, the
+    * cluster representative is the min doc_id of that hash group, and
+    * the split bucket is derived from the REPRESENTATIVE — so the whole
+    * duplicate cluster moves as one unit. Shape at 100 TB: one hash-key
+    * shuffle for the representative aggregate, one equi join back on the
+    * same key (exchange reuse), map-side bucket derivation. For NEAR-dup
+    * safety, feed l21's connected-component root in place of the md5
+    * group (same dataflow; the exact-hash variant is what the SQL oracle
+    * can express). */
+  /** Library path for l36 over any (doc_id, text) frame. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val rep = hashed.groupBy("h").agg(min("doc_id").as("rep"))
+    hashed.join(rep, "h")
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(concat('split:', CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "rep", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  def l36(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(Tables.documents(spark, dir))
+
   /** l12: redaction pass — scrub numeric tokens and email-shaped spans
     * (the PII-scrub shape: the real pipeline swaps in its own pattern
     * set). Patterns stay in the POSIX-compatible subset so Java regex
@@ -498,7 +529,8 @@ object Llm extends QueryModule {
     "l11_split_assign" -> l11,
     "l12_redact" -> l12,
     "l13_repetition" -> l13,
-    "l25_dedup_incremental" -> l25)
+    "l25_dedup_incremental" -> l25,
+    "l36_leakage_split" -> l36)
 
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
@@ -611,6 +643,18 @@ object Llm extends QueryModule {
         |         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "l36_leakage_split" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |rep AS (SELECT h, MIN(doc_id) AS rep FROM h GROUP BY h),
+        |b AS (SELECT doc_id, rep,
+        |             CAST(('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15))
+        |                  AS BIGINT) % 100 AS bucket
+        |      FROM h JOIN rep USING (h))
+        |SELECT doc_id, rep, bucket,
         |       CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split

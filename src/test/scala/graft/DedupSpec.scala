@@ -179,6 +179,39 @@ class DedupSpec extends SparkSuite {
       "no boilerplate segment was removed — test corpus degenerate?")
   }
 
+  test("l36: no duplicate-text cluster straddles splits; buckets in range; clusters matter") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val out = Llm.l36(spark, sf).cache()
+    val straddling = out.join(docs, "doc_id")
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(straddling === 0, "a duplicate cluster was assigned to two splits — leakage")
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 99).count() === 0)
+    out.unpersist()
+    // the corpus has no exact duplicates, so exercise the guard on a
+    // frame WITH them: re-id copies of the first 50 docs. Every copy must
+    // follow its original, and at least one copy's per-doc-hash split
+    // must differ from its cluster split (the guard changed something).
+    val withDups = docs.select("doc_id", "text").union(
+      docs.select("doc_id", "text").limit(50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val guarded = Llm.leakageSafeSplit(withDups).cache()
+    val copies = guarded.filter(col("doc_id") >= 1000000L)
+      .withColumn("orig_id", col("doc_id") - 1000000L)
+    val splitOfOrig = guarded.select(col("doc_id").as("orig_id"), col("split").as("orig_split"))
+    assert(copies.join(splitOfOrig, "orig_id")
+      .filter(col("split") =!= col("orig_split")).count() === 0,
+      "a duplicate copy landed in a different split than its original — leakage")
+    val perDocBucket = copies.withColumn("own_bucket", expr(
+      "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .filter((col("own_bucket") < 80) =!= (col("bucket") < 80))
+    assert(perDocBucket.count() > 0,
+      "degenerate fixture: every copy's own hash already agreed with its cluster")
+    guarded.unpersist()
+  }
+
   test("l03c IVF searches a fraction of the corpus with useful recall vs exact top-10") {
     val exact = Llm.l03(spark, sf).select("vec_id")
       .collect().map(_.getLong(0)).toSet
