@@ -405,7 +405,39 @@ object Pipeline extends QueryModule {
       .orderBy("lang", "bucket")
   }
 
+  /** l37: distributed bigram language-model counts — the model-BUILDING
+    * counterpart to l29's scoring: raw bigram counts (min-count 5
+    * pruned) plus the Kneser-Ney ingredients, n_hist = |{w₁ : c(w₁,w₂)>0}|
+    * (continuation count of w₂) and n_follow = |{w₂ : c(w₁,w₂)>0}|
+    * (right-diversity of w₁). Shape at 100 TB: bigram generation is
+    * map-only (transform over the token array — no posexplode self-join),
+    * the count is ONE bigram-key shuffle over the corpus; n_hist/n_follow
+    * aggregate the already-tiny count table (vocab², not corpus-sized)
+    * and join back broadcast. Pruning happens AFTER the diversity
+    * aggregates, which must see all bigrams (KN counts are over the
+    * unpruned table). */
+  def l37(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |          i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cont = counts.groupBy("w2").agg(countDistinct("w1").as("n_hist"))
+    val fol = counts.groupBy("w1").agg(countDistinct("w2").as("n_follow"))
+    counts
+      .join(broadcast(cont), "w2")
+      .join(broadcast(fol), "w1")
+      .filter(col("c") >= 5)
+      .select("w1", "w2", "c", "n_hist", "n_follow")
+      .orderBy("w1", "w2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l37_ngram_lm" -> l37,
     "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,
@@ -422,6 +454,19 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    "l37_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+        |flat AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+        |         FROM toks),
+        |bg AS (SELECT f1.tok AS w1, f2.tok AS w2
+        |       FROM flat f1 JOIN flat f2
+        |         ON f1.doc_id = f2.doc_id AND f2.pos = f1.pos + 1),
+        |c AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |cont AS (SELECT w2, COUNT(DISTINCT w1) AS n_hist FROM c GROUP BY w2),
+        |fol AS (SELECT w1, COUNT(DISTINCT w2) AS n_follow FROM c GROUP BY w1)
+        |SELECT w1, w2, c, n_hist, n_follow
+        |FROM c JOIN cont USING (w2) JOIN fol USING (w1)
+        |WHERE c >= 5 ORDER BY w1, w2""".stripMargin,
     "l33_histogram" ->
       """WITH b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
         |d AS (SELECT lang, n_chars,
