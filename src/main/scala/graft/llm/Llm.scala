@@ -397,12 +397,16 @@ object Llm extends QueryModule {
     * safety, feed l21's connected-component root in place of the md5
     * group (same dataflow; the exact-hash variant is what the SQL oracle
     * can express). */
-  /** Library path for l36 over any (doc_id, text) frame. */
+  /** Library path for l36 over any (doc_id, text) frame. The cluster
+    * representative is a window MIN over the hash partition — ONE scan
+    * and ONE exchange (a groupBy+join-back would scan the corpus twice
+    * and add a second exchange plus the join; capBuckets learned the
+    * same lesson). */
   def leakageSafeSplit(docs: DataFrame): DataFrame = {
-    val hashed = docs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val rep = hashed.groupBy("h").agg(min("doc_id").as("rep"))
-    hashed.join(rep, "h")
+      .withColumn("rep", min("doc_id").over(w))
       .withColumn("bucket", expr(
         "CAST(conv(substr(md5(concat('split:', CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"))
       .withColumn("split",

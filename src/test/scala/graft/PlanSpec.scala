@@ -279,6 +279,32 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("l36: representative via window min — one documents scan, no self-join") {
+    val df = llm.Llm.l36(spark, sf)
+    val plan = planString(df)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected a single documents scan, found $scans:\n$plan")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"cluster-rep derivation must not self-join:\n$opt")
+  }
+
+  test("l34: boilerplate removal is a left-anti join on the segment key, no product") {
+    val df = llm.Dedup.l34(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftAnti"), s"expected anti-join removal:\n$opt")
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment removal degraded to a product:\n$plan")
+  }
+
+  test("l37: diversity tables join back broadcast (corpus never reshuffles for them)") {
+    val df = llm.Pipeline.l37(spark, sf)
+    val plan = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"n_hist/n_follow must broadcast onto the count table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  }
+
   test("l14: contamination probe is a broadcast join (corpus side never shuffles for the probe)") {
     val plan = planString(llm.Pipeline.l14(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
