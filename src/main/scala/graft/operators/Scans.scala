@@ -167,6 +167,33 @@ object Scans extends QueryModule {
       .transform(Tables.orderAll)
   }
 
+  /** s15: small-file compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming/incremental writers leave
+    * thousands of KB-sized files per partition, and scan throughput dies
+    * on open/footer overhead (plus the driver's file-index memory). The
+    * op: read the fragmented table (simulated here by writing the source
+    * with a tiny maxRecordsPerFile), then rewrite clustered —
+    * repartitionByRange on the access key + sortWithinPartitions, so the
+    * compacted files are both FEW (one per range partition, sized by the
+    * partition count; in production derived from target_bytes /
+    * avg_row_size) and RANGE-CLUSTERED (each file covers a disjoint key
+    * range → min/max footer stats prune key lookups to one file, same
+    * property LayoutSpec pins for s12's z-order). Content must be
+    * bit-identical to the source — that is the oracled check; the
+    * file-count collapse and per-file disjointness are LayoutSpec's. */
+  def s15(spark: SparkSession, dir: String): DataFrame = {
+    val frag = Tables.scratchPath("s15_frag", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").option("maxRecordsPerFile", 100).parquet(frag)
+    val compact = Tables.scratchPath("s15_compact", dir)
+    spark.read.parquet(frag)
+      .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(compact)
+    spark.read.parquet(compact).transform(Tables.orderAll)
+  }
+
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
     * training-data interchange. Write documents as JSONL, read back under
     * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
@@ -334,6 +361,7 @@ object Scans extends QueryModule {
     "s11_sink_bucketed" -> s11,
     "s12_sink_zorder" -> s12,
     "s13_source_jsonl" -> s13,
+    "s15_sink_compact" -> s15,
     "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
@@ -400,6 +428,9 @@ object Scans extends QueryModule {
     "s05_sink_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+    "s15_sink_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY ALL""".stripMargin,
     "s11_sink_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue

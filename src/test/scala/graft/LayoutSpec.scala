@@ -60,6 +60,31 @@ class LayoutSpec extends SparkSuite {
         s"${hits(zRects)}/${zRects.length}")
   }
 
+  test("s15: compaction collapses the file count and range-clusters the key") {
+    operators.Scans.s15(spark, sf).collect() // writes both dirs
+    def files(dir: String): Array[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    val nFrag = files(Tables.scratchPath("s15_frag", sf)).length
+    val compactDir = Tables.scratchPath("s15_compact", sf)
+    val nCompact = files(compactDir).length
+    info(s"fragmented=$nFrag files, compacted=$nCompact files")
+    assert(nFrag >= nCompact * 2,
+      s"compaction should collapse the file count: $nFrag -> $nCompact")
+    assert(nCompact <= 8, s"range repartition(8) produced $nCompact files")
+    // range clustering: per-file [min,max] orderkey intervals overlap only
+    // at their boundary key (range partitioning splits ON a key value)
+    val rects = spark.read.parquet(compactDir)
+      .groupBy(input_file_name())
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rects.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"file ranges interleave: hi=$hi1 lo=$lo2")
+      case _ => ()
+    }
+  }
+
   test("s12: the box predicate reaches the parquet scan as pushed filters") {
     val zdir = Tables.scratchPath("s12_zorder", sf)
     operators.Scans.s12(spark, sf).collect() // ensure files exist
