@@ -245,7 +245,20 @@ object EventTime extends QueryModule {
         col("n_users"), col("n_events"))
       .orderBy("win_start_ms")
 
+  /** t13: stream-static enrichment — the BATCH image of
+    * [[graft.streaming.StreamingLift.enrich]] (same function, same
+    * broadcast dim join), oracled here so the streaming lift's exact
+    * row-level semantics are hash-gated: every event joined to its
+    * customer dimension row. At 100 TB the dim side broadcasts per
+    * micro-batch (streaming) or once (batch); the event stream never
+    * shuffles for the join. */
+  def t13(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingLift.enrich(
+        Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_stream_enrich" -> t13,
     "t12_sliding_distinct" -> t12,
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
@@ -260,6 +273,10 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    "t13_stream_enrich" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     // each event belongs to the 6 hourly-aligned windows whose start is
     // in (hour_floor(ts) - 5h .. hour_floor(ts)] — the same bounded
     // explode Spark's window() generator performs

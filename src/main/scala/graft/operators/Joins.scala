@@ -136,6 +136,35 @@ object Joins extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** j18: FORWARD as-of join (j10's mirror): for each event, the next
+    * strictly-later high-value event (value > 90) of the same user —
+    * "time to next conversion". Same union + ordered-window shape, with
+    * first(ignoreNulls) over the FOLLOWING frame; the probe stream sorts
+    * BEFORE base events at equal timestamps (src 0 < 1) so an equal-ts
+    * high-value row falls outside the following frame — strict `>`
+    * semantics, matching the oracle's `e.ts_ms < h.ts_ms` ASOF. Probes
+    * are pre-deduped per (uid, ts) to min event_id for deterministic
+    * ties. One shuffle on uid, linear — never a per-row subquery. */
+  def j18(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("uid"), col("ts_ms").as("t"),
+        col("event_id"), col("value"))
+    val hv = ev.filter(col("value") > 90.0)
+      .groupBy("uid", "t").agg(min("event_id").as("hv_id"))
+      .select(col("uid"), col("t"), lit(0).as("src"), col("hv_id"),
+        lit(null).cast("long").as("event_id"))
+    val base = ev.select(col("uid"), col("t"), lit(1).as("src"),
+      lit(null).cast("long").as("hv_id"), col("event_id"))
+    val w = Window.partitionBy("uid").orderBy(col("t"), col("src"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hv.unionByName(base)
+      .withColumn("next_hv_id", first(col("hv_id"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("t").as("ts_ms"), col("next_hv_id"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: lines of an order shipped within [orderdate, +30d). */
   def j11(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -320,7 +349,8 @@ object Joins extends QueryModule {
     "j10_join_asof" -> j10,
     "j11_join_interval" -> j11,
     "j12_self_join" -> j12,
-    "j14_join_range_binned" -> j14)
+    "j14_join_range_binned" -> j14,
+    "j18_join_asof_fwd" -> j18)
 
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
@@ -394,6 +424,15 @@ object Joins extends QueryModule {
         |SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey
         |FROM ev e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.uid AND e.ts_ms >= epoch_ms(o.o_orderdate)
+        |ORDER BY event_id""".stripMargin,
+    "j18_join_asof_fwd" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms, value
+        |            FROM events),
+        |hv AS (SELECT user_id, ts_ms, min(event_id) AS hv_id
+        |       FROM ev WHERE value > 90.0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_ms, h.hv_id AS next_hv_id
+        |FROM ev e ASOF LEFT JOIN hv h
+        |  ON e.user_id = h.user_id AND e.ts_ms < h.ts_ms
         |ORDER BY event_id""".stripMargin,
     "j11_join_interval" ->
       """SELECT o_orderkey, COUNT(*) AS n_quick_lines
