@@ -183,9 +183,13 @@ object Scans extends QueryModule {
     * file-count collapse and per-file disjointness are LayoutSpec's. */
   def s15(spark: SparkSession, dir: String): DataFrame = {
     val frag = Tables.scratchPath("s15_frag", dir)
-    Tables.lineitem(spark, dir)
+    val src = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").option("maxRecordsPerFile", 100).parquet(frag)
+    // fragment to ~64 files at ANY scale factor (a fixed records-per-file
+    // would mean 60k files at sf0.1 — the simulation of the disease must
+    // not itself scale pathologically); count() is a cheap metadata pass
+    val perFile = math.max(100L, src.count() / 64)
+    src.write.mode("overwrite").option("maxRecordsPerFile", perFile).parquet(frag)
     val compact = Tables.scratchPath("s15_compact", dir)
     spark.read.parquet(frag)
       .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
