@@ -279,6 +279,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("j18: forward as-of is a single-shuffle window plan, no join") {
+    val df = operators.Joins.j18(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"),
+      s"forward as-of must be the union+window shape, not a join:\n$opt")
+    val plan = planString(df)
+    assert(plan.contains("Window"), s"expected the ordered-window pass:\n$plan")
+  }
+
+  test("t13: stream-static enrichment broadcasts the dim side") {
+    val plan = planString(operators.EventTime.t13(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim join must broadcast (the stream side never shuffles):\n$plan")
+  }
+
   test("l36: representative via window min — one documents scan, no self-join") {
     val df = llm.Llm.l36(spark, sf)
     val plan = planString(df)
