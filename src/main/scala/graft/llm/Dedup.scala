@@ -574,14 +574,22 @@ object Dedup extends QueryModule {
     * collected struct list (array_sort of (seg_idx, seg) — no window, no
     * global sort). Docs whose every segment is boilerplate survive as
     * empty strings via the final left join (same in the oracle). */
-  def l34(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val segs = docs
+  /** The 8-token segment stream l34 shuffles — exposed so the
+    * ScalePatternsSpec growth law measures the SAME frame the query
+    * uses (an inline re-derivation would silently diverge if the
+    * segmentation rule changes). One row per (doc_id, seg_idx, seg);
+    * map-only. */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, CAST(ceil(size(a) / 8.0) AS INT) - 1),
           |          i -> array_join(slice(a, i * 8 + 1, 8), ' '))""".stripMargin))
         .as(Seq("seg_idx", "seg")))
+
+  def l34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val segs = segmentsOf(docs)
     val boiler = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 3)

@@ -416,8 +416,11 @@ object Pipeline extends QueryModule {
     * and join back broadcast. Pruning happens AFTER the diversity
     * aggregates, which must see all bigrams (KN counts are over the
     * unpruned table). */
-  def l37(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables.documents(spark, dir)
+  /** The (w1, w2) bigram stream l37 counts — exposed so the
+    * ScalePatternsSpec vocab-bounded growth law measures the SAME
+    * derivation the query uses. Map-only. */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
@@ -425,6 +428,9 @@ object Pipeline extends QueryModule {
           |          i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def l37(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = bigramsOf(Tables.documents(spark, dir))
     val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val cont = counts.groupBy("w2").agg(countDistinct("w1").as("n_hist"))
     val fol = counts.groupBy("w1").agg(countDistinct("w2").as("n_follow"))

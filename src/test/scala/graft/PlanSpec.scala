@@ -260,9 +260,12 @@ class PlanSpec extends SparkSuite {
       s"customer->orders must stay a left outer join:\n$opt")
     // the priority predicate belongs to the join condition (or the orders
     // side beneath it) — NEVER a post-join filter, which would drop
-    // customers whose only orders are excluded instead of counting 0
+    // customers whose only orders are excluded instead of counting 0.
+    // Tree lines are prefixed '+- '/':- ', so match the operator name
+    // anywhere after the indentation, only in the region ABOVE the join.
     val postJoinFilter = opt.linesIterator.takeWhile(!_.contains("Join LeftOuter"))
-      .exists(l => l.trim.startsWith("Filter") && l.contains("o_orderpriority"))
+      .exists(l => "^[\\s:+-]*Filter\\b".r.findFirstIn(l).isDefined
+        && l.contains("o_orderpriority"))
     assert(!postJoinFilter, s"priority predicate migrated above the outer join:\n$opt")
     assert(df.collect().nonEmpty, "q13 returned no rows at test SF")
   }

@@ -252,10 +252,10 @@ class ScalePatternsSpec extends SparkSuite {
     val d10 = Tables.documents(spark, "/root/testdata/sf0.1")
     val nRatio = d10.count().toDouble / d1.count() // 10×
     // l34's shuffled stream is one row per 8-token segment — must track
-    // corpus size (linear), since everything downstream rides that key
-    def segRows(d: org.apache.spark.sql.DataFrame): Long = d
-      .select(expr("CAST(ceil(size(split(text, ' ')) / 8.0) AS BIGINT)").as("s"))
-      .agg(sum("s")).head().getLong(0)
+    // corpus size (linear), since everything downstream rides that key;
+    // measured on the SAME frame the query shuffles (Dedup.segmentsOf)
+    def segRows(d: org.apache.spark.sql.DataFrame): Long =
+      llm.Dedup.segmentsOf(d).count()
     val (s1, s10) = (segRows(d1), segRows(d10))
     val segRatio = s10.toDouble / s1
     info(f"l34 segments: sf0.01=$s1 sf0.1=$s10 ratio=$segRatio%.1f (n ratio $nRatio%.1f)")
@@ -264,14 +264,8 @@ class ScalePatternsSpec extends SparkSuite {
     // l37's n_hist/n_follow joins are broadcast BECAUSE the count table
     // is vocab²-bounded, not corpus-sized: 10× the corpus must not grow
     // distinct bigrams materially (closed vocabulary)
-    def distinctBigrams(d: org.apache.spark.sql.DataFrame): Long = d
-      .select(split(lower(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(w) - 1),
-          |          i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))""".stripMargin))
-        .as("bg"))
-      .distinct().count()
+    def distinctBigrams(d: org.apache.spark.sql.DataFrame): Long =
+      llm.Pipeline.bigramsOf(d).distinct().count()
     val (b1, b10) = (distinctBigrams(d1), distinctBigrams(d10))
     info(s"l37 distinct bigrams: sf0.01=$b1 sf0.1=$b10")
     assert(b10 <= b1 * 2,

@@ -63,6 +63,10 @@ class TestdataContractSpec extends SparkSuite {
 
   for ((name, cols) <- contract.toSeq.sortBy(_._1)) {
     test(s"testdata contract: $name") {
+      // a NANOS-footer regeneration must surface as this spec's readable
+      // type-class diff, not as the raw PARQUET_TYPE_ILLEGAL read error
+      // (and not depend on another suite having set the conf first)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = Tables.table(spark, sf, name)
       val actual = df.schema.fields.map(f => f.name -> typeClass(f.dataType)).toMap
       val problems = cols.flatMap { case (c, ok) =>
