@@ -68,18 +68,42 @@ class TestdataContractSpec extends SparkSuite {
       // (and not depend on another suite having set the conf first)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = Tables.table(spark, sf, name)
-      val actual = df.schema.fields.map(f => f.name -> typeClass(f.dataType)).toMap
-      val problems = cols.flatMap { case (c, ok) =>
-        actual.get(c) match {
-          case None => Some(s"$name.$c MISSING (have: ${actual.keys.toSeq.sorted.mkString(", ")})")
-          case Some(tc) if !ok(tc) =>
-            Some(s"$name.$c is $tc, contract allows {${ok.mkString(", ")}}")
-          case _ => None
-        }
-      }
+      val problems = violations(name, df.schema, cols)
       assert(problems.isEmpty, "\n" + problems.mkString("\n"))
       assert(df.head(1).nonEmpty, s"$name is empty at $sf")
     }
+  }
+
+  private def violations(name: String, schema: StructType,
+      cols: Map[String, Set[String]]): Seq[String] = {
+    val actual = schema.fields.map(f => f.name -> typeClass(f.dataType)).toMap
+    cols.toSeq.flatMap { case (c, ok) =>
+      actual.get(c) match {
+        case None => Some(s"$name.$c MISSING (have: ${actual.keys.toSeq.sorted.mkString(", ")})")
+        case Some(tc) if !ok(tc) =>
+          Some(s"$name.$c is $tc, contract allows {${ok.mkString(", ")}}")
+        case _ => None
+      }
+    }
+  }
+
+  test("testdata contract: a mangled schema FAILS the check (detector is live)") {
+    val good = Tables.table(spark, sf, "events").schema
+    // regeneration accidents, in decreasing subtlety: a type flip, a
+    // rename, a dropped column
+    val flipped = StructType(good.map(f =>
+      if (f.name == "value") f.copy(dataType = StringType) else f))
+    assert(violations("events", flipped, contract("events"))
+      .exists(_.contains("events.value is string")), "type flip went undetected")
+    val renamed = StructType(good.map(f =>
+      if (f.name == "ts") f.copy(name = "event_time") else f))
+    assert(violations("events", renamed, contract("events"))
+      .exists(_.contains("events.ts MISSING")), "rename went undetected")
+    val dropped = StructType(good.filterNot(_.name == "props"))
+    assert(violations("events", dropped, contract("events"))
+      .exists(_.contains("events.props MISSING")), "dropped column went undetected")
+    // and the real schema passes the same path the mutants fail
+    assert(violations("events", good, contract("events")).isEmpty)
   }
 
   test("testdata contract: events loader derives ts_ms/event_ts either way") {
