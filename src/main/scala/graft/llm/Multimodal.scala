@@ -346,6 +346,54 @@ object Multimodal {
     feats.select(col("doc_id") +: col("media_type") +: col("n_bytes") +: fcols: _*)
       .orderBy("doc_id")
   }
+
+  // ---- perceptual hash dedup (image near-dup primitive) ---------------
+
+  final case class ImageHash(doc_id: Long, width: Long, ahash: Long)
+
+  /** 8-bit average hash over the DECODED raster: bit p = (gray of pixel
+    * p) > (corpus-standard mean byte of the image), compared in exact
+    * integer cross-multiplied form (sum3ₚ·n > 3·Σbytes) so the oracle's
+    * character arithmetic lands on identical booleans — no float
+    * thresholds. Every image has ≥ 8 pixels (w ≥ 8, h ≥ 1). Real
+    * pHash/dHash swap in a DCT / gradient over the same decoded-raster
+    * plumbing; the DATAFLOW (partition-local decode → tiny hash row per
+    * image → hash-key aggregate) is the production shape. */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (!r.media_type.startsWith("image/")) None
+        else decodePpm(r.payload).map { img =>
+          val raster = img.raster
+          val n = raster.length.toLong
+          var total = 0L
+          var i = 0
+          while (i < raster.length) { total += (raster(i) & 0xff); i += 1 }
+          var bits = 0L
+          var p = 0
+          while (p < 8) {
+            val s3 = (raster(3 * p) & 0xff).toLong +
+              (raster(3 * p + 1) & 0xff) + (raster(3 * p + 2) & 0xff)
+            if (s3 * n > 3L * total) bits |= (1L << p)
+            p += 1
+          }
+          ImageHash(r.doc_id, img.width.toLong, bits)
+        }
+      }
+    }
+  }
+
+  /** m05: perceptual-duplicate clusters — group identical average-hashes
+    * within a width class (the image-space analogue of l01's content
+    * hash; the hamming-radius>0 variant feeds these hash rows into l02's
+    * banded join instead). Decode is partition-local; only the 3-column
+    * hash row ever shuffles. */
+  def m05(spark: SparkSession, dir: String): DataFrame =
+    imageAHash(containerTable(spark, dir)).toDF()
+      .groupBy("width", "ahash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("keep_id"))
+      .orderBy("width", "ahash")
 }
 
 object MultimodalQueries extends QueryModule {
@@ -353,7 +401,8 @@ object MultimodalQueries extends QueryModule {
     "m01_multimodal_decode" -> (Multimodal.m01 _),
     "m02_frame_sample" -> (Multimodal.m02 _),
     "m03_resize" -> (Multimodal.m03 _),
-    "m04_media_features" -> (Multimodal.m04 _))
+    "m04_media_features" -> (Multimodal.m04 _),
+    "m05_image_phash" -> (Multimodal.m05 _))
 
   // m01's oracle recomputes every decoded feature straight from the
   // SOURCE text, independently of the container bytes — the corpus is
@@ -363,6 +412,33 @@ object MultimodalQueries extends QueryModule {
   // arithmetic the same way (md5(substr(text,..)) == JVM md5 of the
   // byte slice).
   val oracles: Map[String, String] = Map(
+    // m05: the 8-bit aHash replayed from SOURCE characters — bit p uses
+    // the exact cross-multiplied integer compare (sum3·n > 3·total) the
+    // JVM path evaluates on decoded raster bytes; padding beyond the
+    // text length is zero bytes on both sides
+    "m05_image_phash" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, 8 + doc_id % 8 AS w, length(text) AS len,
+        |         3*(8 + doc_id % 8)*greatest(1, length(text) // (3*(8 + doc_id % 8))) AS n
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |h AS (
+        |  SELECT doc_id, w, n, least(len, n) AS m,
+        |         coalesce(list_sum(list_transform(range(1, least(len, n) + 1),
+        |             i -> ascii(substr(text, i, 1)))), 0) AS total,
+        |         text
+        |  FROM g),
+        |a AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |         CAST(coalesce(list_sum(list_transform(range(0, 8), p ->
+        |           CASE WHEN
+        |             ((CASE WHEN 3*p+1 <= m THEN ascii(substr(text, 3*p+1, 1)) ELSE 0 END)
+        |             +(CASE WHEN 3*p+2 <= m THEN ascii(substr(text, 3*p+2, 1)) ELSE 0 END)
+        |             +(CASE WHEN 3*p+3 <= m THEN ascii(substr(text, 3*p+3, 1)) ELSE 0 END)) * n
+        |               > 3*total
+        |           THEN 1 << p ELSE 0 END)), 0) AS BIGINT) AS ahash
+        |  FROM h)
+        |SELECT width, ahash, COUNT(*) AS n_images, MIN(doc_id) AS keep_id
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m01_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  8 + doc_id % 8 AS w

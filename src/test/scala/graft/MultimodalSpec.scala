@@ -98,6 +98,29 @@ class MultimodalSpec extends SparkSuite {
       | 'e'.toLong << 32 | 'f'.toLong << 40 | 'g'.toLong << 48 | 'h'.toLong << 56))
   }
 
+  test("m05: aHash is identical for identical rasters, in range, and locally recomputable") {
+    import spark.implicits._
+    val px = Array.tabulate(3 * 8 * 2)(i => ((i * 37 + 11) % 251).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image/ppm", Multimodal.encodePpm(8, 2, px)),
+      Multimodal.MediaRow(2L, "image/ppm", Multimodal.encodePpm(8, 2, px.clone())),
+      Multimodal.MediaRow(4L, "image/ppm", Multimodal.encodePpm(8, 2,
+        px.clone().updated(0, (px(0) ^ 0x7f).toByte))),
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.encodeWav(8000, px)))
+    val out = Multimodal.imageAHash(rows.toDS()).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq === Seq(0L, 2L, 4L), "wav row must not hash")
+    assert(out(0).ahash === out(1).ahash, "identical rasters must collide")
+    assert(out.forall(h => h.ahash >= 0 && h.ahash <= 255), "8-bit hash range")
+    // local recompute of the integer cross-multiplied bits
+    val n = px.length.toLong
+    val total = px.map(_ & 0xff).map(_.toLong).sum
+    val expected = (0 until 8).map { p =>
+      val s3 = (px(3 * p) & 0xff).toLong + (px(3 * p + 1) & 0xff) + (px(3 * p + 2) & 0xff)
+      if (s3 * n > 3L * total) 1L << p else 0L
+    }.sum
+    assert(out(0).ahash === expected, "hash diverged from the definition")
+  }
+
   test("m02: frame sampling is shuffle-free and matches fixed vectors") {
     import spark.implicits._
     val plan = Multimodal.frameSample(Multimodal.mediaTable(spark, sf))
