@@ -352,7 +352,23 @@ object Scans extends QueryModule {
       .orderBy(col("k").asc_nulls_first)
   }
 
+  /** p09: OUTER generator — explode_outer preserves rows whose array is
+    * empty as a single NULL row (plain explode silently DROPS them: a
+    * "tokens per doc" fan-out that loses token-free documents corrupts
+    * every downstream per-doc aggregate). 104 of 500 docs at sf0.001
+    * have no >7-char token, so the outer/inner difference is a fifth of
+    * the corpus, not an edge case. NULL sort order is pinned explicitly
+    * (asc_nulls_first / NULLS FIRST) — Spark and DuckDB DEFAULTS differ
+    * (nulls first vs last). Map-only at any scale. */
+  def p09(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 7)").as("arr"))
+      .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_explode_outer" -> p09,
     "p08_null_semantics" -> p08,
     "p07_casts" -> p07,
     "s01_scan_parquet" -> s01,
@@ -382,6 +398,14 @@ object Scans extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "p09_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '),
+        |                              t -> length(t) > 7) AS arr
+        |           FROM documents)
+        |SELECT doc_id, u.tok
+        |FROM t LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE
+        |ORDER BY doc_id, tok NULLS FIRST""".stripMargin,
     "p08_null_semantics" ->
       """WITH f AS (
         |  SELECT o_orderkey,
