@@ -28,6 +28,8 @@ object SparkEntry {
     llm.MultimodalQueries,
     llm.MinHashLshMl,
     llm.Semantic,
+    llm.Spans,
+    llm.Quantize,
     odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

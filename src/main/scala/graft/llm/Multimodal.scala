@@ -384,6 +384,63 @@ object Multimodal {
     }
   }
 
+  // ---- audio fingerprint (audio near-dup primitive) -------------------
+
+  final case class AudioFp(doc_id: Long, b1: Long, b2: Long, dt: Long)
+
+  /** Energy-window size (samples) for the audio fingerprint. */
+  val FpWindow = 32
+
+  /** Shazam-style landmark pairs over the DECODED PCM stream: the sample
+    * stream is cut into fixed 32-sample windows, each window's energy is
+    * its exact integer byte sum, a window is a LANDMARK when its energy
+    * strictly exceeds both neighbors (interior strict local max — no
+    * float thresholds), and each consecutive landmark pair emits the
+    * fingerprint (energy₁ bucket, energy₂ bucket, Δwindows) — the
+    * (f1, f2, Δt) constellation hash of the published scheme with the
+    * spectral peak swapped for an energy peak (a real FFT needs no new
+    * dataflow: same windows, same landmarks, same pairs). Buckets are
+    * energy div 256 (energy ≤ 32·255, so 32 buckets). All integer
+    * arithmetic → the oracle replays it from source characters. */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (!r.media_type.startsWith("audio/")) Iterator.empty
+        else decodeWav(r.payload) match {
+          case None => Iterator.empty
+          case Some(wav) =>
+            val s = wav.samples
+            val nw = s.length / FpWindow
+            val e = Array.tabulate(nw) { k =>
+              var sum = 0L; var i = k * FpWindow
+              while (i < (k + 1) * FpWindow) { sum += (s(i) & 0xff); i += 1 }
+              sum
+            }
+            val peaks = (1 until math.max(nw - 1, 1))
+              .filter(k => e(k) > e(k - 1) && e(k) > e(k + 1))
+            peaks.sliding(2).collect { case Seq(k1, k2) =>
+              AudioFp(r.doc_id, e(k1) / 256, e(k2) / 256, (k2 - k1).toLong)
+            }
+        }
+      }
+    }
+  }
+
+  /** m06: audio near-duplicate clusters — group identical landmark-pair
+    * fingerprints across the corpus (the audio-space analogue of m05's
+    * image hash: decode partition-local, only the 4-column fingerprint
+    * row shuffles; matching tracks share many (b1,b2,dt) keys, so the
+    * count-distinct-docs aggregate is the candidate generator a
+    * verify-stage would re-score). */
+  def m06(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprints(containerTable(spark, dir)).toDF()
+      .groupBy("b1", "b2", "dt")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_id"))
+      .orderBy("b1", "b2", "dt")
+
   /** m05: perceptual-duplicate clusters — group identical average-hashes
     * within a width class (the image-space analogue of l01's content
     * hash; the hamming-radius>0 variant feeds these hash rows into l02's
@@ -402,7 +459,8 @@ object MultimodalQueries extends QueryModule {
     "m02_frame_sample" -> (Multimodal.m02 _),
     "m03_resize" -> (Multimodal.m03 _),
     "m04_media_features" -> (Multimodal.m04 _),
-    "m05_image_phash" -> (Multimodal.m05 _))
+    "m05_image_phash" -> (Multimodal.m05 _),
+    "m06_audio_fingerprint" -> (Multimodal.m06 _))
 
   // m01's oracle recomputes every decoded feature straight from the
   // SOURCE text, independently of the container bytes — the corpus is
@@ -439,6 +497,39 @@ object MultimodalQueries extends QueryModule {
         |  FROM h)
         |SELECT width, ahash, COUNT(*) AS n_images, MIN(doc_id) AS keep_id
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m06: landmark pairs replayed from SOURCE characters — the WAV data
+    // chunk is the text bytes verbatim, so window k's energy is the ascii
+    // sum of chars [k·32+1, k·32+32]; strict-interior peaks via lag/lead
+    // null checks; consecutive-peak pairing via lead over the peak rows.
+    // list_sum yields HUGEINT in DuckDB → every surfaced integer is
+    // CAST to BIGINT (the q12 lesson).
+    "m06_audio_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) // ${Multimodal.FpWindow} AS nw
+         |           FROM documents WHERE doc_id % 2 <> 0),
+         |wins AS (
+         |  SELECT doc_id, k,
+         |         list_sum(list_transform(
+         |           range(k * ${Multimodal.FpWindow} + 1, k * ${Multimodal.FpWindow} + ${Multimodal.FpWindow + 1}),
+         |           i -> ascii(substr(text, CAST(i AS BIGINT), 1)))) AS e
+         |  FROM d, LATERAL (SELECT unnest(range(0, nw)) AS k) t),
+         |peaks AS (
+         |  SELECT doc_id, k, e FROM (
+         |    SELECT doc_id, k, e,
+         |           lag(e)  OVER (PARTITION BY doc_id ORDER BY k) AS ep,
+         |           lead(e) OVER (PARTITION BY doc_id ORDER BY k) AS en
+         |    FROM wins) w
+         |  WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e > en),
+         |pairs AS (
+         |  SELECT doc_id, e // 256 AS b1,
+         |         lead(e) OVER pw // 256 AS b2,
+         |         lead(k) OVER pw - k AS dt
+         |  FROM peaks WINDOW pw AS (PARTITION BY doc_id ORDER BY k))
+         |SELECT CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+         |       CAST(dt AS BIGINT) AS dt,
+         |       COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs,
+         |       MIN(doc_id) AS keep_id
+         |FROM pairs WHERE b2 IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "m01_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  8 + doc_id % 8 AS w

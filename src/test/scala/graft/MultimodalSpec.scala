@@ -162,6 +162,39 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("m06: audio fingerprints match a driver-side recompute; landmark pairs are never adjacent") {
+    // independent recompute of the landmark pairs straight from text
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 2 != 0)
+      .map(r => r.getLong(0) -> r.getString(1))
+    val w = Multimodal.FpWindow
+    val expected = texts.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val nw = bytes.length / w
+      val e = Array.tabulate(nw)(k =>
+        (k * w until (k + 1) * w).map(i => (bytes(i) & 0xff).toLong).sum)
+      val peaks = (1 until math.max(nw - 1, 1))
+        .filter(k => e(k) > e(k - 1) && e(k) > e(k + 1))
+      peaks.zip(peaks.drop(1)).map { case (k1, k2) =>
+        (e(k1) / 256, e(k2) / 256, (k2 - k1).toLong, id)
+      }
+    }
+    val expGroups = expected.groupBy { case (b1, b2, dt, _) => (b1, b2, dt) }
+      .map { case (key, xs) =>
+        key -> ((xs.length.toLong, xs.map(_._4).distinct.length.toLong, xs.map(_._4).min))
+      }
+    val got = Multimodal.m06(spark, sf).collect()
+    assert(got.length === expGroups.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(expGroups(key) === ((r.getLong(3), r.getLong(4), r.getLong(5))), s"fp $key")
+      // two strict local maxima can never sit in adjacent windows
+      assert(r.getLong(2) >= 2L, "landmark pair delta must be >= 2")
+    }
+    // the corpus's duplicated docs must collide on fingerprints
+    assert(got.exists(_.getLong(4) > 1), "some fingerprint shared across docs")
+  }
+
   test("x02: Welford typed UDAF matches built-in avg/var_samp") {
     Welford.register(spark)
     Tables.lineitem(spark, sf).createOrReplaceTempView("graft_x02_li")
