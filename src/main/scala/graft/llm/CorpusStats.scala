@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Session-scoped memo for the corpus-size probes that right-size the
+  * scaled dedup parameters (scaledSimBandBits / scaledPlanes / scaledK).
+  *
+  * Each probe is one tiny count() job, but a library caller composing
+  * several dedup stages over the SAME input frame (l02c + l02d + l02e in
+  * one curation pass is the normal shape) would otherwise rescan the
+  * corpus once per stage. Keyed by the NORMALIZED logical plan — the
+  * same key Spark's own plan cache uses — so the same source frame hits
+  * the memo regardless of which stage built the DataFrame object, while
+  * different inputs (other SF dirs, filtered frames) miss it.
+  *
+  * The memo deliberately trades freshness for scan count: parameter
+  * derivation tolerates a stale n (band width moves by whole bits per
+  * ~2× corpus growth), so re-reading a mutated path mid-session is not a
+  * correctness concern. Entries are a (plan, Long) pair per distinct
+  * input frame — bounded by the handful of corpora a session touches.
+  */
+object CorpusStats {
+  // sameResult (what CacheManager itself uses for cache lookups), not
+  // plan equality: two spark.read.parquet(path) calls build distinct
+  // relation objects that only semantic comparison identifies. The list
+  // stays a handful of entries, so the linear scan is free.
+  private val memo = new java.util.concurrent.CopyOnWriteArrayList[(LogicalPlan, Long)]()
+
+  /** df.count(), memoized per semantically-equal normalized plan. */
+  def n(df: DataFrame): Long = {
+    val key = df.queryExecution.normalized
+    val it = memo.iterator()
+    while (it.hasNext) {
+      val (p, v) = it.next()
+      if (p.sameResult(key)) return v
+    }
+    val v = df.count()
+    memo.add((key, v))
+    v
+  }
+
+  /** Test hook: drop all memoized sizes. */
+  private[graft] def clear(): Unit = memo.clear()
+}

@@ -137,7 +137,7 @@ object Dedup extends QueryModule {
     * simBits/8, the fixture's 6-of-48 ratio. */
   def simHashNearDupPairsScaled(docs: DataFrame, nBands: Int = 4,
       target: Long = 1L, bucketCap: Int = Llm.BandBucketCap): DataFrame = {
-    val bandBits = scaledSimBandBits(docs.count(), nBands, target)
+    val bandBits = scaledSimBandBits(CorpusStats.n(docs), nBands, target)
     val maxHamming = nBands * bandBits / 8
     val fp = simHashBandArrays(docs, nBands, bandBits)
     val bands = Llm.capBuckets(
@@ -352,10 +352,12 @@ object Dedup extends QueryModule {
   /** The scale path: plane count derived from the corpus size so the
     * candidate-pair join stays linear in n (one count() job up front —
     * at 100 TB that's a metadata-cheap scan next to the pair join it
-    * right-sizes). */
+    * right-sizes — memoized per input frame by CorpusStats, so a
+    * composed curation pass probes each corpus once, not once per
+    * stage). */
   def embedNearDupPairsScaled(emb: DataFrame, cosMin: Double = CosMin,
       targetBucket: Long = 16L): DataFrame =
-    embedNearDupPairs(emb, scaledPlanes(emb.count(), targetBucket), cosMin)
+    embedNearDupPairs(emb, scaledPlanes(CorpusStats.n(emb), targetBucket), cosMin)
 
   /** Σ |bucket|·(|bucket|−1)/2 over the sig buckets — the exact number of
     * candidate pairs the same-sig join generates, computed from bucket
@@ -489,7 +491,7 @@ object Dedup extends QueryModule {
     val embC = emb.select("vec_id", "embedding").cache()
     // k ≤ 0 → corpus-scaled: clusters grow with the data so per-cluster
     // work (SemDeDup pairs, IVF list scans) stays bounded
-    val k0 = if (k > 0) k else scaledK(embC.count())
+    val k0 = if (k > 0) k else scaledK(CorpusStats.n(embC))
     val init = embC.filter(col("vec_id").between(1, k0))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         lit(Long.MaxValue).as("moved_micro"))
