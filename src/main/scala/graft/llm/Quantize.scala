@@ -79,10 +79,116 @@ object Quantize extends QueryModule {
       .orderBy("probe_id", "rk")
   }
 
+  // ---- l40: product quantization (PQ encode + ADC search) -------------
+
+  /** Subspace count × per-subspace dims = 8 × 8 = the 64-dim embedding. */
+  val SubSpaces = 8
+  val SubDim = 8
+
+  /** Centroids per subspace (4-bit codes). Seeded deterministically as
+    * the subvectors of vec_id 1..16 — the l26 seeding rule, so the
+    * oracle replays the codebook bit-for-bit; kmeansFit's fitted
+    * centroids slot into the same encode path for quality. */
+  val PqK = 16
+
+  /** Integer micro-unit L2² between subvector m of `v` and of centroid
+    * `c` (both SQL lambda variables): each squared-difference term is
+    * individually rounded to 1e-9 units and the 8 terms sum as BIGINTs —
+    * order-independent and engine-portable, the l26 determinism pattern
+    * (embedding values are < 0.6 in magnitude, so a term is < 1.5e9 and
+    * the 8-term sum is far inside Long). */
+  private def subDistUnits(v: String, c: String, m: String): String =
+    s"""aggregate(sequence(1, $SubDim), CAST(0 AS BIGINT), (acc, d) ->
+       |  acc + CAST(round(
+       |    (CAST(element_at($v, $m * $SubDim + d) AS DOUBLE)
+       |       - CAST(element_at($c, $m * $SubDim + d) AS DOUBLE))
+       |    * (CAST(element_at($v, $m * $SubDim + d) AS DOUBLE)
+       |       - CAST(element_at($c, $m * $SubDim + d) AS DOUBLE))
+       |    * 1000000000.0D) AS BIGINT))""".stripMargin
+
+  /** dists: array[SubSpaces] of array[PqK] of integer micro-unit L2²
+    * against every centroid — the per-row distance table both the
+    * encoder (argmin) and the probe's ADC lookup table derive from. */
+  private def distsExpr: String =
+    s"""transform(sequence(0, ${SubSpaces - 1}), m ->
+       |  transform(cents, c -> ${subDistUnits("embedding", "c", "m")}))""".stripMargin
+
+  /** l40: PQ-encode the embedding corpus and rank it by asymmetric
+    * distance to the probe (vec_id 0).
+    *
+    * Encode: per subspace, code = 1-based index of the nearest centroid
+    * (first-minimum tie-break via array_position — exact integer
+    * comparison, no float argmin). 8 codes × 4 bits = a 64-dim float
+    * vector stored in 8 bytes, the 32× compression that makes a 100 TB
+    * vector corpus searchable from memory.
+    *
+    * Search (ADC): the probe computes its own 8×16 lookup table of
+    * subspace distances ONCE (map-side, inside the broadcast row);
+    * each corpus vector's approximate distance is then 8 integer table
+    * lookups summed — no float math per candidate, which is exactly why
+    * PQ scan throughput beats exact scan at scale. Codebook and probe
+    * table ride one broadcast; the scan is map-only; the only ordering
+    * is the final output sort.
+    */
+  def l40(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id").between(1, PqK))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, embedding))), s -> s.embedding)")
+        .as("cents"))
+    val enc = emb.crossJoin(broadcast(cents))
+      .withColumn("dists", expr(distsExpr))
+      .withColumn("codes", expr(
+        "transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))"))
+    val probeLt = enc.filter(col("vec_id") === 0)
+      .select(col("dists").as("lt"))
+    enc.crossJoin(broadcast(probeLt))
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, x -> CAST(x AS STRING)), '-')").as("pq_code"),
+        expr(
+          s"""aggregate(sequence(0, ${SubSpaces - 1}), CAST(0 AS BIGINT), (acc, m) ->
+             |  acc + element_at(element_at(lt, m + 1), element_at(codes, m + 1)))""".stripMargin)
+          .as("adist"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "l39_quantize_embed" -> l39)
+    "l39_quantize_embed" -> l39,
+    "l40_pq_encode" -> l40)
+
+  /** DuckDB image of subDistUnits (1-based list indexing; same term
+    * shape, same per-term rounding, integer sum pinned to BIGINT). */
+  private def duckSubDist(v: String, c: String, m: String): String =
+    s"""CAST(list_sum(list_transform(range(1, ${SubDim + 1}), d ->
+       |  CAST(round(
+       |    (CAST($v[CAST($m * $SubDim + d AS BIGINT)] AS DOUBLE)
+       |       - CAST($c[CAST($m * $SubDim + d AS BIGINT)] AS DOUBLE))
+       |    * (CAST($v[CAST($m * $SubDim + d AS BIGINT)] AS DOUBLE)
+       |       - CAST($c[CAST($m * $SubDim + d AS BIGINT)] AS DOUBLE))
+       |    * 1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "l40_pq_encode" ->
+      s"""WITH cb AS (SELECT list(embedding ORDER BY vec_id) AS cents
+         |            FROM embeddings WHERE vec_id BETWEEN 1 AND $PqK),
+         |enc AS (
+         |  SELECT vec_id,
+         |         list_transform(range(0, $SubSpaces), m ->
+         |           list_transform(cents, c -> ${duckSubDist("embedding", "c", "m")})) AS dists
+         |  FROM embeddings CROSS JOIN cb),
+         |coded AS (
+         |  SELECT vec_id, dists,
+         |         list_transform(dists, ds ->
+         |           CAST(list_position(ds, list_min(ds)) AS INT)) AS codes
+         |  FROM enc),
+         |plt AS (SELECT dists AS lt FROM enc WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |       array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), '-') AS pq_code,
+         |       CAST(list_sum(list_transform(range(0, $SubSpaces), m ->
+         |         lt[CAST(m + 1 AS BIGINT)][CAST(codes[CAST(m + 1 AS BIGINT)] AS BIGINT)]))
+         |         AS BIGINT) AS adist
+         |FROM coded c CROSS JOIN plt
+         |ORDER BY c.vec_id""".stripMargin,
     "l39_quantize_embed" ->
       s"""WITH b AS (
          |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mnd,

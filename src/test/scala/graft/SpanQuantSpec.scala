@@ -90,6 +90,39 @@ class SpanQuantSpec extends SparkSuite {
     assert(out.getInt(0) >= 0 && out.getInt(1) <= 254)
   }
 
+  test("l40: PQ codes/ADC match a driver-side recompute; codebook vectors self-code") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = rows.toMap
+    val cents = (1 to Quantize.PqK).map(c => byId(c.toLong))
+    def subDist(v: Array[Float], c: Array[Float], m: Int): Long =
+      (1 to Quantize.SubDim).map { d =>
+        val diff = v(m * Quantize.SubDim + d - 1).toDouble -
+          c(m * Quantize.SubDim + d - 1).toDouble
+        math.round(diff * diff * 1e9)
+      }.sum
+    def distRow(v: Array[Float]): Array[Array[Long]] =
+      Array.tabulate(Quantize.SubSpaces)(m => cents.map(c => subDist(v, c, m)).toArray)
+    def codesOf(v: Array[Float]): Array[Int] =
+      distRow(v).map(ds => ds.indexOf(ds.min) + 1)
+    val lt = distRow(byId(0L))
+    val expected = rows.map { case (id, v) =>
+      val cs = codesOf(v)
+      (id, cs.mkString("-"),
+        cs.zipWithIndex.map { case (c, m) => lt(m)(c - 1) }.sum)
+    }.sortBy(_._1)
+    val got = Quantize.l40(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    // a codebook seed vector's nearest centroid in every subspace is
+    // itself (exact zero distance), so its code is its own index
+    (1 to Quantize.PqK).foreach { c =>
+      val code = got(got.indexWhere(_._1 == c.toLong))._2
+      assert(code === Array.fill(Quantize.SubSpaces)(c).mkString("-"), s"centroid $c")
+    }
+  }
+
   test("l39/l38 plans: bounds and probes broadcast; span shuffle carries the hash") {
     val qplan = Quantize.l39(spark, sf).queryExecution.executedPlan.toString
     assert(qplan.contains("BroadcastNestedLoopJoin") || qplan.contains("BroadcastExchange"),
