@@ -166,11 +166,67 @@ object Graph extends QueryModule {
     out
   }
 
+  /** Per-supplier part-list cap for g03. Uncapped, co-occurrence pair
+    * work is Σ deg²/2 — 175M pairs at sf0.1 already (measured), and
+    * quadratic in the densest key at 100 TB. 32 keeps per-key pair work
+    * ≤ 496 while the synthetic degree distribution (~600 max) still
+    * yields overlap structure. */
+  val CoocCap = 32
+
+  /** g03: common-neighbor counting (part pairs sharing suppliers) — the
+    * link-prediction / co-occurrence primitive, and the canonical
+    * skew-killer shape: the per-key neighbor list is CAPPED to a
+    * deterministic ranked sample (lowest `CoocCap` partkeys, the o05
+    * pattern) BEFORE any pairing, so the hottest supplier contributes
+    * O(C²) pairs, not O(deg²). Pairs are generated from the ≤C-element
+    * collected array by a nested transform — map-side, no self-join, no
+    * second scan of the edge list; the only shuffles are the edge
+    * distinct (supplier key) and the pair-key count. At 100 TB the same
+    * plan holds: bounded arrays bound both memory and pair fan-out, and
+    * the dropped-tail mass is auditable by comparing capped degree
+    * against the full degree (l02's bucket-audit pattern). */
+  def g03(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
+    val capped = edges
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CoocCap)
+    capped.groupBy("s")
+      .agg(sort_array(collect_list(col("p"))).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(a) - 1), i ->
+          |  transform(slice(a, i + 1, size(a) - i), y ->
+          |    struct(element_at(a, i) AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .orderBy("p1", "p2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank_step" -> g01,
-    "g02_pagerank_iter3" -> g02)
+    "g02_pagerank_iter3" -> g02,
+    "g03_common_neighbors" -> g03)
 
   val oracles: Map[String, String] = Map(
+    // g03's oracle pairs via self-join (DuckDB has no bounded-array
+    // pairing); the CAP (rank-by-partkey ≤ 32 per supplier) is mirrored
+    // exactly, so semantics match even though mechanics differ
+    "g03_common_neighbors" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         |c AS (SELECT s, p FROM (
+         |        SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY p) AS rn
+         |        FROM e) t
+         |      WHERE rn <= $CoocCap),
+         |pr AS (SELECT a.p AS p1, b.p AS p2
+         |       FROM c a JOIN c b ON a.s = b.s AND a.p < b.p)
+         |SELECT p1, p2, COUNT(*) AS n_common
+         |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY p1, p2""".stripMargin,
     "g02_pagerank_iter3" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |dir2 AS (

@@ -18,6 +18,31 @@ class GraphSpec extends SparkSuite {
     assert(sMean.sum / sMean.size > pMean.sum / pMean.size)
   }
 
+  test("g03: capped co-occurrence matches a naive recompute; pairing is join-free") {
+    // independent recompute: full edge set, cap per supplier, pair, count
+    val edges = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val parts = es.map(_._2).sorted.take(operators.Graph.CoocCap)
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).collect { case (pair, xs) if xs.size >= 2 =>
+      (pair._1, pair._2, xs.size.toLong)
+    }.toSeq.sorted
+    val got = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the hottest key contributes bounded pair work: per-supplier pair
+    // fan-out never exceeds C·(C-1)/2 regardless of true degree
+    val cap = operators.Graph.CoocCap.toLong
+    val maxDeg = edges.groupBy(_._1).values.map(_.size).max
+    assert(maxDeg > cap, "fixture must actually exercise the cap")
+    // pair generation is array-local: no Join operator in the plan
+    val plan = operators.Graph.g03(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pairing must not self-join:\n$plan")
+  }
+
   test("h05 compaction: tombstoned keys vanish, survivors carry their latest row") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts_ms").collect()
