@@ -133,6 +133,39 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), min("shuffle_key").as("first_key"))
       .orderBy("source", "epoch")
 
+  /** l41: quality-weighted resampling with stochastic rounding — the soft
+    * counterpart of l18's hard gate and the per-DOCUMENT refinement of
+    * l17's per-source epochs (the FineWeb/DCLM move: each document gets a
+    * fractional target weight from its quality features; low-quality text
+    * is downsampled, high-quality text repeats). Weight is kept in
+    * QUARTER-copy integer units (2..8 quarters = 0.5..2.0 copies) derived
+    * from integer feature thresholds (uniq%, length, stopword%), and the
+    * fractional remainder rounds stochastically via an exact integer
+    * compare against a seeded md5 uniform — n_copies = wq div 4 + [u4 <
+    * wq mod 4]. E[copies] = wq/4 per doc, yet every run, partitioning,
+    * and engine derives the identical sample (no floats anywhere).
+    * Map-only: threshold features, hash, sequence-explode — the whole op
+    * rides the first pass over raw text, zero shuffles before the
+    * deterministic ORDER BY. */
+  def l41(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("uniq_pct", expr("100 * size(array_distinct(toks)) div n_tok"))
+      .withColumn("stop_pct", expr(
+        "100 * size(filter(toks, t -> t IN ('a', 'the'))) div n_tok"))
+      .withColumn("wq", expr(
+        "2 + IF(uniq_pct >= 60, 2, 0) + IF(n_tok >= 40, 2, 0) + IF(stop_pct >= 8, 2, 0)"))
+      .withColumn("u4", expr(
+        "CAST(conv(substr(md5(concat('rs:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"))
+      .withColumn("n_copies", expr("wq div 4 + IF(u4 < wq % 4, 1, 0)"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("wq").cast("long").as("wq"),
+        col("n_copies").cast("long").as("n_copies"),
+        explode(expr("sequence(1, n_copies)")).as("copy_idx"))
+      .withColumn("copy_idx", col("copy_idx").cast("long"))
+      .orderBy("doc_id", "copy_idx")
+
   /** l18: rule-based quality gate (Gopher-style hard filters): word count
     * in [5, 5000], mean word length in [2, 12], digit fraction <= 0.2,
     * symbol fraction <= 0.05. Emits the per-rule verdicts plus the
@@ -450,6 +483,7 @@ object Pipeline extends QueryModule {
     "l14_decontaminate" -> l14,
     "l15_pack_sequences" -> l15,
     "l16_sample_stratified" -> l16,
+    "l41_quality_resample" -> l41,
     "l17_mix_weighted" -> l17,
     "l18_quality_gate" -> l18,
     "l19_curation_e2e" -> l19,
@@ -595,6 +629,29 @@ object Pipeline extends QueryModule {
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |       floor(CAST(SUM(n_tok) AS BIGINT) / 2048.0 * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
         |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin,
+    "l41_quality_resample" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |         100 * len(list_distinct(toks)) // len(toks) AS uniq_pct,
+        |         100 * len(list_filter(toks, t -> t IN ('a', 'the'))) // len(toks) AS stop_pct
+        |  FROM f),
+        |wq AS (
+        |  SELECT doc_id,
+        |         2 + (CASE WHEN uniq_pct >= 60 THEN 2 ELSE 0 END)
+        |           + (CASE WHEN n_tok >= 40 THEN 2 ELSE 0 END)
+        |           + (CASE WHEN stop_pct >= 8 THEN 2 ELSE 0 END) AS wq,
+        |         CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS u4
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(wq AS BIGINT) AS wq,
+        |         CAST(wq // 4 + (CASE WHEN u4 < wq % 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |  FROM wq)
+        |SELECT doc_id, wq, n_copies, CAST(ci AS BIGINT) AS copy_idx
+        |FROM c, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS ci) t
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "l16_sample_stratified" ->
       """WITH t AS (
         |  SELECT lang,

@@ -86,4 +86,30 @@ class PipelineSpec extends SparkSuite {
     assert(out.filter(
       col("keep") =!= (col("r_len") * col("r_wlen") * col("r_digit") * col("r_sym"))).count() == 0)
   }
+
+  test("l41: stochastic-rounded copies match a driver-side recompute; both tails fire") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = texts.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split(" ")
+      val n = toks.length
+      val uniqPct = 100 * toks.distinct.length / n
+      val stopPct = 100 * toks.count(w => w == "a" || w == "the") / n
+      val wq = 2 + (if (uniqPct >= 60) 2 else 0) + (if (n >= 40) 2 else 0) +
+        (if (stopPct >= 8) 2 else 0)
+      val u4 = java.lang.Long.parseLong(md5Hex(s"rs:$id").take(15), 16) % 4
+      val copies = wq / 4 + (if (u4 < wq % 4) 1 else 0)
+      (1 to copies).map(ci => (id, wq.toLong, copies.toLong, ci.toLong))
+    }.sortBy(x => (x._1, x._4))
+    val got = llm.Pipeline.l41(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    // expectation math only holds if both rounding tails occur
+    val perDoc = expected.groupBy(_._1).map(_._2.head._3)
+    assert(perDoc.exists(_ == 2L), "some doc must upsample to 2 copies")
+    assert(texts.size > perDoc.size, "some doc must drop to 0 copies")
+  }
 }
