@@ -384,6 +384,49 @@ object Multimodal {
     }
   }
 
+  // ---- scene-cut detection (video stand-in) ---------------------------
+
+  final case class SceneCut(doc_id: Long, frame_idx: Long, e_prev: Long, e_cur: Long)
+
+  /** Energy jump (integer) that marks a scene boundary. */
+  val CutThreshold = 256L
+
+  /** m07: scene-change detection over m02's frame stream — a cut is a
+    * frame whose integer energy (byte sum, partial tail frame included)
+    * jumps by more than CutThreshold against its predecessor. This is
+    * the keyframe-selection stage of a video curation pipeline (sample
+    * ONE frame per detected scene instead of m02's uniform K): the
+    * per-payload scan is partition-local and streaming (two frame
+    * energies of state, never the decoded video), a real histogram-diff
+    * detector swaps into the same per-frame fold. Emits one row per cut
+    * with both energies — downstream keyframe sampling keys off
+    * (doc_id, frame_idx). */
+  def sceneCuts(media: Dataset[MediaRow]): Dataset[SceneCut] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nf = (n + FrameSize - 1) / FrameSize
+        var prev = -1L
+        (0 until nf).iterator.flatMap { k =>
+          val end = math.min((k + 1) * FrameSize, n)
+          var e = 0L
+          var i = k * FrameSize
+          while (i < end) { e += (r.payload(i) & 0xff); i += 1 }
+          val cut =
+            if (k > 0 && math.abs(e - prev) > CutThreshold)
+              Some(SceneCut(r.doc_id, k.toLong, prev, e))
+            else None
+          prev = e
+          cut
+        }
+      }
+    }
+  }
+
+  def m07(spark: SparkSession, dir: String): DataFrame =
+    sceneCuts(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+
   // ---- audio fingerprint (audio near-dup primitive) -------------------
 
   final case class AudioFp(doc_id: Long, b1: Long, b2: Long, dt: Long)
@@ -460,7 +503,8 @@ object MultimodalQueries extends QueryModule {
     "m03_resize" -> (Multimodal.m03 _),
     "m04_media_features" -> (Multimodal.m04 _),
     "m05_image_phash" -> (Multimodal.m05 _),
-    "m06_audio_fingerprint" -> (Multimodal.m06 _))
+    "m06_audio_fingerprint" -> (Multimodal.m06 _),
+    "m07_scene_cuts" -> (Multimodal.m07 _))
 
   // m01's oracle recomputes every decoded feature straight from the
   // SOURCE text, independently of the container bytes — the corpus is
@@ -497,6 +541,26 @@ object MultimodalQueries extends QueryModule {
         |  FROM h)
         |SELECT width, ahash, COUNT(*) AS n_images, MIN(doc_id) AS keep_id
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m07: frame energies replayed from source characters (mediaTable's
+    // payload is the text bytes); partial tail frame included via the
+    // least() bound, exactly as the JVM fold clamps its end index
+    "m07_scene_cuts" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             CAST(ceil(length(text) / ${Multimodal.FrameSize}.0) AS BIGINT) AS nf
+         |           FROM documents),
+         |wins AS (
+         |  SELECT doc_id, k,
+         |         CAST(list_sum(list_transform(
+         |           range(k * ${Multimodal.FrameSize} + 1,
+         |                 least((k + 1) * ${Multimodal.FrameSize}, length(text)) + 1),
+         |           i -> ascii(substr(text, CAST(i AS BIGINT), 1)))) AS BIGINT) AS e
+         |  FROM d, LATERAL (SELECT unnest(range(0, nf)) AS k) t),
+         |c AS (SELECT doc_id, k, e,
+         |             lag(e) OVER (PARTITION BY doc_id ORDER BY k) AS ep
+         |      FROM wins)
+         |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, ep AS e_prev, e AS e_cur
+         |FROM c WHERE ep IS NOT NULL AND abs(e - ep) > ${Multimodal.CutThreshold}
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // m06: landmark pairs replayed from SOURCE characters — the WAV data
     // chunk is the text bytes verbatim, so window k's energy is the ascii
     // sum of chars [k·32+1, k·32+32]; strict-interior peaks via lag/lead

