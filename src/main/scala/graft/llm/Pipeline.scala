@@ -499,9 +499,78 @@ object Pipeline extends QueryModule {
       .limit(20)
   }
 
+  /** A vocabulary word as its current symbol sequence + corpus frequency. */
+  final case class BpeWord(syms: Seq[String], freq: Long)
+
+  /** Left-to-right non-overlapping application of merge (a,b) → ab —
+    * the published BPE rule (greedy from the left, a merged token never
+    * re-merges within the same pass). */
+  private[graft] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** l43: full BPE tokenizer training — l42's pair statistics ITERATED,
+    * each round applying the chosen merge to the symbol sequences and
+    * recounting (the algorithm of Sennrich et al. / every GPT-style
+    * tokenizer, distributed). Scale shape per round: the working frame
+    * is the VOCABULARY (distinct words as symbol arrays × corpus
+    * frequency) — corpus-sized work happens exactly once, in the initial
+    * word count; each round is then a vocab-bounded pair count (one tiny
+    * shuffle), a 1-row driver fetch of the arg-max merge (deterministic
+    * tie-break: count desc, pair asc), and a map-only merge application.
+    * Superseded vocab iterates are unpersisted eagerly (the Fixpoint
+    * hygiene). Rounds stop early when no adjacent pair remains. Returns
+    * the merge table (round, s1, s2, n) — the trained tokenizer. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .as[BpeWord].cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab.flatMap(v =>
+          v.syms.sliding(2).collect { case Seq(a, b) => (a, b, v.freq) })
+        .toDF("s1", "s2", "f")
+        .groupBy("s1", "s2").agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val next = vocab.map(v => BpeWord(mergePair(v.syms, a, b), v.freq)).cache()
+        next.foreach(_ => ()) // materialize before releasing the parent
+        vocab.unpersist(blocking = false)
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "s1", "s2", "n")
+      .withColumn("round", col("round").cast("long"))
+      .orderBy("round")
+  }
+
+  def l43(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l37_ngram_lm" -> l37,
     "l42_bpe_stats" -> l42,
+    "l43_bpe_train" -> l43,
     "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,

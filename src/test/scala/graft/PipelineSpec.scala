@@ -105,6 +105,36 @@ class PipelineSpec extends SparkSuite {
     assert(vocab < corpusTokens / 10, "fixture: vocab must be far smaller than corpus")
   }
 
+  test("l43: distributed BPE training matches a reference trainer round-for-round") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    var freq: Map[Seq[String], Long] = texts.flatMap(_.toLowerCase.split(" "))
+      .groupBy(identity).map { case (w, xs) => w.map(_.toString).toSeq -> xs.length.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var halted = false
+    while (r <= 10 && !halted) {
+      val counts = freq.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) }
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (counts.isEmpty) halted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        expected += ((r.toLong, a, b, n))
+        freq = freq.toSeq.map { case (syms, f) =>
+          llm.Pipeline.mergePair(syms, a, b) -> f
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        r += 1
+      }
+    }
+    val got = llm.Pipeline.l43(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2), row.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.length === 10, "corpus must sustain 10 merge rounds")
+    // merged tokens grow: later rounds may pick multi-char symbols
+    assert(got.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 },
+      "some merge must involve an already-merged token")
+  }
+
   test("l41: stochastic-rounded copies match a driver-side recompute; both tails fire") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
