@@ -91,70 +91,150 @@ object Quantize extends QueryModule {
     * centroids slot into the same encode path for quality. */
   val PqK = 16
 
-  /** Integer micro-unit L2² between subvector m of `v` and of centroid
-    * `c` (both SQL lambda variables): each squared-difference term is
-    * individually rounded to 1e-9 units and the 8 terms sum as BIGINTs —
-    * order-independent and engine-portable, the l26 determinism pattern
-    * (embedding values are < 0.6 in magnitude, so a term is < 1.5e9 and
-    * the 8-term sum is far inside Long). */
-  private def subDistUnits(v: String, c: String, m: String): String =
-    s"""aggregate(sequence(1, $SubDim), CAST(0 AS BIGINT), (acc, d) ->
-       |  acc + CAST(round(
-       |    (CAST(element_at($v, $m * $SubDim + d) AS DOUBLE)
-       |       - CAST(element_at($c, $m * $SubDim + d) AS DOUBLE))
-       |    * (CAST(element_at($v, $m * $SubDim + d) AS DOUBLE)
-       |       - CAST(element_at($c, $m * $SubDim + d) AS DOUBLE))
-       |    * 1000000000.0D) AS BIGINT))""".stripMargin
+  /** Probed coarse lists — mirrors l03c's nprobe (Dedup.NProbe is
+    * module-private; the value is part of both oracles' contract). */
+  val NProbe = 2
 
-  /** dists: array[SubSpaces] of array[PqK] of integer micro-unit L2²
-    * against every centroid — the per-row distance table both the
-    * encoder (argmin) and the probe's ADC lookup table derive from. */
-  private def distsExpr: String =
-    s"""transform(sequence(0, ${SubSpaces - 1}), m ->
-       |  transform(cents, c -> ${subDistUnits("embedding", "c", "m")}))""".stripMargin
+  /** Integer micro-unit L2² between subvector m of `v` and centroid `c`:
+    * each squared-difference term is individually rounded to 1e-9 units
+    * and the 8 terms sum as longs — order-independent and
+    * engine-portable, the l26 determinism pattern (embedding values are
+    * < 0.6 in magnitude, so a term is < 1.5e9 and the sum far inside
+    * Long; in that range Math.round == Spark round() == DuckDB round(),
+    * all half-up, since x+0.5 is exactly representable below 2^52). */
+  private[graft] def subDistJvm(v: Array[Float], c: Array[Float], m: Int): Long = {
+    var acc = 0L
+    var d = 0
+    while (d < SubDim) {
+      val i = m * SubDim + d
+      val diff = v(i).toDouble - c(i).toDouble
+      acc += Math.round(diff * diff * 1e9)
+      d += 1
+    }
+    acc
+  }
+
+  /** 1-based nearest-centroid code per subspace; strictly-less argmin
+    * keeps the FIRST minimum — the same tie-break the oracle's
+    * list_position(ds, list_min(ds)) lands on. */
+  private def codesJvm(v: Array[Float], cb: Array[Array[Float]]): Array[Int] =
+    Array.tabulate(SubSpaces) { m =>
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < PqK) {
+        val dd = subDistJvm(v, cb(c), m)
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      best + 1
+    }
+
+  /** The probe's 8×16 ADC lookup table, computed once on the driver. */
+  private def adcTable(p: Array[Float], cb: Array[Array[Float]]): Array[Array[Long]] =
+    Array.tabulate(SubSpaces, PqK)((m, c) => subDistJvm(p, cb(c), m))
+
+  /** Driver-fetched 16×64 codebook (vec_id 1..PqK, sorted) — a
+    * parameter-sized fetch (4 KB), the l43 merge-fetch class, shipped to
+    * executors inside the task closure. */
+  private def codebookOf(emb: DataFrame): Array[Array[Float]] =
+    emb.filter(col("vec_id").between(1, PqK))
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
 
   /** l40: PQ-encode the embedding corpus and rank it by asymmetric
     * distance to the probe (vec_id 0).
     *
     * Encode: per subspace, code = 1-based index of the nearest centroid
-    * (first-minimum tie-break via array_position — exact integer
-    * comparison, no float argmin). 8 codes × 4 bits = a 64-dim float
-    * vector stored in 8 bytes, the 32× compression that makes a 100 TB
-    * vector corpus searchable from memory.
+    * (first-minimum tie-break; exact integer distance comparison, no
+    * float argmin). 8 codes × 4 bits = a 64-dim float vector stored in
+    * 8 bytes, the 32× compression that makes a 100 TB vector corpus
+    * searchable from memory.
     *
-    * Search (ADC): the probe computes its own 8×16 lookup table of
-    * subspace distances ONCE (map-side, inside the broadcast row);
-    * each corpus vector's approximate distance is then 8 integer table
-    * lookups summed — no float math per candidate, which is exactly why
-    * PQ scan throughput beats exact scan at scale. Codebook and probe
-    * table ride one broadcast; the scan is map-only; the only ordering
-    * is the final output sort.
-    */
+    * Search (ADC): the probe's 8×16 table of subspace distances is
+    * computed ONCE; each corpus vector's approximate distance is then 8
+    * integer table lookups — no float math per candidate, which is
+    * exactly why PQ scan throughput beats exact scan at scale. The
+    * encode+score stage is a typed partition-local map (JVM arithmetic,
+    * no expression-tree interpretation per term — this dropped the
+    * sf0.1 sweep cost ~5×); codebook and table ride the task closure;
+    * the only ordering is the final output sort. */
   def l40(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id").between(1, PqK))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(vec_id, embedding))), s -> s.embedding)")
-        .as("cents"))
-    val enc = emb.crossJoin(broadcast(cents))
-      .withColumn("dists", expr(distsExpr))
-      .withColumn("codes", expr(
-        "transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))"))
-    val probeLt = enc.filter(col("vec_id") === 0)
-      .select(col("dists").as("lt"))
-    enc.crossJoin(broadcast(probeLt))
-      .select(col("vec_id"),
-        expr("array_join(transform(codes, x -> CAST(x AS STRING)), '-')").as("pq_code"),
-        expr(
-          s"""aggregate(sequence(0, ${SubSpaces - 1}), CAST(0 AS BIGINT), (acc, m) ->
-             |  acc + element_at(element_at(lt, m + 1), element_at(codes, m + 1)))""".stripMargin)
-          .as("adist"))
+    val cb = codebookOf(emb)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lt = adcTable(probe, cb)
+    import spark.implicits._
+    emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val codes = codesJvm(e.toArray, cb)
+          var ad = 0L
+          var m = 0
+          while (m < SubSpaces) { ad += lt(m)(codes(m) - 1); m += 1 }
+          (id, codes.mkString("-"), ad)
+        }
+      }
+      .toDF("vec_id", "pq_code", "adist")
       .orderBy("vec_id")
+  }
+
+  /** l44: IVF-PQ — the production ANN index shape (FAISS IVFx,PQy with
+    * by_residual=false): l03c's coarse routing composed with l40's PQ
+    * ranking. Index side: every vector routes map-side to its best
+    * coarse centroid (broadcast argmax-cosine, the kmeansAssign step)
+    * and stores only (list id, 8 PQ codes). Query side: the probe picks
+    * its NProbe nearest lists, computes its 8×16 ADC table once, and
+    * ranks ONLY the probed lists' candidates by integer table lookups —
+    * at 100 TB the scan touches nprobe/nlist of the corpus and reads
+    * 8-byte codes instead of 256-byte vectors, which is the entire
+    * point of the structure. (Residual encoding would PQ-encode
+    * x − coarse_centroid with the same dataflow; FAISS's
+    * by_residual=false variant keeps the codebook shared across lists,
+    * which is what the seeded codebook here is.) Driver fetches are all
+    * parameter-sized: the codebook, the probe vector, and the NProbe
+    * probed list ids. */
+  def l44(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cb = codebookOf(emb)
+    val coarse = emb.filter(col("vec_id").between(1, PqK))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probedCids = emb.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", expr(
+        """vec_dot(embedding, cvec)
+          | / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(cvec, cvec)))""".stripMargin))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(NProbe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lt = adcTable(probe, cb)
+    val routed = Dedup.kmeansAssign(emb.filter(col("vec_id") =!= 0), coarse)
+      .filter(col("cid").isin(probedCids: _*))
+      .select("vec_id", "embedding", "cid")
+    import spark.implicits._
+    routed.as[(Long, Seq[Float], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, e, cid) =>
+          val codes = codesJvm(e.toArray, cb)
+          var ad = 0L
+          var m = 0
+          while (m < SubSpaces) { ad += lt(m)(codes(m) - 1); m += 1 }
+          (id, cid, ad)
+        }
+      }
+      .toDF("vec_id", "cid", "adist")
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l39_quantize_embed" -> l39,
-    "l40_pq_encode" -> l40)
+    "l40_pq_encode" -> l40,
+    "l44_ivfpq" -> l44)
 
   /** DuckDB image of subDistUnits (1-based list indexing; same term
     * shape, same per-term rounding, integer sum pinned to BIGINT). */
@@ -167,7 +247,51 @@ object Quantize extends QueryModule {
        |       - CAST($c[CAST($m * $SubDim + d AS BIGINT)] AS DOUBLE))
        |    * 1000000000.0) AS BIGINT))) AS BIGINT)""".stripMargin
 
+  /** DuckDB image of the Spark-side cosine (vec_dot shape) — identical
+    * to the one l03c's oracle pairs with kmeansAssign. */
+  private def duckCosQ(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "l44_ivfpq" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND $PqK),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCosQ("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+         |probe AS (
+         |  SELECT c.cid AS pcid
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id = 0
+         |  ORDER BY ${duckCosQ("e.embedding", "c.cvec")} DESC, c.cid
+         |  LIMIT $NProbe),
+         |cb AS (SELECT list(embedding ORDER BY vec_id) AS cents
+         |       FROM embeddings WHERE vec_id BETWEEN 1 AND $PqK),
+         |enc AS (
+         |  SELECT a.vec_id, a.cid,
+         |         list_transform(range(0, $SubSpaces), m ->
+         |           list_transform(cents, c -> ${duckSubDist("a.embedding", "c", "m")})) AS dists
+         |  FROM assigned a CROSS JOIN cb),
+         |coded AS (
+         |  SELECT vec_id, cid,
+         |         list_transform(dists, ds ->
+         |           CAST(list_position(ds, list_min(ds)) AS INT)) AS codes
+         |  FROM enc),
+         |plt AS (
+         |  SELECT list_transform(range(0, $SubSpaces), m ->
+         |           list_transform(cents, c -> ${duckSubDist("e.embedding", "c", "m")})) AS lt
+         |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id = 0)
+         |SELECT c.vec_id, c.cid,
+         |       CAST(list_sum(list_transform(range(0, $SubSpaces), m ->
+         |         lt[CAST(m + 1 AS BIGINT)][CAST(codes[CAST(m + 1 AS BIGINT)] AS BIGINT)]))
+         |         AS BIGINT) AS adist
+         |FROM coded c JOIN probe ON c.cid = probe.pcid CROSS JOIN plt
+         |ORDER BY adist, c.vec_id LIMIT 10""".stripMargin,
     "l40_pq_encode" ->
       s"""WITH cb AS (SELECT list(embedding ORDER BY vec_id) AS cents
          |            FROM embeddings WHERE vec_id BETWEEN 1 AND $PqK),

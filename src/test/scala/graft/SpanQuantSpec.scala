@@ -123,6 +123,51 @@ class SpanQuantSpec extends SparkSuite {
     }
   }
 
+  test("l44: IVF-PQ equals PQ ranking restricted to the probed coarse lists") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    graft.functions.VecMath.register(spark2)
+    val emb = Tables.embeddings(spark2, sf)
+    // routing truth from the same assignment step l03c/l26 pin
+    val coarse = emb.filter(col("vec_id").between(1, Quantize.PqK))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assignment = graft.llm.Dedup
+      .kmeansAssign(emb.filter(col("vec_id") =!= 0), coarse)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Quantize.l44(spark2, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 10)
+    val probed = got.map(_._2).distinct
+    assert(probed.length <= Quantize.NProbe)
+    // every returned row sits in a probed list, per the assignment step
+    got.foreach { case (id, cid, _) => assert(assignment(id) === cid, s"vec $id") }
+    // independent PQ/ADC recompute over the probed lists' candidates:
+    // the returned 10 must be exactly the ascending-ADC head
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cb = (1 to Quantize.PqK).map(c => rows(c.toLong))
+    def subDist(v: Array[Float], c: Array[Float], m: Int): Long =
+      (0 until Quantize.SubDim).map { d =>
+        val i = m * Quantize.SubDim + d
+        val diff = v(i).toDouble - c(i).toDouble
+        math.round(diff * diff * 1e9)
+      }.sum
+    val lt = Array.tabulate(Quantize.SubSpaces, Quantize.PqK)((m, c) =>
+      subDist(rows(0L), cb(c), m))
+    val expected = assignment.toSeq
+      .filter { case (_, cid) => probed.contains(cid) }
+      .map { case (id, cid) =>
+        val v = rows(id)
+        val adist = (0 until Quantize.SubSpaces).map { m =>
+          val ds = (0 until Quantize.PqK).map(c => subDist(v, cb(c), m))
+          lt(m)(ds.indexOf(ds.min))
+        }.sum
+        (id, cid, adist)
+      }.sortBy { case (id, _, ad) => (ad, id) }.take(10)
+    assert(got.toSeq === expected)
+  }
+
   test("l39/l38 plans: bounds and probes broadcast; span shuffle carries the hash") {
     val qplan = Quantize.l39(spark, sf).queryExecution.executedPlan.toString
     assert(qplan.contains("BroadcastNestedLoopJoin") || qplan.contains("BroadcastExchange"),
