@@ -257,7 +257,33 @@ object EventTime extends QueryModule {
         Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy("event_id")
 
+  /** t14: DYNAMIC-gap sessionization — the gap is a per-event expression
+    * (clicks cool off in 10 min, everything else in 30), which
+    * fixed-gap t03 can't express and which real engagement analytics
+    * need (different activity classes keep sessions alive for different
+    * spans). Spark's session_window accepts the gap as a Column; the
+    * same call is streaming-capable under a watermark (t03's lift).
+    * Merge semantics: each event spans [ts, ts+gap(event)); overlapping
+    * spans merge; an event landing exactly at the running max end starts
+    * a NEW session (the >= islands flag in the oracle). Session end is
+    * the max merged span end — surfaced to pin the variable-gap merge,
+    * not just membership. */
+  def t14(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("gap",
+        when(col("event_type") === "click", lit("10 minutes"))
+          .otherwise(lit("30 minutes")))
+      .groupBy(session_window(col("event_ts"), col("gap")).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_ms")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_session_dynamic_gap" -> t14,
     "t13_stream_enrich" -> t13,
     "t12_sliding_distinct" -> t12,
     "t07_funnel" -> t07,
@@ -273,6 +299,33 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t14: variable-gap islands — prev_end must be the RUNNING MAX of
+    // ts+gap over all preceding rows (with variable gaps, the latest
+    // event is not necessarily the latest-expiring one)
+    "t14_session_dynamic_gap" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ns(ts)//1000000 AS ts_ms, event_id,
+        |         CASE WHEN event_type = 'click' THEN 600000 ELSE 1800000 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(ts_ms + gap) OVER (PARTITION BY user_id
+        |              ORDER BY ts_ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR ts_ms >= prev_end
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM m),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_ms) AS session_start_ms,
+        |       MAX(ts_ms + gap) AS session_end_ms,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "t13_stream_enrich" ->
       """SELECT event_id, user_id, c_name, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey

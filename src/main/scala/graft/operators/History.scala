@@ -234,7 +234,44 @@ object History extends QueryModule {
       ec.filter(col("ts_ms") > col("cut")))
   }
 
+  /** h08: point-in-time (feature-store) join — every FACT row is
+    * enriched with the dimension state that was valid AT ITS OWN event
+    * time, never a later one (the training-serving-skew guard: a
+    * training example must see exactly the features production saw).
+    * State events (signup/purchase/error) become h01's SCD2 interval
+    * chain per user; facts (click/view) join their user's interval with
+    * valid_from ≤ t < valid_to. The join key is the EQUI user_id — the
+    * interval predicate is a residual filter on the hash join, and
+    * since a user's intervals partition time, each fact matches at most
+    * one state row (no fan-out); facts before any state survive as
+    * NULL-state rows via the left join. At 100 TB this is one key
+    * shuffle of each side, the same plan a feature store's
+    * point-in-time query engine runs. */
+  def h08(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val scd = e.filter(col("event_type").isin("signup", "purchase", "error"))
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id").as("s_user_id"),
+        col("event_id").as("state_event_id"),
+        col("event_type").as("state_type"),
+        col("value").as("state_value"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"))
+    val facts = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        col("event_type").as("fact_type"), col("ts_ms").as("fact_ts_ms"))
+    facts.join(scd,
+        facts("user_id") === col("s_user_id") &&
+          col("valid_from_ms") <= col("fact_ts_ms") &&
+          (col("valid_to_ms").isNull || col("fact_ts_ms") < col("valid_to_ms")),
+        "left")
+      .select(col("user_id"), col("fact_id"), col("fact_type"), col("fact_ts_ms"),
+        col("state_event_id"), col("state_type"), col("state_value"))
+      .orderBy("user_id", "fact_ts_ms", "fact_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h08_pit_join" -> h08,
     "h06_view_maintain" -> h06,
     "h07_view_retract" -> h07,
     "h01_scd2" -> h01,
@@ -244,6 +281,29 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h08: zero-width intervals (two state events at the same ts) match
+    // nothing (from <= t < to is empty), and a fact AT a state's
+    // timestamp sees the NEW state — both sides encode the same rule
+    "h08_pit_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |scd AS (
+        |  SELECT user_id, event_id AS state_event_id, event_type AS state_type,
+        |         value AS state_value, ts_ms AS valid_from_ms,
+        |         lead(ts_ms) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_ms, event_id) AS valid_to_ms
+        |  FROM e WHERE event_type IN ('signup', 'purchase', 'error')),
+        |f AS (
+        |  SELECT user_id, event_id AS fact_id, event_type AS fact_type,
+        |         ts_ms AS fact_ts_ms
+        |  FROM e WHERE event_type IN ('click', 'view'))
+        |SELECT f.user_id, fact_id, fact_type, fact_ts_ms,
+        |       state_event_id, state_type, state_value
+        |FROM f LEFT JOIN scd ON f.user_id = scd.user_id
+        |  AND valid_from_ms <= fact_ts_ms
+        |  AND (valid_to_ms IS NULL OR fact_ts_ms < valid_to_ms)
+        |ORDER BY f.user_id, fact_ts_ms, fact_id""".stripMargin,
     // the oracle is the FULL recompute over the post-delta live set — the
     // insert/retract merge must equal it bit-for-bit
     "h07_view_retract" ->

@@ -47,6 +47,38 @@ class AnalyticsSpec extends SparkSuite {
     assert(got === expected.toMap)
   }
 
+  test("t14: dynamic-gap sessions match a driver-side interval-merge replay") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    def gapOf(t: String): Long = if (t == "click") 600000L else 1800000L
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._5, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]()
+      var maxEnd = Long.MinValue
+      sorted.foreach { case (_, _, t, v, ts) =>
+        if (sessions.isEmpty || ts >= maxEnd)
+          sessions += scala.collection.mutable.ArrayBuffer()
+        sessions.last += ((ts, ts + gapOf(t), v))
+        maxEnd = math.max(maxEnd, ts + gapOf(t))
+      }
+      sessions.map { s =>
+        val sum = s.map(x => BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        (u, s.map(_._1).min, s.map(_._2).max, s.size.toLong, sum)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.EventTime.t14(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected.toSeq)
+    // the dynamic gap must actually bite: clicks close sessions sooner
+    // than a uniform 30-minute gap would
+    val fixedSessions = operators.EventTime.t03(spark, sf).count()
+    assert(got.length > fixedSessions,
+      "10-minute click gap must split more sessions than the fixed 30-minute gap")
+  }
+
   test("l26: every vector is assigned and counts are dim-consistent") {
     val out = llm.Dedup.l26(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -26,6 +26,42 @@ class HistorySpec extends SparkSuite {
     }
   }
 
+  test("h08: point-in-time join matches a per-fact replay; no fact sees the future") {
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val stateTypes = Set("signup", "purchase", "error")
+    val statesByUser = events.filter(e => stateTypes(e._3)).groupBy(_._2)
+      .map { case (u, es) => u -> es.sortBy(e => (e._5, e._1)) }
+    val facts = events.filter(e => Set("click", "view")(e._3))
+    val expected = facts.map { case (fid, u, ft, _, fts) =>
+      // replay: the state valid at fts = last state with ts <= fts,
+      // skipping zero-width intervals (superseded at the same ts)
+      val states = statesByUser.getOrElse(u, Array.empty)
+      val valid = states.zipWithIndex.filter { case (s, i) =>
+        s._5 <= fts && (i == states.length - 1 || fts < states(i + 1)._5)
+      }.map(_._1)
+      assert(valid.length <= 1, s"fact $fid matched ${valid.length} states")
+      (u, fid, ft, fts,
+        valid.headOption.map(_._1), valid.headOption.map(_._3),
+        valid.headOption.map(_._4))
+    }.sortBy(x => (x._1, x._4, x._2))
+    val got = operators.History.h08(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getString(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+    }
+    assert(got.toSeq === expected.toSeq)
+    // the guard property: every joined state precedes its fact in time
+    got.foreach { case (_, fid, _, fts, sid, _, _) =>
+      sid.foreach { s =>
+        val sts = events.find(_._1 == s).get._5
+        assert(sts <= fts, s"fact $fid at $fts saw future state $s at $sts")
+      }
+    }
+  }
+
   test("h07: retraction maintenance equals full recompute over random insert/delete interleavings") {
     import spark.implicits._
     // seeded random changelogs: users collide, deletes interleave with
