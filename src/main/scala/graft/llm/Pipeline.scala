@@ -567,10 +567,47 @@ object Pipeline extends QueryModule {
   def l43(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(spark, dir))
 
+  /** l45: apply a trained merge table — the ENCODE step every training
+    * batch runs after l43's train step. Each word starts as characters
+    * and folds through the merges in priority order, one left-to-right
+    * non-overlapping pass per merge (exactly the training-side
+    * mergePair, so train and encode agree on tokenization by
+    * construction). The merge list is parameter-sized (10 rows) and
+    * ships in the task closure; encoding is a typed partition-local map
+    * over documents — zero shuffles before the deterministic ORDER BY,
+    * which is what lets the encode stage fuse into the first pass over
+    * raw text at 100 TB. Output per doc: symbol counts before/after and
+    * the compression the learned merges bought. */
+  def l45(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.toLowerCase.split(" ")
+          var nStart = 0L
+          var nEnd = 0L
+          words.foreach { w =>
+            val chars: Seq[String] = w.map(_.toString)
+            nStart += chars.length
+            nEnd += merges.foldLeft(chars)((s, m) => mergePair(s, m._1, m._2)).length
+          }
+          (id, words.length.toLong, nStart, nEnd)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_syms_chars", "n_syms_bpe")
+      .withColumn("compression",
+        col("n_syms_chars").cast("double") / col("n_syms_bpe"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l37_ngram_lm" -> l37,
     "l42_bpe_stats" -> l42,
     "l43_bpe_train" -> l43,
+    "l45_bpe_encode" -> l45,
     "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,

@@ -272,7 +272,45 @@ object Aggregates extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Count-Min sketch geometry: depth 4 independent hash rows × width
+    * 256 counters. Seeded md5 cells keep both engines on identical
+    * buckets. */
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  private def cmCell: String =
+    s"CAST(conv(substr(md5(concat('cm', CAST(d AS STRING), ':', k)), 1, 15), 16, 10) AS BIGINT) % $CmWidth"
+
+  /** a18: Count-Min sketch — the MERGEABLE frequency sketch (the
+    * counts-side sibling of a13's HLL cardinality merge, but fully
+    * SQL-expressible and therefore hash-oracled). Build: every row
+    * increments one cell per depth; declaratively that's a ×depth
+    * explode whose groupBy collapses map-side to at most depth×width =
+    * 1024 cells per partition — each partition's partial aggregate IS
+    * its local sketch, and the shuffle merges sketches by cell addition,
+    * exactly the streaming/distributed CM contract. Estimate: min over
+    * the key's depth cells. The classic one-sided guarantee (estimate ≥
+    * true count, over-count bounded by collisions) is surfaced by
+    * emitting both the exact count and the estimate per key. */
+  def a18(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type").as("k"))
+    val sketch = e
+      .select(col("k"), explode(expr(s"sequence(0, ${CmDepth - 1})")).as("d"))
+      .withColumn("cell", expr(cmCell))
+      .groupBy("d", "cell").agg(count(lit(1)).as("c"))
+    val keys = e.groupBy("k").agg(count(lit(1)).as("n_true"))
+    keys
+      .select(col("k"), col("n_true"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("d"))
+      .withColumn("cell", expr(cmCell))
+      .join(sketch, Seq("d", "cell"))
+      .groupBy("k", "n_true").agg(min("c").as("cm_est"))
+      .select(col("k").as("event_type"), col("n_true"), col("cm_est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_countmin" -> a18,
     "a01_agg_hash" -> a01,
     "a02_agg_distinct" -> a02,
     "a03_agg_approx_distinct" -> a03,
@@ -288,6 +326,23 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    "a18_countmin" ->
+      s"""WITH e AS (SELECT event_type AS k FROM events),
+         |cells AS (
+         |  SELECT k, d,
+         |         CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || k), 1, 15))
+         |              AS BIGINT) % $CmWidth AS cell
+         |  FROM e, LATERAL (SELECT unnest(range(0, $CmDepth)) AS d) t),
+         |sketch AS (SELECT d, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+         |keys AS (SELECT k, COUNT(*) AS n_true FROM e GROUP BY 1),
+         |kc AS (
+         |  SELECT k, n_true, d,
+         |         CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || k), 1, 15))
+         |              AS BIGINT) % $CmWidth AS cell
+         |  FROM keys, LATERAL (SELECT unnest(range(0, $CmDepth)) AS d) t)
+         |SELECT k AS event_type, n_true, MIN(c) AS cm_est
+         |FROM kc JOIN sketch USING (d, cell)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "a14_percentiles" ->
       """WITH c AS (SELECT l_returnflag,
         |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents

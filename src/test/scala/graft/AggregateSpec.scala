@@ -48,6 +48,31 @@ class AggregateSpec extends SparkSuite {
     }
   }
 
+  test("a18: Count-Min never under-counts, and split-sketch merge equals the full sketch") {
+    val rows = operators.Aggregates.a18(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the one-sided CM guarantee
+    rows.foreach { case (k, t, e) => assert(e >= t, s"$k under-counted: $e < $t") }
+    // mergeability: sketches built on disjoint halves, merged by cell
+    // addition, equal the single-pass sketch — the distributed contract
+    import spark.implicits._
+    val e = Tables.events(spark, sf).select(col("event_id"), col("event_type").as("k"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), explode(expr("sequence(0, 3)")).as("d"))
+      .withColumn("cell", expr(
+        "CAST(conv(substr(md5(concat('cm', CAST(d AS STRING), ':', k)), 1, 15), 16, 10) AS BIGINT) % 256"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("c"))
+    def cellsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val full = cellsOf(sketchOf(e).collect())
+    val h1 = cellsOf(sketchOf(e.filter(col("event_id") % 2 === 0)).collect())
+    val h2 = cellsOf(sketchOf(e.filter(col("event_id") % 2 =!= 0)).collect())
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged === full)
+  }
+
   test("hash functions: golden vectors (sha1/xxhash64/crc32 not oracled)") {
     val row = spark.sql(
       """SELECT md5('abc') AS m, sha1('abc') AS s1, sha2('abc', 256) AS s2,

@@ -135,6 +135,43 @@ class PipelineSpec extends SparkSuite {
       "some merge must involve an already-merged token")
   }
 
+  test("l45: BPE encode matches a reference encoder; merges only ever shrink") {
+    // reference: train merges locally (the l43 spec already proves the
+    // distributed trainer equals this), then encode every doc
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var freq: Map[Seq[String], Long] = texts.flatMap(_._2.toLowerCase.split(" "))
+      .groupBy(identity).map { case (w, xs) => w.map(_.toString).toSeq -> xs.length.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    (1 to 10).foreach { _ =>
+      val counts = freq.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) }
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((a, b), _) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      merges += ((a, b))
+      freq = freq.toSeq.map { case (syms, f) =>
+        llm.Pipeline.mergePair(syms, a, b) -> f
+      }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    }
+    val expected = texts.map { case (id, t) =>
+      val words = t.toLowerCase.split(" ")
+      val nStart = words.map(_.length.toLong).sum
+      val nEnd = words.map { w =>
+        merges.foldLeft(w.map(_.toString): Seq[String])((s, m) =>
+          llm.Pipeline.mergePair(s, m._1, m._2)).length.toLong
+      }.sum
+      (id, words.length.toLong, nStart, nEnd)
+    }.sortBy(_._1)
+    val got = llm.Pipeline.l45(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    got.foreach { case (id, _, s, e) =>
+      assert(e <= s && e >= 1, s"doc $id symbol count must shrink, never vanish")
+    }
+    // the learned merges must actually compress the corpus
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+  }
+
   test("l41: stochastic-rounded copies match a driver-side recompute; both tails fire") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
