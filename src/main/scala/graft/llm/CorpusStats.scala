@@ -1,5 +1,7 @@
 package graft.llm
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
@@ -23,23 +25,34 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object CorpusStats {
   // sameResult (what CacheManager itself uses for cache lookups), not
   // plan equality: two spark.read.parquet(path) calls build distinct
-  // relation objects that only semantic comparison identifies. The list
-  // stays a handful of entries, so the linear scan is free.
-  private val memo = new java.util.concurrent.CopyOnWriteArrayList[(LogicalPlan, Long)]()
+  // relation objects that only semantic comparison identifies. Entries
+  // are bounded (FIFO-evicted past MaxEntries) so a long-lived session
+  // probing many distinct frames can't accumulate retained plan graphs,
+  // and the linear sameResult scan stays cheap.
+  private val MaxEntries = 64
+  private val memo = new java.util.ArrayDeque[(LogicalPlan, Long)]()
 
   /** df.count(), memoized per semantically-equal normalized plan. */
   def n(df: DataFrame): Long = {
     val key = df.queryExecution.normalized
-    val it = memo.iterator()
-    while (it.hasNext) {
-      val (p, v) = it.next()
-      if (p.sameResult(key)) return v
+    memo.synchronized {
+      val it = memo.iterator()
+      while (it.hasNext) {
+        val (p, v) = it.next()
+        if (p.sameResult(key)) return v
+      }
     }
-    val v = df.count()
-    memo.add((key, v))
+    val v = df.count() // outside the lock: a count can take seconds
+    memo.synchronized {
+      if (!memo.iterator().asScala.exists(_._1.sameResult(key))) {
+        memo.addLast((key, v))
+        if (memo.size > MaxEntries) memo.removeFirst()
+      }
+    }
     v
   }
 
-  /** Test hook: drop all memoized sizes. */
-  private[graft] def clear(): Unit = memo.clear()
+  /** Drop all memoized sizes — the invalidation hook for callers whose
+    * corpus mutates beyond the parameter-derivation tolerance. */
+  def clear(): Unit = memo.synchronized(memo.clear())
 }

@@ -581,7 +581,17 @@ object Pipeline extends QueryModule {
   def l45(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merges = bpeTrain(docs).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs, merges)
+  }
+
+  /** The encode stage on its own, for library callers that already hold
+    * a trained merge table (train once with bpeTrain, encode many
+    * corpora) — the self-contained l45 query retrains because every
+    * query derives its own inputs by contract, but a pipeline should
+    * not pay the training shuffles per encode pass. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>

@@ -134,6 +134,18 @@ object Quantize extends QueryModule {
   private def adcTable(p: Array[Float], cb: Array[Array[Float]]): Array[Array[Long]] =
     Array.tabulate(SubSpaces, PqK)((m, c) => subDistJvm(p, cb(c), m))
 
+  /** Encode one vector and score it against the probe's table — the
+    * shared per-row kernel of l40 and l44 (one definition so the
+    * IVF-PQ-equals-restricted-PQ invariant can't drift). */
+  private def encodeAndScore(cb: Array[Array[Float]], lt: Array[Array[Long]])(
+      v: Array[Float]): (Array[Int], Long) = {
+    val codes = codesJvm(v, cb)
+    var ad = 0L
+    var m = 0
+    while (m < SubSpaces) { ad += lt(m)(codes(m) - 1); m += 1 }
+    (codes, ad)
+  }
+
   /** Driver-fetched 16×64 codebook (vec_id 1..PqK, sorted) — a
     * parameter-sized fetch (4 KB), the l43 merge-fetch class, shipped to
     * executors inside the task closure. */
@@ -166,13 +178,11 @@ object Quantize extends QueryModule {
       .select("embedding").head().getSeq[Float](0).toArray
     val lt = adcTable(probe, cb)
     import spark.implicits._
+    val score = encodeAndScore(cb, lt) _
     emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (id, e) =>
-          val codes = codesJvm(e.toArray, cb)
-          var ad = 0L
-          var m = 0
-          while (m < SubSpaces) { ad += lt(m)(codes(m) - 1); m += 1 }
+          val (codes, ad) = score(e.toArray)
           (id, codes.mkString("-"), ad)
         }
       }
@@ -216,13 +226,11 @@ object Quantize extends QueryModule {
       .filter(col("cid").isin(probedCids: _*))
       .select("vec_id", "embedding", "cid")
     import spark.implicits._
+    val score = encodeAndScore(cb, lt) _
     routed.as[(Long, Seq[Float], Long)]
       .mapPartitions { it =>
         it.map { case (id, e, cid) =>
-          val codes = codesJvm(e.toArray, cb)
-          var ad = 0L
-          var m = 0
-          while (m < SubSpaces) { ad += lt(m)(codes(m) - 1); m += 1 }
+          val (_, ad) = score(e.toArray)
           (id, cid, ad)
         }
       }

@@ -275,10 +275,10 @@ object Aggregates extends QueryModule {
   /** Count-Min sketch geometry: depth 4 independent hash rows × width
     * 256 counters. Seeded md5 cells keep both engines on identical
     * buckets. */
-  private val CmDepth = 4
-  private val CmWidth = 256
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 256
 
-  private def cmCell: String =
+  private[graft] def cmCell: String =
     s"CAST(conv(substr(md5(concat('cm', CAST(d AS STRING), ':', k)), 1, 15), 16, 10) AS BIGINT) % $CmWidth"
 
   /** a18: Count-Min sketch — the MERGEABLE frequency sketch (the

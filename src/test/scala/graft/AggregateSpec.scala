@@ -59,9 +59,9 @@ class AggregateSpec extends SparkSuite {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id"), col("event_type").as("k"))
     def sketchOf(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("k"), explode(expr("sequence(0, 3)")).as("d"))
-      .withColumn("cell", expr(
-        "CAST(conv(substr(md5(concat('cm', CAST(d AS STRING), ':', k)), 1, 15), 16, 10) AS BIGINT) % 256"))
+      .select(col("k"),
+        explode(expr(s"sequence(0, ${operators.Aggregates.CmDepth - 1})")).as("d"))
+      .withColumn("cell", expr(operators.Aggregates.cmCell))
       .groupBy("d", "cell").agg(count(lit(1)).as("c"))
     def cellsOf(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap

@@ -175,9 +175,6 @@ class PipelineSpec extends SparkSuite {
   test("l41: stochastic-rounded copies match a driver-side recompute; both tails fire") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    def md5Hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = texts.flatMap { case (id, t) =>
       val toks = t.toLowerCase.split(" ")
       val n = toks.length

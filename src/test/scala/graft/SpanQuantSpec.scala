@@ -9,10 +9,6 @@ import org.apache.spark.sql.functions._
   * be written twice). */
 class SpanQuantSpec extends SparkSuite {
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   test("l38: per-doc span stats match a driver-side recomputation") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
