@@ -292,6 +292,46 @@ class ScalePatternsSpec extends SparkSuite {
     assert(dead.count() === 2) // malformed value + non-json line
   }
 
+  test("l38/g03 growth laws: span stream linear, capped pair work linear in key count") {
+    val d1 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val d10 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val nRatio = d10.count().toDouble / d1.count() // 10×
+    // l38's shuffled stream is one row per sliding window — linear in
+    // corpus tokens; measured on the SAME frame the query shuffles
+    def spanRows(d: org.apache.spark.sql.DataFrame): Long =
+      llm.Spans.spanStream(d).count()
+    val (s1, s10) = (spanRows(d1), spanRows(d10))
+    val spanRatio = s10.toDouble / s1
+    info(f"l38 spans: sf0.01=$s1 sf0.1=$s10 ratio=$spanRatio%.1f (n ratio $nRatio%.1f)")
+    assert(spanRatio <= nRatio * 1.5 && spanRatio >= nRatio / 1.5,
+      s"span stream should be linear in corpus size, grew ${spanRatio}×")
+    // g03's pair fan-out is bounded by cap²/2 per supplier — total pair
+    // work must grow like the SUPPLIER count (10× here), NOT like
+    // uncapped Σ deg²/2 (which grows ~100× when degree scales with data)
+    def pairWork(dir: String): (Long, Long) = {
+      val e = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val degs = e.groupBy("s").agg(count(lit(1)).as("deg"))
+        .select(col("deg"),
+          least(col("deg"), lit(operators.Graph.CoocCap.toLong)).as("cdeg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("uncapped"),
+          sum(expr("cdeg * (cdeg - 1) div 2")).as("capped")).head()
+      (degs.getLong(0), degs.getLong(1))
+    }
+    val (u1, c1) = pairWork("/root/testdata/sf0.01")
+    val (u10, c10) = pairWork("/root/testdata/sf0.1")
+    val cappedRatio = c10.toDouble / c1
+    info(f"g03 pair work: capped $c1 -> $c10 (${cappedRatio}%.1f×), " +
+      f"uncapped $u1 -> $u10 (${u10.toDouble / u1}%.1f×)")
+    assert(cappedRatio <= nRatio * 1.5,
+      s"capped pair work grew ${cappedRatio}× for a ${nRatio}× corpus")
+    // on this fixture degrees grow slowly (parts scale alongside
+    // suppliers), so the cap's value shows as MAGNITUDE, not growth
+    // rate: two orders less pair work at sf0.1
+    assert(u10.toDouble / c10 > 100,
+      s"cap should cut pair work by >100× (got ${u10.toDouble / c10}×)")
+  }
+
   test("corpus-size probe memoizes per input frame: composed stages rescan once") {
     val sc = spark.sparkContext
     llm.CorpusStats.clear()
