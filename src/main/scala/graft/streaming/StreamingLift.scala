@@ -35,6 +35,26 @@ object StreamingLift {
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Dynamic-gap sessions (t14's lift): the merge gap is a per-event
+    * expression — clicks cool off in 10 minutes, everything else in 30.
+    * session_window accepts the gap as a Column, so the SAME grouping
+    * runs batch and streaming; state eviction still follows the
+    * watermark because a session's maximum possible end (max event ts +
+    * max gap) is known per key. */
+  def sessionDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .withColumn("gap",
+        when(col("event_type") === "click", lit("10 minutes"))
+          .otherwise(lit("30 minutes")))
+      .groupBy(session_window(col("event_ts"), col("gap")).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+
   /** Sliding windows (10 min / 5 min hop): each event lands in two
     * windows; the watermark closes both once event time passes. */
   def sliding(events: DataFrame): DataFrame =

@@ -80,6 +80,19 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "user_id", "session_start_ms", "n_events", "sum_value"))
   }
 
+  test("dynamic-gap sessions: streaming append == batch == t14") {
+    val streamed = runStream(StreamingLift.sessionDynamic)
+      .filter(col("user_id") >= 0)
+    val batch = StreamingLift.sessionDynamic(
+      batchEvents.withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+    val cols = Seq("user_id", "session_start_ms", "session_end_ms",
+      "n_events", "sum_value")
+    assert(sortedRows(streamed, cols: _*) === sortedRows(batch, cols: _*))
+    // and the lift agrees with the registered batch query
+    val t14 = operators.EventTime.t14(spark, sf)
+    assert(sortedRows(batch, cols: _*) === sortedRows(t14, cols: _*))
+  }
+
   test("stateful dedup: duplicated input deduplicates to the original set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
