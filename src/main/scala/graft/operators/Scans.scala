@@ -367,7 +367,36 @@ object Scans extends QueryModule {
       .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
       .orderBy(col("doc_id"), col("tok").asc_nulls_first)
 
+  /** s16: ANALYZE TABLE — the cost-based-optimizer statistics surface
+    * every warehouse engine ships. The table is registered in the
+    * catalog, `ANALYZE ... FOR COLUMNS` computes per-column stats (one
+    * distributed aggregation pass), and the catalog's min/max/null
+    * counts are surfaced as the query result so the DuckDB gate
+    * hash-checks the STATISTICS THEMSELVES (string-valued columns carry
+    * no min/max in Spark's catalog, so only the numeric columns
+    * surface). The CBO payoff — catalog rowCount/attributeStats
+    * reaching the optimizer's Statistics when spark.sql.cbo.enabled is
+    * on — is asserted in LayoutSpec; at 100 TB these stats are what
+    * turn join-reorder and broadcast decisions from guesses into
+    * measurements. */
+  def s16(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.scratchPath("s16_stats", dir)
+    val t = s"${base.split('/').last}_lineitem"
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").option("path", base).saveAsTable(t)
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_quantity")
+    import spark.implicits._
+    Seq("l_orderkey", "l_quantity").flatMap { c =>
+      spark.sql(s"DESCRIBE EXTENDED $t $c").collect()
+        .map(r => (c, r.getString(0), r.getString(1)))
+    }.toDF("column_name", "stat", "value")
+      .filter(col("stat").isin("min", "max", "num_nulls"))
+      .orderBy("column_name", "stat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_analyze_cbo_stats" -> s16,
     "p09_explode_outer" -> p09,
     "p08_null_semantics" -> p08,
     "p07_casts" -> p07,
@@ -398,6 +427,24 @@ object Scans extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // s16: the oracle recomputes the same statistics exactly — the
+    // catalog's stringified stat values must equal DuckDB's CAST(.. AS
+    // VARCHAR) of the true aggregates (BIGINT prints bare, DOUBLE with
+    // one decimal — both engines agree on these domains)
+    "s16_analyze_cbo_stats" ->
+      """SELECT 'l_orderkey' AS column_name, 'max' AS stat,
+        |       CAST(MAX(l_orderkey) AS VARCHAR) AS value FROM lineitem
+        |UNION ALL SELECT 'l_orderkey', 'min',
+        |       CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_orderkey', 'num_nulls',
+        |       CAST(COUNT(*) - COUNT(l_orderkey) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'max',
+        |       CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'min',
+        |       CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'num_nulls',
+        |       CAST(COUNT(*) - COUNT(l_quantity) AS VARCHAR) FROM lineitem
+        |ORDER BY column_name, stat""".stripMargin,
     "p09_explode_outer" ->
       """WITH t AS (SELECT doc_id,
         |                  list_filter(string_split(text, ' '),

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
   * (local recompute), l25 incremental dedup (consistency with l02). */
 class LayoutSpec extends SparkSuite {
 
+  test("s16: ANALYZE statistics reach the optimizer (CBO rowCount + column stats)") {
+    operators.Scans.s16(spark, sf).collect() // registers + analyzes the table
+    val t = s"${Tables.scratchPath("s16_stats", sf).split('/').last}_lineitem"
+    val expected = Tables.lineitem(spark, sf).count()
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(expected)),
+        s"catalog rowCount must reach the optimizer: ${stats.rowCount}")
+      val colStats = stats.attributeStats.find(_._1.name == "l_orderkey").map(_._2)
+      assert(colStats.exists(s => s.min.isDefined && s.max.isDefined),
+        s"analyzed column stats must reach the optimizer: ${stats.attributeStats}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("s12: Morton zval matches a bit-by-bit reference implementation") {
     def mortonRef(p: Long, s: Long): Long = {
       var z = 0L
