@@ -270,7 +270,41 @@ object History extends QueryModule {
       .orderBy("user_id", "fact_ts_ms", "fact_id")
   }
 
+  /** h09: materialized-view rewrite — the aggregate-navigation feature:
+    * a summary pre-aggregated at (event_type, user_id) with row counts
+    * and decimal partial sums answers the coarser per-event_type query
+    * by RE-aggregation (COUNT(*) → SUM(cnt), SUM(dec(x)) → SUM(sum_x);
+    * both merge exactly, the h02 contract). The rewrite happens in the
+    * OPTIMIZER (graft.plans.MvRewrite, a Rule[LogicalPlan] in
+    * spark.experimental.extraOptimizations): the registered query below
+    * is written against the RAW events table, and the rule swaps the
+    * scan for the summary — the DuckDB oracle aggregates the raw table,
+    * so the hash gate proves rewrite losslessness end-to-end. PlanSpec
+    * pins that the optimized plan actually reads the summary files. At
+    * 100 TB the summary is orders of magnitude smaller than the fact
+    * scan it replaces. */
+  def h09(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = Tables.scratchPath("h09_mv", dir)
+    val srcPath = s"$dir/events.parquet"
+    val src = spark.read.parquet(srcPath)
+    src.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvRewrite.register(graft.plans.MvRewrite.Mv(
+      sourcePath = s"file:$srcPath", mvPath = mvPath,
+      groupCols = Set("event_type", "user_id"),
+      cntCol = "cnt", sums = Map("value" -> "sum_value_p")))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    src.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h09_mv_rewrite" -> h09,
     "h08_pit_join" -> h08,
     "h06_view_maintain" -> h06,
     "h07_view_retract" -> h07,
@@ -281,6 +315,12 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h09: the oracle aggregates the RAW table — equality proves the
+    // optimizer's MV rewrite is lossless
+    "h09_mv_rewrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // h08: zero-width intervals (two state events at the same ts) match
     // nothing (from <= t < to is empty), and a fact AT a state's
     // timestamp sees the NEW state — both sides encode the same rule

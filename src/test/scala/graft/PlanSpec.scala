@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 
 /** Plan-shape assertions (SURVEY.md §5.2): the physical properties that make
   * these operators survive 100 TB, pinned as tests so a regression in query
@@ -406,5 +406,28 @@ class PlanSpec extends SparkSuite {
     // the %97 gate reaches the parquet scan as a pushed-down-able filter
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id)")
       || plan.contains("(doc_id#"), s"gate did not reach the scan:\n$plan")
+  }
+
+  test("h09: the optimizer swaps the raw-events scan for the materialized view") {
+    val df = operators.History.h09(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val physical = df.queryExecution.executedPlan.toString
+    val mvPath = Tables.scratchPath("h09_mv", sf)
+    // the FileScan's Location names the MV directory, and the raw table
+    // is gone from the plan entirely
+    assert(physical.contains(mvPath.split('/').last),
+      s"physical plan must read the MV files:\n$physical")
+    assert(!physical.contains("events.parquet"),
+      s"physical plan must NOT scan the raw events table:\n$physical")
+    // the rewrite is RE-aggregation over the summary's partial columns,
+    // not a verbatim MV read
+    assert(optimized.contains("sum(cnt") && optimized.contains("sum(sum_value_p"),
+      s"re-aggregation over partials missing:\n$optimized")
+    // and an aggregate the MV CANNOT answer is left untouched: max is
+    // not a registered rewrite, so the raw scan stays
+    val unmatched = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(max("value").as("mx"))
+    assert(unmatched.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "non-rewritable aggregate must keep the raw scan")
   }
 }
