@@ -185,7 +185,13 @@ object Graph extends QueryModule {
     * plan holds: bounded arrays bound both memory and pair fan-out, and
     * the dropped-tail mass is auditable by comparing capped degree
     * against the full degree (l02's bucket-audit pattern). */
-  def g03(spark: SparkSession, dir: String): DataFrame = {
+  def g03(spark: SparkSession, dir: String): DataFrame =
+    coocPairs(spark, dir).orderBy("p1", "p2")
+
+  /** The capped co-occurrence pair table (p1 < p2, n_common ≥ 2) —
+    * g03's body, shared with g05 which treats it as a projected
+    * unipartite part graph. */
+  def coocPairs(spark: SparkSession, dir: String): DataFrame = {
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
@@ -204,29 +210,169 @@ object Graph extends QueryModule {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= 2)
-      .orderBy("p1", "p2")
   }
+
+  /** g04: TWO synchronous rounds of deterministic label propagation
+    * (community detection) over the part↔supplier bipartite graph. The
+    * classic LPA tie-break ("random neighbor label") is replaced by a
+    * total order — adopt the label with (count DESC, label ASC) — so any
+    * partitioning, any engine, any executor count produces identical
+    * labels; iterated to convergence this is the semi-synchronous LPA of
+    * Raghavan et al. Per round: ONE shuffle (the (node, label) count) +
+    * the argmax window riding the same exchange (both keyed on dst) —
+    * the iteration shape Fixpoint runs at scale; fixed 2 rounds keeps
+    * the query hash-gateable (convergence-count output would be
+    * tolerance-dependent). */
+  def g04(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val dir2 = edges.select(
+        concat(lit("part|"), col("p")).as("src"),
+        concat(lit("supplier|"), col("s")).as("dst"))
+      .union(edges.select(
+        concat(lit("supplier|"), col("s")).as("src"),
+        concat(lit("part|"), col("p")).as("dst")))
+      .localCheckpoint()
+    val init = dir2.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("label").asc)
+    val fin = (1 to 2).foldLeft(init) { (cur, _) =>
+      dir2.join(cur.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+    }
+    val out = fin.select(
+        split(col("node"), "\\|").getItem(0).as("node_type"),
+        split(col("node"), "\\|").getItem(1).cast("bigint").as("node_id"),
+        col("label"))
+      .orderBy("node_type", "node_id")
+      .localCheckpoint()
+    graft.Fixpoint.release(dir2)
+    out
+  }
+
+  /** g05: per-node triangle counts over the co-occurrence projection
+    * (g03's capped pair table as an undirected part graph) — the
+    * clustering-coefficient / community-density primitive. The classic
+    * skew problem (a hub's wedge count is deg², and naive wedge joins
+    * shuffle all of them) is killed by DEGREE ORIENTATION (Chiba-Nishizeki
+    * / Suri-Vassilvitskii MR-triangle): each undirected edge points from
+    * its lower-(deg, id) endpoint to the higher, bounding every node's
+    * OUT-degree by O(√m) regardless of its true degree; wedges are
+    * generated only from out-neighbors, and each triangle is counted
+    * exactly once at its minimum-(deg, id) pivot. Shuffles: the degree
+    * count, the wedge self-join on the pivot key, the closure semi-join
+    * on the (v, w) pair key, the final per-node count — all equi-keyed,
+    * no product. */
+  def g05(spark: SparkSession, dir: String): DataFrame = {
+    val und = coocPairs(spark, dir).select("p1", "p2").localCheckpoint()
+    val deg = und.select(col("p1").as("node"))
+      .unionAll(und.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("node").as("p1"), col("deg").as("d1")), "p1")
+      .join(deg.select(col("node").as("p2"), col("deg").as("d2")), "p2")
+      .select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("src"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("dst"))
+    val a = o.select(col("src"), col("dst").as("v"))
+    val b = o.select(col("src"), col("dst").as("w"))
+    val tri = a.join(b, "src").filter(col("v") < col("w"))
+      .join(und, col("v") === col("p1") && col("w") === col("p2"), "left_semi")
+      .select(col("src").as("u"), col("v"), col("w"))
+    val out = tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v").as("node")))
+      .unionAll(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+      .localCheckpoint()
+    graft.Fixpoint.release(und)
+    out
+  }
+
+  /** Shared oracle prefix: the capped co-occurrence pair table (g03's
+    * semantics) as DuckDB CTEs ending in `pr2(p1, p2, n_common)`. */
+  private val coocSqlCtes: String =
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |c AS (SELECT s, p FROM (
+       |        SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY p) AS rn
+       |        FROM e) t
+       |      WHERE rn <= $CoocCap),
+       |pr AS (SELECT a.p AS p1, b.p AS p2
+       |       FROM c a JOIN c b ON a.s = b.s AND a.p < b.p),
+       |pr2 AS (SELECT p1, p2, COUNT(*) AS n_common
+       |        FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank_step" -> g01,
     "g02_pagerank_iter3" -> g02,
-    "g03_common_neighbors" -> g03)
+    "g03_common_neighbors" -> g03,
+    "g04_label_prop" -> g04,
+    "g05_triangle_count" -> g05)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
     // pairing); the CAP (rank-by-partkey ≤ 32 per supplier) is mirrored
     // exactly, so semantics match even though mechanics differ
     "g03_common_neighbors" ->
-      s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-         |c AS (SELECT s, p FROM (
-         |        SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY p) AS rn
-         |        FROM e) t
-         |      WHERE rn <= $CoocCap),
-         |pr AS (SELECT a.p AS p1, b.p AS p2
-         |       FROM c a JOIN c b ON a.s = b.s AND a.p < b.p)
-         |SELECT p1, p2, COUNT(*) AS n_common
-         |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |ORDER BY p1, p2""".stripMargin,
+      (coocSqlCtes + "\nSELECT p1, p2, n_common FROM pr2 ORDER BY p1, p2"),
+    // g05: same capped projection, then degree orientation + wedge
+    // self-join + EXISTS closure — mechanics differ (DuckDB has no
+    // struct-ordered when(); the (deg, id) order is spelled as booleans)
+    // but each triangle is still counted exactly once at its pivot
+    "g05_triangle_count" ->
+      (coocSqlCtes + s""",
+         |und AS (SELECT p1, p2 FROM pr2),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM (
+         |          SELECT p1 AS node FROM und
+         |          UNION ALL SELECT p2 FROM und) t GROUP BY node),
+         |o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.p1 < u.p2)
+         |                  THEN u.p1 ELSE u.p2 END AS src,
+         |             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.p1 < u.p2)
+         |                  THEN u.p2 ELSE u.p1 END AS dst
+         |      FROM und u JOIN deg d1 ON d1.node = u.p1
+         |                 JOIN deg d2 ON d2.node = u.p2),
+         |tri AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |        FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+         |        WHERE EXISTS (SELECT 1 FROM und e
+         |                      WHERE e.p1 = a.dst AND e.p2 = b.dst)),
+         |nodes AS (SELECT u AS node FROM tri
+         |          UNION ALL SELECT v FROM tri
+         |          UNION ALL SELECT w FROM tri)
+         |SELECT node, COUNT(*) AS n_tri
+         |FROM nodes GROUP BY node ORDER BY node""".stripMargin),
+    "g04_label_prop" ->
+      """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |dir2 AS (
+        |  SELECT 'part|' || p AS src, 'supplier|' || s AS dst FROM edges
+        |  UNION ALL
+        |  SELECT 'supplier|' || s AS src, 'part|' || p AS dst FROM edges),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir2),
+        |n1 AS (SELECT d.dst AS node, l.label, COUNT(*) AS c
+        |       FROM dir2 d JOIN l0 l ON l.node = d.src GROUP BY 1, 2),
+        |r1 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node
+        |                                   ORDER BY c DESC, label ASC) AS rn
+        |         FROM n1) t WHERE rn = 1),
+        |n2 AS (SELECT d.dst AS node, l.label, COUNT(*) AS c
+        |       FROM dir2 d JOIN r1 l ON l.node = d.src GROUP BY 1, 2),
+        |r2 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node
+        |                                   ORDER BY c DESC, label ASC) AS rn
+        |         FROM n2) t WHERE rn = 1)
+        |SELECT CASE WHEN node LIKE 'part|%' THEN 'part' ELSE 'supplier' END AS node_type,
+        |       CAST(substr(node, position('|' IN node) + 1) AS BIGINT) AS node_id,
+        |       label
+        |FROM r2 ORDER BY node_type, node_id""".stripMargin,
     "g02_pagerank_iter3" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |dir2 AS (

@@ -43,6 +43,46 @@ class GraphSpec extends SparkSuite {
     assert(!plan.contains("Join"), s"pairing must not self-join:\n$plan")
   }
 
+  test("g04: two deterministic LPA rounds match a driver-side replay") {
+    val edges = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (s"part|${r.getLong(0)}", s"supplier|${r.getLong(1)}"))
+    val dir2 = edges ++ edges.map { case (a, b) => (b, a) }
+    val nodes = dir2.map(_._1).distinct
+    val in: Map[String, Seq[String]] =
+      dir2.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSeq }
+    var labels: Map[String, String] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      labels = nodes.map { n =>
+        val counts = in(n).map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = operators.Graph.g04(spark, sf).collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getString(2)).toMap
+    assert(got === labels)
+    // propagation must actually merge communities: strictly fewer
+    // distinct labels than nodes
+    assert(labels.values.toSet.size < nodes.size)
+  }
+
+  test("g05: oriented triangle counts match a brute-force recompute") {
+    val und = operators.Graph.coocPairs(spark, sf).select("p1", "p2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj: Map[Long, Set[Long]] = (und.toSeq ++ und.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val triangles = und.flatMap { case (v, w) =>
+      (adj(v) & adj(w)).map(u => Seq(u, v, w).sorted)
+    } // each triangle found via all 3 edges → set dedupes to once
+    val expected = triangles.toSeq.flatten
+      .groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+    val got = operators.Graph.g05(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "projection must contain triangles at sf0.001")
+  }
+
   test("h05 compaction: tombstoned keys vanish, survivors carry their latest row") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts_ms").collect()
