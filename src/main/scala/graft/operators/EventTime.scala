@@ -196,6 +196,55 @@ object EventTime extends QueryModule {
     out
   }
 
+  /** t15: t10's dense hourly grid with LINEAR INTERPOLATION for
+    * interior gaps (forward-fill is a step function; rates/levels want
+    * the line between bracketing observations — the sensor/metrics
+    * resample default). Same aggregate-first scale shape as t10: ONE
+    * events scan collapses to the |types|·|hours| grid, and BOTH
+    * bracketing observations come from two frames of the same
+    * event_type sort (one window sort, no self-join). Bracketing
+    * (hour, value) pairs travel as structs so prev-value and prev-hour
+    * can never desynchronize. The interpolation itself is the one
+    * textually-pinned double expression
+    *   pv + (nv - pv) · (h - ph) / (nh - ph)
+    * evaluated on exact inputs (DECIMAL-summed values, integer hours),
+    * so both engines produce identical bits; rows outside the first/last
+    * observation stay NULL (extrapolation is a modeling choice, not a
+    * resample). */
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val e = Tables.events(spark, dir)
+      .withColumn("hour", expr(s"ts_ms div $hourMs"))
+    val hourly = e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .cache()
+    val bounds = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val base = Window.partitionBy("event_type").orderBy("hour")
+    val wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("sum_value").isNotNull,
+      struct(col("hour").as("h"), col("sum_value").as("v")))
+    val out = grid.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("p", last(obs, ignoreNulls = true).over(wp))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(wf))
+      .select(col("event_type"), (col("hour") * hourMs).as("hour_start_ms"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_value").isNotNull.as("observed"),
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.v") + (col("nx.v") - col("p.v"))
+              * (col("hour") - col("p.h")).cast("double")
+              / (col("nx.h") - col("p.h")).cast("double"))
+          .as("value_interp"))
+      .orderBy("event_type", "hour_start_ms")
+      .localCheckpoint()
+    hourly.unpersist(blocking = false)
+    out
+  }
+
   /** t11: t07's funnel with CONVERSION DEADLINES — a click only counts
     * within 24 h of the first view, a purchase within 7 d of that click
     * (the semantics product analytics actually bills: late conversions
@@ -289,6 +338,7 @@ object EventTime extends QueryModule {
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
     "t10_resample_ffill" -> t10,
+    "t15_resample_interp" -> t15,
     "t11_conversion_window" -> t11,
     "t08_cohort_retention" -> t08,
     "t01_tumbling" -> t01,
@@ -363,6 +413,42 @@ object EventTime extends QueryModule {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // t15: bracketing observations via the same two IGNORE NULLS frames;
+    // (hour, value) pairs stay paired through CASE-guarded projections of
+    // the same frame (DuckDB has no struct-typed window result to carry)
+    "t15_resample_interp" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//3600000 AS hour, value
+        |           FROM events),
+        |hourly AS (SELECT event_type, hour, COUNT(*) AS n,
+        |                  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+        |grid AS (SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hour
+        |         FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |j AS (SELECT grid.event_type, grid.hour, hourly.n, hourly.sum_value
+        |      FROM grid LEFT JOIN hourly
+        |        ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour),
+        |w AS (SELECT *,
+        |        last_value(CASE WHEN sum_value IS NOT NULL THEN hour END IGNORE NULLS)
+        |          OVER wp AS ph,
+        |        last_value(sum_value IGNORE NULLS) OVER wp AS pv,
+        |        first_value(CASE WHEN sum_value IS NOT NULL THEN hour END IGNORE NULLS)
+        |          OVER wf AS nh,
+        |        first_value(sum_value IGNORE NULLS) OVER wf AS nv
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |                    ROWS UNBOUNDED PRECEDING),
+        |             wf AS (PARTITION BY event_type ORDER BY hour
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour * 3600000 AS hour_start_ms,
+        |       COALESCE(n, 0) AS n,
+        |       sum_value IS NOT NULL AS observed,
+        |       CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |              pv + (nv - pv) * CAST(hour - ph AS DOUBLE)
+        |                             / CAST(nh - ph AS DOUBLE)
+        |       END AS value_interp
+        |FROM w ORDER BY 1, 2""".stripMargin,
     "t10_resample_ffill" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//3600000 AS hour, value
         |           FROM events),

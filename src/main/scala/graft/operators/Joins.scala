@@ -165,6 +165,49 @@ object Joins extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** j19: NEAREST as-of join — for each click event, the purchase event
+    * of the same user closest in time in EITHER direction (ties → the
+    * backward match, mirroring "state at or before" preference). The
+    * sensor-fusion / nearest-companion semantics neither j10 (backward)
+    * nor j18 (forward) covers alone. Both candidates come from ONE
+    * union + ONE uid shuffle: the backward candidate is
+    * max(struct(t, id)) over the preceding frame (equal-ts references
+    * sort before probes → at-or-before; struct max makes the equal-ts
+    * tie deterministic without any pre-dedup aggregation), the forward
+    * candidate min(struct) over the following frame (equal-ts excluded
+    * → strictly-after); both windows share partitioning and ordering so
+    * Spark evaluates them on a single sort. Candidate structs are null
+    * on probe rows (when(src=0)) so the extremes skip them. Linear at
+    * any scale — never a per-row subquery. */
+  def j19(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id").as("uid"), col("ts_ms").as("t"),
+        col("event_id"), col("event_type"))
+    val refs = e.filter(col("event_type") === "purchase")
+      .select(col("uid"), col("t"), lit(0).as("src"), col("event_id"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("uid"), col("t"), lit(1).as("src"), col("event_id"))
+    val base = Window.partitionBy("uid").orderBy(col("t"), col("src"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cand = when(col("src") === 0,
+      struct(col("t").as("rt"), col("event_id").as("rid")))
+    val backWins = col("back").isNotNull &&
+      (col("fwd").isNull || col("dback") <= col("dfwd"))
+    refs.unionByName(probes)
+      .withColumn("back", max(cand).over(wb))
+      .withColumn("fwd", min(cand).over(wf))
+      .filter(col("src") === 1)
+      .withColumn("dback", col("t") - col("back.rt"))
+      .withColumn("dfwd", col("fwd.rt") - col("t"))
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts_ms"),
+        when(backWins, col("back.rid")).otherwise(col("fwd.rid")).as("ref_id"),
+        when(backWins, col("dback")).otherwise(col("dfwd")).as("delta_ms"),
+        when(col("back").isNull && col("fwd").isNull, lit(null).cast("string"))
+          .when(backWins, lit("back")).otherwise(lit("fwd")).as("dir"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: lines of an order shipped within [orderdate, +30d). */
   def j11(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -350,7 +393,8 @@ object Joins extends QueryModule {
     "j11_join_interval" -> j11,
     "j12_self_join" -> j12,
     "j14_join_range_binned" -> j14,
-    "j18_join_asof_fwd" -> j18)
+    "j18_join_asof_fwd" -> j18,
+    "j19_join_asof_nearest" -> j19)
 
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
@@ -415,6 +459,36 @@ object Joins extends QueryModule {
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
         |ORDER BY r1, k1, k2""".stripMargin,
+    // j19: DuckDB runs TWO ASOF joins (backward p.t >= r.t, forward
+    // p.t < r.t) over per-(uid, t)-deduped reference streams (max id on
+    // the backward side, min id forward — the image of struct max/min)
+    // and applies the same tie-to-backward CASE; mechanics differ from
+    // the one-pass union+window but semantics are identical
+    "j19_join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id AS uid, epoch_ns(ts)//1000000 AS t,
+        |                  event_type
+        |           FROM events),
+        |rb AS (SELECT uid, t, max(event_id) AS rid FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |rf AS (SELECT uid, t, min(event_id) AS rid FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT event_id, uid, t FROM e WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, r.t AS bt, r.rid AS bid
+        |      FROM p ASOF LEFT JOIN rb r ON p.uid = r.uid AND p.t >= r.t),
+        |f AS (SELECT p.event_id, r.t AS ft, r.rid AS fid
+        |      FROM p ASOF LEFT JOIN rf r ON p.uid = r.uid AND p.t < r.t)
+        |SELECT p.event_id, p.uid AS user_id, p.t AS ts_ms,
+        |       CASE WHEN bid IS NOT NULL AND (fid IS NULL OR p.t - bt <= ft - p.t)
+        |            THEN bid ELSE fid END AS ref_id,
+        |       CASE WHEN bid IS NOT NULL AND (fid IS NULL OR p.t - bt <= ft - p.t)
+        |            THEN p.t - bt
+        |            ELSE ft - p.t END AS delta_ms,
+        |       CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+        |            WHEN bid IS NOT NULL AND (fid IS NULL OR p.t - bt <= ft - p.t)
+        |            THEN 'back' ELSE 'fwd' END AS dir
+        |FROM p JOIN b ON b.event_id = p.event_id
+        |       JOIN f ON f.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "j10_join_asof" ->
       """WITH ord AS (
         |  SELECT o_custkey AS uid, o_orderdate, max(o_orderkey) AS o_orderkey

@@ -5,6 +5,76 @@ import org.apache.spark.sql.functions._
 /** t07 funnel chain and l26 k-means update step. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("j19: nearest as-of matches a per-event driver replay (ties go backward)") {
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts_ms", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val refs = events.filter(_._4 == "purchase").groupBy(_._2)
+    val expect = events.filter(_._4 == "click").map { case (eid, uid, ts, _) =>
+      val rs = refs.getOrElse(uid, Array.empty[(Long, Long, Long, String)])
+      // backward tie → max id at the winning ts; forward tie → min id
+      val back = rs.filter(_._3 <= ts).map(r => (r._3, r._1)).sorted.lastOption
+      val fwd = rs.filter(_._3 > ts).map(r => (r._3, r._1)).sorted.headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (ts - b._1 <= f._1 - ts) Some((b._2, ts - b._1, "back"))
+          else Some((f._2, f._1 - ts, "fwd"))
+        case (Some(b), None) => Some((b._2, ts - b._1, "back"))
+        case (None, Some(f)) => Some((f._2, f._1 - ts, "fwd"))
+        case _ => None
+      }
+      eid -> pick
+    }.toMap
+    val got = operators.Joins.j19(spark, sf).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4), r.getString(5))))
+    }.toMap
+    assert(got === expect)
+    // fixture must exercise both directions
+    val dirs = got.values.flatten.map(_._3).toSet
+    assert(dirs === Set("back", "fwd"))
+  }
+
+  test("t15: interior gaps interpolate linearly; edges stay null") {
+    val hourly = Tables.events(spark, sf)
+      .withColumn("hour", expr("ts_ms div 3600000"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val hours = hourly.keys.map(_._2)
+    val (h0, h1) = (hours.min, hours.max)
+    val types = hourly.keys.map(_._1).toSeq.distinct
+    val expect = (for {
+      et <- types
+      h <- h0 to h1
+    } yield {
+      val obs = hourly.get((et, h))
+      val interp = obs.map(_._2).orElse {
+        val prev = (h0 until h).reverse.iterator
+          .map(p => hourly.get((et, p)).map(o => (p, o._2))).flatten.nextOption()
+        val next = ((h + 1) to h1).iterator
+          .map(nx => hourly.get((et, nx)).map(o => (nx, o._2))).flatten.nextOption()
+        (prev, next) match {
+          case (Some((ph, pv)), Some((nh, nv))) =>
+            Some(pv + (nv - pv) * (h - ph).toDouble / (nh - ph).toDouble)
+          case _ => None
+        }
+      }
+      (et, h * 3600000L) -> ((obs.map(_._1).getOrElse(0L), obs.isDefined, interp))
+    }).toMap
+    val got = operators.EventTime.t15(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    assert(got === expect)
+    // fixture must exercise an actual interpolated gap
+    assert(got.exists { case (_, (_, observed, v)) => !observed && v.isDefined })
+  }
+
   test("t07: stage times form a strictly increasing chain per user") {
     val rows = operators.EventTime.t07(spark, sf).collect()
     assert(rows.nonEmpty)

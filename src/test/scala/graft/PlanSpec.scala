@@ -291,6 +291,18 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Window"), s"expected the ordered-window pass:\n$plan")
   }
 
+  test("j19: nearest as-of stays the union+window shape — no join, both frames on one sort") {
+    val df = operators.Joins.j19(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"),
+      s"nearest as-of must be union+window, not a join:\n$opt")
+    val plan = planString(df)
+    // both candidate frames share partitioning+ordering → exactly one
+    // window sort (one Exchange on uid), not one per direction
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one uid exchange, found $exchanges:\n$plan")
+  }
+
   test("t13: stream-static enrichment broadcasts the dim side") {
     val plan = planString(operators.EventTime.t13(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
