@@ -370,6 +370,30 @@ object Llm extends QueryModule {
       .select("shuffle_key", "doc_id", "lang", "n_chars")
       .orderBy("shuffle_key", "doc_id")
 
+  /** l47: shard-manifest export integrity — the bookkeeping every
+    * training-data export needs: documents deterministically sharded
+    * (hash of doc_id, l11's discipline), and per shard a manifest row of
+    * counts, token/byte volume, id range, and an ORDER-INDEPENDENT
+    * content fingerprint (XOR of per-doc 60-bit content hashes — any
+    * dropped/duplicated/corrupted doc flips it). Writer and reader can
+    * each compute the manifest independently and diff — the cross-system
+    * handoff check (trainer vs curator). ONE map-side-combinable
+    * aggregate: every stat here merges associatively+commutatively, so
+    * the shuffle carries 8 partial rows per partition at any scale. */
+  def l47(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8").as("shard"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("bigint")).as("total_ws_tokens"),
+        sum(octet_length(col("text")).cast("bigint")).as("total_bytes"),
+        expr("bit_xor(h)").as("content_xor"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("shard")
+
   /** l11: hash-based train/val/test split (80/10/10). Assignment is a pure
     * function of the example id, so it is stable under re-runs,
     * repartitioning, and incremental appends — the property random splits
@@ -531,6 +555,7 @@ object Llm extends QueryModule {
     "l09_fingerprint" -> l09,
     "l10_seeded_shuffle" -> l10,
     "l11_split_assign" -> l11,
+    "l47_export_manifest" -> l47,
     "l12_redact" -> l12,
     "l13_repetition" -> l13,
     "l25_dedup_incremental" -> l25,
@@ -637,6 +662,18 @@ object Llm extends QueryModule {
          |       COALESCE(ne.exact_of, near.near_of) AS dup_of
          |FROM new_exact ne LEFT JOIN near ON near.a = ne.doc_id
          |ORDER BY ne.doc_id""".stripMargin,
+    "l47_export_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+        |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |       bit_xor(h) AS content_xor,
+        |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
     "l10_seeded_shuffle" ->
       """SELECT md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
         |       doc_id, lang, n_chars

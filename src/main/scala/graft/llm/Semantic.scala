@@ -220,7 +220,46 @@ object Semantic extends QueryModule {
       .orderBy("vec_id", "k")
   }
 
+  /** l46: DSIR-style importance resampling scores (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling").
+    * Raw web-scale text is scored by how target-like it is under a
+    * cheap hashed n-gram bag model: unigrams hash into 64 buckets,
+    * p = add-one-smoothed bucket distribution of the TARGET slice
+    * (lang='en' here), q = of the rest; a document's log importance
+    * weight is Σ_b n_b·ln(p_b/q_b). Two shuffles total: the 64-row
+    * distribution aggregate (broadcast back) and the per-doc score —
+    * at 100 TB the distributions are still 64 rows, so the scoring
+    * pass is effectively map-side + one doc-key combine. The per-doc
+    * sum is computed over the SORTED per-bucket term array (l29's
+    * trick) so double addition order can't diverge from the oracle. */
+  def l46(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 64
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("b", expr("CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT)") % nb)
+    val dist = tok.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("ca"))
+    val tot = dist.agg(sum("ct").as("tt"), sum("ca").as("ta"))
+    val llr = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("ct") + 1) / (col("tt") + nb)) /
+            ((col("ca") - col("ct") + 1) / (col("ta") - col("tt") + nb))).as("llr"))
+    tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n_b"))
+      .join(broadcast(llr), "b")
+      .withColumn("term", col("n_b").cast("double") * col("llr"))
+      .groupBy("doc_id")
+      .agg(sum("n_b").as("n_tokens"),
+        sort_array(collect_list(col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(expr("aggregate(terms, 0D, (acc, x) -> acc + x)")
+          * 1000000.0 + 0.5) / 1000000.0).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l46_dsir" -> l46,
     "l27_semdedup" -> l27,
     "l28_chunk_cdc" -> l28,
     "l29_perplexity" -> l29,
@@ -232,6 +271,33 @@ object Semantic extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // l46: identical hashed-bucket distributions + sorted-term summation
+    "l46_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, tgt,
+        |         CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 64 AS b
+        |  FROM tok),
+        |dist AS (
+        |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS ca
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(ca) AS ta FROM dist),
+        |llr AS (
+        |  SELECT b, ln(((ct + 1) / (tt + 64)) /
+        |               ((ca - ct + 1) / (ta - tt + 64))) AS llr
+        |  FROM dist CROSS JOIN tot),
+        |db AS (
+        |  SELECT doc_id, b, COUNT(*) AS n_b FROM tb GROUP BY doc_id, b),
+        |d AS (
+        |  SELECT db.doc_id, CAST(SUM(db.n_b) AS BIGINT) AS n_tokens,
+        |         list_sort(list(CAST(db.n_b AS DOUBLE) * llr.llr)) AS terms
+        |  FROM db JOIN llr ON db.b = llr.b GROUP BY db.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       floor(list_sum(terms) * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+        |FROM d ORDER BY doc_id""".stripMargin,
     "l30_reduce_dim" ->
       s"""WITH e AS (
          |  SELECT vec_id,

@@ -309,7 +309,28 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** a19: argmax/argmin aggregates (`max_by`/`min_by`) — "which user
+    * drove the extreme", the leaderboard primitive that otherwise costs
+    * a window + rank pass (o03). One HashAggregate pair, no window, no
+    * second shuffle. Ties are impossible nondeterminism here because
+    * the ordering key is the FULL struct (total, user_id): max_by picks
+    * the lexicographic max, so any partitioning yields the same row —
+    * the same total order the oracle spells as ORDER BY total, user_id.
+    * Totals accumulate in DECIMAL first (order-independent doubles). */
+  def a19(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(dec(col("value"))).cast("double").as("total"))
+      .groupBy("event_type")
+      .agg(
+        max_by(col("user_id"), struct(col("total"), col("user_id"))).as("top_user"),
+        max(col("total")).as("top_total"),
+        min_by(col("user_id"), struct(col("total"), col("user_id"))).as("bottom_user"),
+        min(col("total")).as("bottom_total"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_argmax" -> a19,
     "a18_countmin" -> a18,
     "a01_agg_hash" -> a01,
     "a02_agg_distinct" -> a02,
@@ -326,6 +347,27 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    // a19: the struct-ordered argmax spelled as rank-1 rows over the
+    // explicit (total, user_id) total order — engine-portable SQL for
+    // what max_by(user_id, struct(total, user_id)) computes
+    "a19_argmax" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY total DESC, user_id DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY total ASC, user_id ASC) AS rmin
+        |  FROM t)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
+        |       MAX(CASE WHEN rmax = 1 THEN total END) AS top_total,
+        |       MAX(CASE WHEN rmin = 1 THEN user_id END) AS bottom_user,
+        |       MAX(CASE WHEN rmin = 1 THEN total END) AS bottom_total
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a18_countmin" ->
       s"""WITH e AS (SELECT event_type AS k FROM events),
          |cells AS (

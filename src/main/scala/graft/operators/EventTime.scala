@@ -331,7 +331,41 @@ object EventTime extends QueryModule {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_ms")
 
+  /** t16: per-user interval-union coverage — total DISTINCT time covered
+    * when every event projects an activity interval [ts, ts+10min).
+    * Unlike sessionization (t03/t14, which partitions events into
+    * islands), this measures the union's LENGTH: overlap is counted
+    * once, so it answers "how long was the user actually active", the
+    * billing/SLA/uptime primitive. Single pass: a running max of
+    * interval ends over the per-user time order turns each event's
+    * marginal contribution into greatest(0, end − greatest(start,
+    * prev_max_end)) — one shuffle (user key), no self-join, no interval
+    * explosion; at 100 TB the window rides the same per-user exchange
+    * any per-user analytic needs. */
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    val lenMs = 600000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("end_ms", col("ts_ms") + lenMs)
+      .withColumn("prev_end", max("end_ms").over(w))
+      .withColumn("covered",
+        when(col("prev_end").isNull, col("end_ms") - col("ts_ms"))
+          .otherwise(greatest(lit(0L),
+            col("end_ms") - greatest(col("ts_ms"), col("prev_end")))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("covered").as("covered_ms"),
+        (max("end_ms") - min("ts_ms")).as("span_ms"))
+      .withColumn("coverage",
+        floor(col("covered_ms") / col("span_ms") * 1000000.0 + 0.5) / 1000000.0)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_interval_union" -> t16,
     "t14_session_dynamic_gap" -> t14,
     "t13_stream_enrich" -> t13,
     "t12_sliding_distinct" -> t12,
@@ -349,6 +383,29 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t16: marginal coverage vs the running max of preceding interval
+    // ends — the same one-pass union-length recurrence as the Spark side
+    "t16_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms,
+        |         epoch_ns(ts)//1000000 + 600000 AS end_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(end_ms) OVER (PARTITION BY user_id
+        |              ORDER BY ts_ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, ts_ms, end_ms,
+        |         CASE WHEN prev_end IS NULL THEN end_ms - ts_ms
+        |              ELSE greatest(0, end_ms - greatest(ts_ms, prev_end)) END AS covered
+        |  FROM m)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(covered) AS BIGINT) AS covered_ms,
+        |       MAX(end_ms) - MIN(ts_ms) AS span_ms,
+        |       floor(SUM(covered) / CAST(MAX(end_ms) - MIN(ts_ms) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS coverage
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // t14: variable-gap islands — prev_end must be the RUNNING MAX of
     // ts+gap over all preceding rows (with variable gaps, the latest
     // event is not necessarily the latest-expiring one)

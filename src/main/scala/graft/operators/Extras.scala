@@ -84,7 +84,38 @@ object Extras extends QueryModule {
         round(col("v").cast("double"), 6).as("v"))
       .orderBy("vec_id", "pos1")
 
+  /** s17: partition-pruned sink + FILE LINEAGE read-back — the data-lake
+    * ingestion audit: write hive-partitioned, then prove from the files
+    * alone (the `_metadata.file_path` hidden column) that (a) every
+    * partition directory holds exactly ONE file (repartition on the
+    * partition key before write — the small-files guard at 100 TB),
+    * and (b) every row's directory agrees with its partition value.
+    * The oracle states the expected invariant (n_files = 1, all rows
+    * path-consistent) against the source table — content survives the
+    * partitioned round-trip bit-exactly. */
+  def s17Write(spark: SparkSession, dir: String): String = {
+    val tmp = Tables.scratchPath("s17_lineage", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    tmp
+  }
+  def s17(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s17Write(spark, dir))
+      .select(col("event_type"), col("event_id"),
+        col("_metadata.file_path").as("fp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_files"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"),
+        sum(when(regexp_extract(col("fp"), "event_type=([^/]+)", 1)
+          === col("event_type"), 1L).otherwise(0L)).as("n_path_consistent"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_sink_lineage" -> s17,
     "x01_udf_uuid5" -> x01,
     "x03_udtf_generator" -> x03,
     "x02_udaf_welford" -> x02,
@@ -92,6 +123,11 @@ object Extras extends QueryModule {
     "j13_join_skew_salted" -> j13)
 
   val oracles: Map[String, String] = Map(
+    "s17_sink_lineage" ->
+      """SELECT event_type, COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+        |       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+        |       COUNT(*) AS n_path_consistent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x02_udaf_welford" ->
       """SELECT l_returnflag,
         |       round(avg(l_quantity), 6) AS w_mean,

@@ -191,14 +191,25 @@ object Graph extends QueryModule {
   /** The capped co-occurrence pair table (p1 < p2, n_common ≥ 2) —
     * g03's body, shared with g05 which treats it as a projected
     * unipartite part graph. */
-  def coocPairs(spark: SparkSession, dir: String): DataFrame = {
+  def coocPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFrom(cappedEdges(spark, dir))
+
+  /** The deterministically capped bipartite edge list (≤ CoocCap parts
+    * per supplier, lowest part ids win) — the skew guard every
+    * co-occurrence consumer shares. */
+  private def cappedEdges(spark: SparkSession, dir: String): DataFrame = {
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
-    val capped = edges
+    edges
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= CoocCap)
+      .select("s", "p")
+  }
+
+  /** Bounded-array pair generation from a capped edge list. */
+  private def pairsFrom(capped: DataFrame): DataFrame =
     capped.groupBy("s")
       .agg(sort_array(collect_list(col("p"))).as("a"))
       .filter(size(col("a")) >= 2)
@@ -210,6 +221,31 @@ object Graph extends QueryModule {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= 2)
+
+  /** g06: neighborhood Jaccard similarity over the capped co-occurrence
+    * projection — the link-prediction / entity-resolution primitive
+    * (|N(a)∩N(b)| / |N(a)∪N(b)| where N(p) = supplier set of part p).
+    * The intersection is g03's capped pair count; the union comes for
+    * free from per-part capped degrees (deg1 + deg2 − n_common), so the
+    * whole measure costs ONE extra 2-key aggregate + two equi-joins on
+    * the pair table — no new pair generation, no second pass over
+    * lineitem (the capped edge list is checkpointed and reused). Same
+    * skew bound as g03: the cap keeps any hub's pair fan-out at O(C²).
+    * Ratio is floor-rounded at 1e-6 so the double division can't hash-
+    * diverge between engines. */
+  def g06(spark: SparkSession, dir: String): DataFrame = {
+    val capped = cappedEdges(spark, dir).localCheckpoint()
+    val deg = capped.groupBy("p").agg(count(lit(1)).as("deg"))
+    val out = pairsFrom(capped)
+      .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+      .select(col("p1"), col("p2"), col("n_common"),
+        (floor(col("n_common") / (col("d1") + col("d2") - col("n_common"))
+          * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
+      .orderBy("p1", "p2")
+      .localCheckpoint()
+    graft.Fixpoint.release(capped)
+    out
   }
 
   /** g04: TWO synchronous rounds of deterministic label propagation
@@ -315,7 +351,8 @@ object Graph extends QueryModule {
     "g02_pagerank_iter3" -> g02,
     "g03_common_neighbors" -> g03,
     "g04_label_prop" -> g04,
-    "g05_triangle_count" -> g05)
+    "g05_triangle_count" -> g05,
+    "g06_jaccard_neighbors" -> g06)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
@@ -323,6 +360,16 @@ object Graph extends QueryModule {
     // exactly, so semantics match even though mechanics differ
     "g03_common_neighbors" ->
       (coocSqlCtes + "\nSELECT p1, p2, n_common FROM pr2 ORDER BY p1, p2"),
+    // g06: capped degrees come from the SAME capped edge CTE `c` the
+    // pair table is built from, so intersection and union are consistent
+    "g06_jaccard_neighbors" ->
+      (coocSqlCtes + """,
+         |deg AS (SELECT p, COUNT(*) AS deg FROM c GROUP BY p)
+         |SELECT p1, p2, n_common,
+         |       floor(n_common / CAST(d1.deg + d2.deg - n_common AS DOUBLE)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM pr2 JOIN deg d1 ON d1.p = p1 JOIN deg d2 ON d2.p = p2
+         |ORDER BY p1, p2""".stripMargin),
     // g05: same capped projection, then degree orientation + wedge
     // self-join + EXISTS closure — mechanics differ (DuckDB has no
     // struct-ordered when(); the (deg, id) order is spelled as booleans)

@@ -303,7 +303,41 @@ object History extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** h10: BITEMPORAL as-of — two independent time axes per update:
+    * TRANSACTION time (when the system learned it; the event's ts) and
+    * VALID time (when it applies in the world; here a 0-27 day axis
+    * derived from the event's payload). The audit question single-axis
+    * as-of (h03/h08) can't answer: "what did we BELIEVE on T the state
+    * valid at V was?" — corrections recorded later must not leak into
+    * earlier beliefs. For a fixed belief point T and a valid-day grid,
+    * pick per (user, V) the update with max (valid_from ≤ V) among
+    * those with tx ≤ T, latest-tx-wins within a valid day. One window
+    * over one user-key shuffle after an explode of the 4-point grid —
+    * grid size is a constant, so the shape is the same per-entity
+    * window any temporal query needs at 100 TB. */
+  def h10(spark: SparkSession, dir: String): DataFrame = {
+    val txCut = 1705363200000L // belief point T: 2024-01-16T00:00Z
+    val grid = Seq(6, 13, 20, 27)
+    val upd = Tables.events(spark, dir)
+      .filter(col("ts_ms") <= txCut)
+      .select(col("user_id"), col("ts_ms").as("tx_ms"), col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 28).as("valid_day"),
+        col("value"))
+    val w = Window.partitionBy("user_id", "v")
+      .orderBy(col("valid_day").desc, col("tx_ms").desc, col("event_id").desc)
+    upd.withColumn("v",
+        explode(expr(s"array(${grid.map(_ + "L").mkString(",")})")))
+      .filter(col("valid_day") <= col("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("v").as("valid_day_asof"),
+        col("valid_day"), col("tx_ms"), col("event_id"),
+        col("value"))
+      .orderBy("user_id", "valid_day_asof")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h10_bitemporal" -> h10,
     "h09_mv_rewrite" -> h09,
     "h08_pit_join" -> h08,
     "h06_view_maintain" -> h06,
@@ -315,6 +349,27 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h10: the same two-axis pick spelled as a rank over (valid desc,
+    // tx desc, id desc) per (user, grid point); value passes through
+    // unaggregated, so both engines surface the identical parquet double
+    "h10_bitemporal" ->
+      """WITH upd AS (
+        |  SELECT user_id, epoch_ns(ts)//1000000 AS tx_ms, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 28 AS valid_day,
+        |         value
+        |  FROM events
+        |  WHERE epoch_ns(ts)//1000000 <= 1705363200000),
+        |g AS (SELECT CAST(unnest([6, 13, 20, 27]) AS BIGINT) AS v),
+        |r AS (
+        |  SELECT u.*, g.v,
+        |         row_number() OVER (PARTITION BY u.user_id, g.v
+        |             ORDER BY u.valid_day DESC, u.tx_ms DESC, u.event_id DESC) AS rn
+        |  FROM upd u CROSS JOIN g
+        |  WHERE u.valid_day <= g.v)
+        |SELECT user_id, v AS valid_day_asof, valid_day, tx_ms, event_id,
+        |       value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, valid_day_asof""".stripMargin,
     // h09: the oracle aggregates the RAW table — equality proves the
     // optimizer's MV rewrite is lossless
     "h09_mv_rewrite" ->

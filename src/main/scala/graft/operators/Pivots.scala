@@ -115,7 +115,30 @@ object Pivots extends QueryModule {
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** p10: correlated LATERAL subquery — the per-outer-row derived table
+    * (top-2 orders per customer spelled as the SQL-standard LATERAL,
+    * the form BI generators emit). Catalyst decorrelates the correlated
+    * ORDER BY … LIMIT into a partitioned window rank under the hood, so
+    * the physical plan is o03's one-shuffle top-k, not a per-row
+    * re-execution — the point of registering it: the declarative text
+    * scales because the optimizer rewrites it. Customers with no orders
+    * drop out (inner lateral), same in both engines. */
+  def p10(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_p10_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_p10_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_p10_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM graft_p10_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_lateral" -> p10,
     "a10_pivot" -> a10,
     "a11_unpivot" -> a11,
     "p05_scalar_subquery" -> p05,
@@ -127,6 +150,15 @@ object Pivots extends QueryModule {
     "o04_sample" -> o04)
 
   val oracles: Map[String, String] = Map(
+    "p10_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "a10_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_f,

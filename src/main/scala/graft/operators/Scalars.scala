@@ -221,7 +221,28 @@ object Scalars extends QueryModule {
         expr("url_decode(url_encode(p_name))").as("dec_name"))
       .orderBy("p_partkey")
 
+  /** f14: regex scalar family — extract / extract-all-count / global
+    * replace over document text. All patterns are in the dialect
+    * intersection of Java regex (Spark, codegen'd) and RE2 (DuckDB):
+    * plain character classes, no backrefs/lookarounds. Spark's
+    * regexp_extract returns '' on no-match where engines differ on
+    * NULL-vs-empty, so every extract is NULLIF-normalized on BOTH
+    * sides. Map-only — the whole row stays in one WholeStageCodegen
+    * span over the scan. */
+  def f14(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nullif(regexp_extract(col("text"), "[0-9]+", 0), lit("")).as("first_num"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").as("n_nums"),
+        nullif(regexp_extract(col("text"), "[A-Z][a-z]+", 0), lit("")).as("first_cap"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("bigint").as("n_words"),
+        regexp_replace(substring(col("text"), 1, 40), "[0-9]", "#").as("masked_prefix"),
+        col("text").rlike("[0-9]{2,}").as("has_multidigit"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f14_regex" -> f14,
     "f13_url" -> f13,
     "f09_string_extended" -> f09,
     "f11_bitwise" -> f11,
@@ -237,6 +258,15 @@ object Scalars extends QueryModule {
     "f12_hof" -> f12)
 
   val oracles: Map[String, String] = Map(
+    "f14_regex" ->
+      """SELECT doc_id,
+        |       NULLIF(regexp_extract(text, '[0-9]+'), '') AS first_num,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        |       NULLIF(regexp_extract(text, '[A-Z][a-z]+'), '') AS first_cap,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |       regexp_replace(substr(text, 1, 40), '[0-9]', '#', 'g') AS masked_prefix,
+        |       regexp_matches(text, '[0-9]{2,}') AS has_multidigit
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f13_url" ->
       """WITH u AS (
         |  SELECT p_partkey, p_name,

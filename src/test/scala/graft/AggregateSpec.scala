@@ -73,6 +73,31 @@ class AggregateSpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("a19: max_by/min_by argmax matches an explicit sort-based recompute") {
+    val totals = Tables.events(spark, sf)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((et, u), xs) =>
+        val tot = xs.map(x => BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        (et, u, tot)
+      }.toSeq
+    val expected = totals.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val top = xs.maxBy(x => (x._3, x._2))
+      val bot = xs.minBy(x => (x._3, x._2))
+      (et, top._2, top._3, bot._2, bot._3)
+    }.sortBy(_._1)
+    val got = operators.Aggregates.a19(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected)
+    // single aggregation pass: no Window/Sort below the final agg pair
+    val plan = operators.Aggregates.a19(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must not fall back to a window:\n$plan")
+  }
+
   test("hash functions: golden vectors (sha1/xxhash64/crc32 not oracled)") {
     val row = spark.sql(
       """SELECT md5('abc') AS m, sha1('abc') AS s1, sha2('abc', 256) AS s2,

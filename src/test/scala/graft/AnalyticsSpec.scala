@@ -149,6 +149,35 @@ class AnalyticsSpec extends SparkSuite {
       "10-minute click gap must split more sessions than the fixed 30-minute gap")
   }
 
+  test("t16: interval-union coverage matches a driver-side sweep-line replay") {
+    val lenMs = 600000L
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.map { case (u, es) =>
+      val iv = es.map(e => (e._3, e._3 + lenMs)).sortBy(identity)
+      // classic merge-then-measure union length (independent of the
+      // running-max recurrence under test)
+      var covered = 0L
+      var (cs, ce) = iv.head
+      iv.tail.foreach { case (s2, e2) =>
+        if (s2 > ce) { covered += ce - cs; cs = s2; ce = e2 }
+        else ce = math.max(ce, e2)
+      }
+      covered += ce - cs
+      (u, es.size.toLong, covered, iv.map(_._2).max - iv.map(_._1).min)
+    }.sortBy(_._1)
+    val got = operators.EventTime.t16(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // coverage ratio bounds + overlap must actually occur in the fixture
+    val cov = operators.EventTime.t16(spark, sf).collect()
+      .map(r => r.getDouble(4))
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    assert(got.exists { case (_, n, covered, _) => covered < n * lenMs },
+      "fixture must contain overlapping intervals or the union is trivial")
+  }
+
   test("l26: every vector is assigned and counts are dim-consistent") {
     val out = llm.Dedup.l26(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -43,6 +43,34 @@ class GraphSpec extends SparkSuite {
     assert(!plan.contains("Join"), s"pairing must not self-join:\n$plan")
   }
 
+  test("g06: neighborhood jaccard is consistent with g03 pairs and capped degrees") {
+    // independent recompute of capped supplier-sets per part
+    val edges = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cappedBySupp = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted.take(operators.Graph.CoocCap).toSet
+    }
+    val nbr: Map[Long, Set[Long]] = cappedBySupp.toSeq
+      .flatMap { case (s, ps) => ps.map(p => (p, s)) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val got = operators.Graph.g06(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (p1, p2, n, j) =>
+      val inter = (nbr(p1) intersect nbr(p2)).size
+      val union = (nbr(p1) union nbr(p2)).size
+      assert(inter === n, s"($p1,$p2) intersection")
+      val exp = math.floor(n.toDouble / union * 1e6 + 0.5) / 1e6
+      assert(j === exp, s"($p1,$p2) jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // same pair set as g03 (the n≥2 capped pair table)
+    val g03Pairs = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet === g03Pairs)
+  }
+
   test("g04: two deterministic LPA rounds match a driver-side replay") {
     val edges = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").distinct().collect()

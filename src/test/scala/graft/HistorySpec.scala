@@ -98,6 +98,33 @@ class HistorySpec extends SparkSuite {
     }
   }
 
+  test("h10: bitemporal picks match a per-(user, grid-point) driver replay; " +
+      "later corrections never leak into earlier beliefs") {
+    val txCut = 1705363200000L
+    val events = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ms", "event_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) % 28 AS valid_day", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    def pick(user: Long, v: Long, tx: Long) =
+      events.filter(e => e._1 == user && e._2 <= tx && e._4 <= v)
+        .sortBy(e => (-e._4, -e._2, -e._3)).headOption
+    val got = operators.History.h10(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, v, vd, tx, id, value) =>
+      val exp = pick(u, v, txCut).get
+      assert((vd, tx, id, value) === ((exp._4, exp._2, exp._3, exp._5)), s"($u, $v)")
+    }
+    // bitemporal property: moving the belief point EARLIER can only
+    // select an equal-or-earlier-tx update (no future knowledge)
+    val earlier = txCut - 7L * 86400000L
+    got.foreach { case (u, v, _, tx, _, _) =>
+      pick(u, v, earlier).foreach { e => assert(e._2 <= tx, s"($u, $v)") }
+    }
+  }
+
   test("h02: merged partials equal the single-pass full aggregate exactly") {
     val merged = operators.History.h02(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))

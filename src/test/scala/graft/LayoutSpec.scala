@@ -115,6 +115,23 @@ class LayoutSpec extends SparkSuite {
       "range predicates must be pushed to the scan:\n" + plan.take(800))
   }
 
+  test("s17: lineage sink writes exactly one file per partition dir and " +
+      "every row's path agrees with its partition value") {
+    val tmp = operators.Extras.s17Write(spark, sf)
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: expected 1 file, got ${files.length}")
+    }
+    // the query's own consistency column must be total
+    operators.Extras.s17(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_path_consistent") === r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_files") === 1L)
+    }
+  }
+
   test("a16: median/MAD/outlier profile matches a local recompute") {
     val got = operators.Aggregates.a16(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))

@@ -87,6 +87,36 @@ class PipelineSpec extends SparkSuite {
       col("keep") =!= (col("r_len") * col("r_wlen") * col("r_digit") * col("r_sym"))).count() == 0)
   }
 
+  test("l47: manifest matches a driver-side recompute and the XOR fingerprint " +
+      "detects any single-document drop") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h15(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(15), 16)
+    val manifest = docs.groupBy { case (id, _) => h15(s"shard:$id") % 8 }
+      .map { case (shard, ds) =>
+        shard -> (ds.length.toLong,
+          ds.map(_._2.split("\\s+", -1).length.toLong).sum,
+          ds.map(_._2.getBytes("UTF-8").length.toLong).sum,
+          ds.map(d => h15(d._2)).reduce(_ ^ _),
+          ds.map(_._1).min, ds.map(_._1).max)
+      }
+    val got = llm.Llm.l47(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got === manifest)
+    // integrity property: removing any one doc flips its shard's xor
+    // (h ^ h' == 0 only if the dropped doc's hash is 0 — never for md5)
+    docs.take(20).foreach { case (id, text) =>
+      val shard = h15(s"shard:$id") % 8
+      val without = docs.filter(d => d._1 != id && h15(s"shard:${d._1}") % 8 == shard)
+      if (without.nonEmpty) {
+        val x = without.map(d => h15(d._2)).reduce(_ ^ _)
+        assert(x !== got(shard)._4, s"dropping doc $id must flip shard $shard xor")
+      }
+    }
+  }
+
   test("l42: BPE pair counts match a driver-side recompute; pair pass is vocab-bounded") {
     val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
     val freq = texts.flatMap(_.toLowerCase.split(" "))

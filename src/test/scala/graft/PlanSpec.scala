@@ -98,6 +98,28 @@ class PlanSpec extends SparkSuite {
     assert(planString(operators.Joins.j08(spark, sf)).contains("LeftAnti"))
   }
 
+  test("p10: correlated LATERAL decorrelates to a rank, not per-row re-execution") {
+    val df = operators.Pivots.p10(spark, sf)
+    val plan = planString(df)
+    // Catalyst must rewrite the correlated ORDER BY … LIMIT into a
+    // partitioned window group-limit + equi join — the o03 shape
+    assert(!plan.contains("Cartesian"), s"lateral must not stay a product:\n$plan")
+    assert(plan.contains("Window"), s"expected a window rank rewrite:\n$plan")
+    // and it must agree with the direct window-rank formulation
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(
+        W.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 2)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(df.collect().map(_.toString).toSeq ===
+      direct.collect().map(_.toString).toSeq)
+  }
+
   test("o02: global limit after sort becomes TakeOrderedAndProject") {
     val plan = planString(operators.Windows.o02(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")

@@ -90,6 +90,42 @@ class SemanticSpec extends SparkSuite {
     }
   }
 
+  test("l46 dsir: log-weights match a from-scratch hashed-unigram-bag replay " +
+      "and separate target from raw") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(t: String): Int =
+      (java.lang.Long.parseLong(md5Hex(t).take(6), 16) % 64).toInt
+    val tokens = docs.flatMap { case (id, lang, text) =>
+      text.toLowerCase.split(" ", -1).map(t => (id, lang == "en", bucket(t)))
+    }
+    val ct = Array.fill(64)(0L); val ca = Array.fill(64)(0L)
+    tokens.foreach { case (_, tgt, b) => if (tgt) ct(b) += 1; ca(b) += 1 }
+    val tt = ct.sum.toDouble; val ta = ca.sum.toDouble
+    val llr = (0 until 64).map { b =>
+      math.log(((ct(b) + 1) / (tt + 64)) / ((ca(b) - ct(b) + 1) / (ta - tt + 64)))
+    }
+    val expected = tokens.groupBy(_._1).map { case (id, ts) =>
+      val terms = ts.groupBy(_._3).map { case (b, xs) => xs.size.toDouble * llr(b) }
+      // engine-parallel summation order: sorted ascending
+      val s = terms.toSeq.sorted.sum
+      id -> (ts.size.toLong, math.floor(s * 1e6 + 0.5) / 1e6)
+    }
+    val got = llm.Semantic.l46(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === docs.length)
+    got.foreach { case (id, n, w) =>
+      assert((n, w) === expected(id), s"doc $id")
+    }
+    // the score must actually discriminate: mean target weight above
+    // mean raw weight (that is the whole point of importance weighting)
+    val byLang = docs.map(d => (d._1, d._2 == "en")).toMap
+    val (tgtW, rawW) = got.partition(g => byLang(g._1))
+    assert(tgtW.map(_._3).sum / tgtW.length > rawW.map(_._3).sum / rawW.length,
+      "target docs must score higher on average")
+  }
+
   test("l29 perplexity: matches a from-scratch unigram cross-entropy") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
