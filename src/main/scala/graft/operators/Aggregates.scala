@@ -329,7 +329,28 @@ object Aggregates extends QueryModule {
         min(col("total")).as("bottom_total"))
       .orderBy("event_type")
 
+  /** a20: EXACT distinct counting via mergeable bitmap partials — the
+    * scale alternative to both count(distinct) (whose expand doubles
+    * the shuffled rows) and HLL (approximate, a03). Dense ids pack 64
+    * per bucket: bucket = id div 64, partial = bit_or of (1 << id%64)
+    * — an 8-byte mergeable sketch cell exactly like a13/a18, but LOSSLESS.
+    * The real win is INCREMENTAL (h02's story): yesterday's per-bucket
+    * bitmaps OR with today's delta — distinct-over-history without
+    * rescanning history, which no count(distinct) can do. Shuffles:
+    * (key, bucket) partial then key merge, both map-side-combinable;
+    * popcount rides the final aggregate. */
+  def a20(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("user_id div 64").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bm")).cast("bigint")).as("n_distinct"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_bitmap_distinct" -> a20,
     "a19_argmax" -> a19,
     "a18_countmin" -> a18,
     "a01_agg_hash" -> a01,
@@ -347,6 +368,14 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    // a20: the bitmap construction is engine-internal; the CONTRACT is
+    // exact distinct counts + the bucket count of the id space actually
+    // touched — both first-class SQL
+    "a20_bitmap_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS n_distinct,
+        |       COUNT(DISTINCT user_id // 64) AS n_buckets
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // a19: the struct-ordered argmax spelled as rank-1 rows over the
     // explicit (total, user_id) total order — engine-portable SQL for
     // what max_by(user_id, struct(total, user_id)) computes

@@ -364,7 +364,29 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** t17: OHLC candlestick bars — per (event_type, hour): first value
+    * (open), last value (close), extremes (high/low), exact volume. The
+    * time-series downsampling primitive metrics stores and financial
+    * pipelines run continuously. open/close are a19's struct-ordered
+    * argmin/argmax over (ts, event_id) — ONE aggregation pass, no
+    * window sort (the naive first_value/last_value formulation needs a
+    * per-bar sort; min_by/max_by fold map-side). Raw doubles pass
+    * through unaggregated except volume (DECIMAL accumulation). */
+  def t17(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"(ts_ms div $hourMs) * $hourMs").as("hour_start_ms"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"),
+        max("value").as("high"), min("value").as("low"),
+        sum(dec(col("value"))).cast("double").as("volume"))
+      .orderBy("event_type", "hour_start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_ohlc_bars" -> t17,
     "t16_interval_union" -> t16,
     "t14_session_dynamic_gap" -> t14,
     "t13_stream_enrich" -> t13,
@@ -383,6 +405,29 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t17: open/close spelled as rank-1 rows over the explicit
+    // (ts, event_id) order — the engine-portable image of
+    // min_by/max_by(value, struct(ts_ms, event_id))
+    "t17_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms,
+        |         (epoch_ns(ts)//1000000 // 3600000) * 3600000 AS hour_start_ms
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour_start_ms
+        |                       ORDER BY ts_ms, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hour_start_ms
+        |                       ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, hour_start_ms, COUNT(*) AS n,
+        |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS volume
+        |FROM r GROUP BY event_type, hour_start_ms
+        |ORDER BY event_type, hour_start_ms""".stripMargin,
     // t16: marginal coverage vs the running max of preceding interval
     // ends — the same one-pass union-length recurrence as the Spark side
     "t16_interval_union" ->

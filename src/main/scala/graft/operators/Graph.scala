@@ -248,6 +248,39 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g07: multi-source BFS layers — min-hop distance (≤ 3 rounds) from a
+    * seed set over the capped co-occurrence graph; the reachability /
+    * blast-radius primitive (which parts are within k substitution hops
+    * of a recalled part set). Classic iterative frontier relaxation in
+    * its SHUFFLE-MINIMAL form: each round is ONE edge⋈frontier equi join
+    * + a min-combine on the node key (map-side combinable, so the
+    * shuffle carries one row per (node) per partition, not per path —
+    * path counts explode combinatorially, min-distance does not). Fixed
+    * 3 rounds keeps the result hash-gateable; the unbounded version is
+    * g02's Fixpoint loop with a convergence observe(). */
+  def g07(spark: SparkSession, dir: String): DataFrame = {
+    // near-id substitution band: the dense co-occurrence projection is
+    // small-world (everything within 1-2 hops — no layering to test);
+    // restricting to near-id pairs keeps a long-diameter graph whose
+    // BFS layers actually exercise the iteration
+    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
+    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(50)) === 0)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      val nxt = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(nxt).groupBy("node").agg(min("dist").as("dist"))
+    }
+    val out = dist.orderBy("node").localCheckpoint()
+    graft.Fixpoint.release(edges)
+    out
+  }
+
   /** g04: TWO synchronous rounds of deterministic label propagation
     * (community detection) over the part↔supplier bipartite graph. The
     * classic LPA tie-break ("random neighbor label") is replaced by a
@@ -352,7 +385,8 @@ object Graph extends QueryModule {
     "g03_common_neighbors" -> g03,
     "g04_label_prop" -> g04,
     "g05_triangle_count" -> g05,
-    "g06_jaccard_neighbors" -> g06)
+    "g06_jaccard_neighbors" -> g06,
+    "g07_bfs_layers" -> g07)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
@@ -370,6 +404,29 @@ object Graph extends QueryModule {
          |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM pr2 JOIN deg d1 ON d1.p = p1 JOIN deg d2 ON d2.p = p2
          |ORDER BY p1, p2""".stripMargin),
+    // g07: three frontier rounds unrolled as min-combine CTEs (DuckDB
+    // recursive CTEs can't express min-distance dedup per round without
+    // UNION-distinct-by-key; the unrolled form is the same relaxation)
+    "g07_bfs_layers" ->
+      (coocSqlCtes + """,
+         |band AS (SELECT p1, p2 FROM pr2 WHERE p2 - p1 <= 4),
+         |und AS (SELECT p1 AS src, p2 AS dst FROM band
+         |        UNION ALL SELECT p2, p1 FROM band),
+         |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM und WHERE src % 50 = 0),
+         |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+         |         SELECT node, dist FROM d0 UNION ALL
+         |         SELECT u.dst, d0.dist + 1 FROM und u JOIN d0 ON u.src = d0.node) t1
+         |       GROUP BY node),
+         |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+         |         SELECT node, dist FROM d1 UNION ALL
+         |         SELECT u.dst, d1.dist + 1 FROM und u JOIN d1 ON u.src = d1.node) t2
+         |       GROUP BY node),
+         |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+         |         SELECT node, dist FROM d2 UNION ALL
+         |         SELECT u.dst, d2.dist + 1 FROM und u JOIN d2 ON u.src = d2.node) t3
+         |       GROUP BY node)
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
     // g05: same capped projection, then degree orientation + wedge
     // self-join + EXISTS closure — mechanics differ (DuckDB has no
     // struct-ordered when(); the (deg, id) order is spelled as booleans)

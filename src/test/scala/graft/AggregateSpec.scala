@@ -73,6 +73,29 @@ class AggregateSpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("a20: bitmap distinct equals exact countDistinct; partial bitmaps merge") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = operators.Aggregates.a20(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === exact)
+    // mergeability: OR-ing two half-corpus bitmap sets equals the full
+    // one — the incremental-distinct contract
+    val e = Tables.events(spark, sf).select("event_type", "user_id", "event_id")
+    def bitmaps(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), expr("user_id div 64").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").as("bm"))
+    val merged = bitmaps(e.filter(col("event_id") % 2 === 0))
+      .unionAll(bitmaps(e.filter(col("event_id") % 2 === 1)))
+      .groupBy("event_type", "bucket").agg(expr("bit_or(bm)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bm")).cast("bigint")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === exact)
+  }
+
   test("a19: max_by/min_by argmax matches an explicit sort-based recompute") {
     val totals = Tables.events(spark, sf)
       .select("event_type", "user_id", "value").collect()

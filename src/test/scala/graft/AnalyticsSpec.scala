@@ -178,6 +178,29 @@ class AnalyticsSpec extends SparkSuite {
       "fixture must contain overlapping intervals or the union is trivial")
   }
 
+  test("t17: OHLC bars match a per-bar driver replay; no window in the plan") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(e => (e._1, e._3 / 3600000L * 3600000L))
+      .map { case ((et, h), es) =>
+        val ord = es.sortBy(e => (e._3, e._2))
+        val vol = es.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        (et, h) -> (es.size.toLong, ord.head._4, ord.last._4,
+          es.map(_._4).max, es.map(_._4).min, vol)
+      }
+    val got = operators.EventTime.t17(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got === expected)
+    val plan = operators.EventTime.t17(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"open/close must fold in the aggregate, not a window sort:\n$plan")
+  }
+
   test("l26: every vector is assigned and counts are dim-consistent") {
     val out = llm.Dedup.l26(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

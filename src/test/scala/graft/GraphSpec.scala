@@ -71,6 +71,25 @@ class GraphSpec extends SparkSuite {
     assert(got.map(t => (t._1, t._2)).toSet === g03Pairs)
   }
 
+  test("g07: three BFS rounds match a driver-side frontier relaxation") {
+    val pairs = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 - p._1 <= 4) // g07's near-id band
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var dist: Map[Long, Long] = adj.keys.filter(_ % 50 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (n, d) => adj(n).map(_ -> (d + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = operators.Graph.g07(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    // the fixture must actually produce layered distances, not just seeds
+    assert(got.values.toSet.size >= 3, s"distances seen: ${got.values.toSet}")
+  }
+
   test("g04: two deterministic LPA rounds match a driver-side replay") {
     val edges = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").distinct().collect()
