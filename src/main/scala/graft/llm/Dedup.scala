@@ -212,8 +212,7 @@ object Dedup extends QueryModule {
     * SFs, so the test corpus is verified collision-free rather than
     * assumed. */
   private def rareGrams(gramsArr: DataFrame, docs: DataFrame): DataFrame = {
-    val grams = gramsArr.select(col("doc_id"),
-      explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))
+    val grams = gramsArr.select(col("doc_id"), explode(col("hs")).as("g"))
     // rarity cap is CORPUS-RELATIVE: max(RareDf, 1% of docs). An absolute
     // cap silently de-tunes as the corpus grows (a gram shared by every
     // copy in a 10×-duplicated cluster exceeds it and the cluster stops
@@ -227,12 +226,21 @@ object Dedup extends QueryModule {
       .select("g", "df")
   }
 
+  /** Per-doc DISTINCT gram-hash arrays. Grams are hashed at EXTRACTION
+    * (xxhash64 inside the transform) so every downstream consumer — the
+    * rarity explode, the candidate join, the exact-verify sets — reads
+    * the same 8-byte longs; hashing once here (instead of re-hashing the
+    * cached string arrays in each consumer) removes two full hash passes
+    * and shrinks the cached arrays from 8-char strings to 8-byte longs.
+    * array_distinct over hashes == distinct strings modulo the ~1e-8
+    * collision exposure documented above (DedupSpec pins hash-vs-string
+    * distinct counts at the test SFs). */
   private def gramArrays(docs: DataFrame): DataFrame =
     docs
       // <GramLen-char docs yield no grams (descending-sequence guard)
       .filter(length(col("text")) >= GramLen)
       .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> substring(text, i, $GramLen)))").as("gs"))
+        s"array_distinct(transform(sequence(1, length(text) - ${GramLen - 1}), i -> xxhash64(substring(text, i, $GramLen))))").as("hs"))
 
   /** Σ df·(df−1)/2 over the rare grams — the candidate pairs the rare-gram
     * self-join generates (with multiplicity across grams), from the df
@@ -254,8 +262,7 @@ object Dedup extends QueryModule {
     val gramsArr = gramArrays(docs).cache()
     // all pairing/rarity plumbing shuffles the 8-byte gram HASH, never
     // the gram string — the string exists only inside its document row
-    val grams = gramsArr.select(col("doc_id"),
-      explode(expr("transform(gs, g -> xxhash64(g))")).as("g"))
+    val grams = gramsArr.select(col("doc_id"), explode(col("hs")).as("g"))
     val rare = rareGrams(gramsArr, docs)
     // the candidate self-join runs on the RARE-gram subset only — both
     // sides are pre-filtered to rare grams before the pair shuffle, so
@@ -279,8 +286,7 @@ object Dedup extends QueryModule {
     // then two |cand|-row joins. 64-bit xxhash64 over ≤ millions of
     // distinct grams makes a collision (the only way counts could differ
     // from the string oracle) ~1e-8.
-    val gsets = gramsArr.select(col("doc_id"),
-      expr("transform(gs, g -> xxhash64(g))").as("hs"))
+    val gsets = gramsArr.select(col("doc_id"), col("hs"))
     val out = cand
       .join(gsets.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
       .join(gsets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
