@@ -376,7 +376,56 @@ object Joins extends QueryModule {
       j17Frame(spark, dir).queryExecution.executedPlan.toString
     }
 
+  /** j20: DYNAMIC partition pruning — the partition-elimination that
+    * static pushdown can't do because the pruning values come from
+    * ANOTHER table at runtime: fact (hive-partitioned by year, s07's
+    * sink) joined to a dim derived from lineitem's 1996-98 shipments.
+    * Catalyst injects a dynamicpruning subquery into the fact scan's
+    * PartitionFilters (PlanSpec pins it), so only the matching year
+    * directories are read — at 100 TB the difference between scanning
+    * 3 partitions and scanning all of them. Dim side broadcasts; DPP
+    * reuses that broadcast as the pruning filter (no extra job). */
+  def j20(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(Extras.s07Write(spark, dir))
+    val dim = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1999-01-01")
+      .select(year(col("l_shipdate")).as("o_year")).distinct()
+    fact.join(broadcast(dim), "o_year")
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_year")
+  }
+
+  /** j21: fuzzy (edit-distance) name matching with BLOCKING — the
+    * entity-resolution join. Direct fuzzy join is O(n²) levenshtein
+    * calls; the classic fix is (1) dedupe to the NAME DICTIONARY
+    * (names repeat heavily — the dictionary is orders of magnitude
+    * smaller than the table), (2) self-join only within a blocking key
+    * (the 4-char suffix ≈ the head noun) so candidates stay near-linear,
+    * (3) map matched name pairs back to row counts by broadcast. All
+    * three joins are dictionary-sized broadcasts — the fact table is
+    * touched exactly once, for the name histogram. */
+  def j21(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n"))
+    val names = counts.select(col("p_name"),
+      substring(col("p_name"), -4, 4).as("blk"))
+    names.as("x").join(broadcast(names.as("y")),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+      .withColumn("distance", levenshtein(col("x.p_name"), col("y.p_name")))
+      .filter(col("distance") <= 3)
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+        col("distance"))
+      .join(broadcast(counts.select(col("p_name").as("name_a"), col("n").as("n_parts_a"))), "name_a")
+      .join(broadcast(counts.select(col("p_name").as("name_b"), col("n").as("n_parts_b"))), "name_b")
+      .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j20_dynamic_partition_pruning" -> j20,
+    "j21_fuzzy_name_join" -> j21,
     "j17_bloom_filter_join" -> j17,
     "j16_interval_overlap" -> j16,
     "j15_cross_join" -> j15,
@@ -399,6 +448,28 @@ object Joins extends QueryModule {
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "j20_dynamic_partition_pruning" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) IN (
+        |  SELECT DISTINCT EXTRACT(year FROM l_shipdate) FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j21_fuzzy_name_join" ->
+      """WITH counts AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name),
+        |names AS (SELECT p_name, substr(p_name, -4, 4) AS blk FROM counts),
+        |pairs AS (
+        |  SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |         CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS distance
+        |  FROM names x JOIN names y
+        |    ON x.blk = y.blk AND x.p_name < y.p_name
+        |  WHERE levenshtein(x.p_name, y.p_name) <= 3)
+        |SELECT name_a, name_b, distance, ca.n AS n_parts_a, cb.n AS n_parts_b
+        |FROM pairs JOIN counts ca ON ca.p_name = name_a
+        |           JOIN counts cb ON cb.p_name = name_b
+        |ORDER BY name_a, name_b""".stripMargin,
     "j17_bloom_filter_join" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_lines, $revenue AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

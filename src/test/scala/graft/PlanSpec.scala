@@ -98,6 +98,18 @@ class PlanSpec extends SparkSuite {
     assert(planString(operators.Joins.j08(spark, sf)).contains("LeftAnti"))
   }
 
+  test("j20: fact scan carries a dynamic partition pruning filter") {
+    val plan = planString(operators.Joins.j20(spark, sf))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in PartitionFilters:\n$plan")
+  }
+
+  test("j21: blocked fuzzy join hashes on the blocking key (no nested-loop product)") {
+    val plan = planString(operators.Joins.j21(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"blocking must make the dictionary self-join an equi hash join:\n$plan")
+  }
+
   test("p10: correlated LATERAL decorrelates to a rank, not per-row re-execution") {
     val df = operators.Pivots.p10(spark, sf)
     val plan = planString(df)
