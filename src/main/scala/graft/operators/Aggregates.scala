@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.Tables.dec
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.2 a01-a09).
@@ -349,7 +350,33 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n_buckets"))
       .orderBy("event_type")
 
+  /** a21: weighted median (lower) — the order statistic a14's unweighted
+    * percentiles can't express: each value counts with its quantity
+    * weight (price-weighted-by-volume, latency-weighted-by-traffic).
+    * EXACT and engine-portable by construction: collapse to one row per
+    * (group, value) with a DECIMAL weight sum, cumulative-sum over the
+    * value order, pick min v with 2·cum ≥ total — every comparison is
+    * decimal-exact and tie order inside equal values cannot matter
+    * (ties collapsed before the scan). Shuffles: the (group, value)
+    * aggregate, then the per-group window riding the group exchange. */
+  def a21(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum(dec(col("l_quantity"))).as("wv"))
+      .withColumn("cum", sum("wv").over(wCum))
+      .withColumn("tot", sum("wv").over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("v").as("weighted_median"),
+        max(col("tot")).cast("double").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_weighted_median" -> a21,
     "a20_bitmap_distinct" -> a20,
     "a19_argmax" -> a19,
     "a18_countmin" -> a18,
@@ -368,6 +395,22 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    // a21: same collapse → cumulative scan → first-crossing pick
+    "a21_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         SUM(CAST(l_quantity AS DECIMAL(38,4))) AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                  ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(wv) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM g)
+        |SELECT l_returnflag, MIN(v) AS weighted_median,
+        |       CAST(MAX(tot) AS DOUBLE) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // a20: the bitmap construction is engine-internal; the CONTRACT is
     // exact distinct counts + the bucket count of the id space actually
     // touched — both first-class SQL

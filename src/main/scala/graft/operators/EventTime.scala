@@ -385,7 +385,35 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "hour_start_ms")
   }
 
+  /** t18: rolling z-score anomaly flags — each event scored against the
+    * TRAILING 100 events of its series (mean/stddev frame EXCLUDING the
+    * current row: an outlier must not mask itself), the alerting
+    * primitive every metrics pipeline runs. One window over the series
+    * exchange; the frame is row-bounded so state per series is O(100)
+    * at any scale (the streaming image is a bounded ListState). Scores
+    * floor-rounded at 1e-6; warm-up rows (< 20 trailing events) emit
+    * NULL score rather than a noisy estimate. */
+  def t18(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-100, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z",
+        when(col("n_window") >= 20 && col("sd") > 0,
+          floor((col("value") - col("mu")) / col("sd") * 1000000.0 + 0.5)
+            / 1000000.0))
+      .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"),
+        col("n_window"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 3.0).as("is_anomaly"))
+      .orderBy("event_type", "ts_ms", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_rolling_zscore" -> t18,
     "t17_ohlc_bars" -> t17,
     "t16_interval_union" -> t16,
     "t14_session_dynamic_gap" -> t14,
@@ -405,6 +433,29 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t18: identical trailing frame (100 PRECEDING .. 1 PRECEDING) and
+    // warm-up/degenerate-sd NULL rules
+    "t18_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms
+        |  FROM events),
+        |wf AS (
+        |  SELECT *,
+        |    COUNT(*) OVER w AS n_window,
+        |    AVG(value) OVER w AS mu,
+        |    STDDEV_SAMP(value) OVER w AS sd
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, ts_ms, value, n_window,
+        |       CASE WHEN n_window >= 20 AND sd > 0
+        |            THEN floor((value - mu) / sd * 1000000.0 + 0.5) / 1000000.0
+        |       END AS z,
+        |       CASE WHEN n_window >= 20 AND sd > 0
+        |            THEN abs(floor((value - mu) / sd * 1000000.0 + 0.5) / 1000000.0) > 3.0
+        |            ELSE FALSE END AS is_anomaly
+        |FROM wf ORDER BY event_type, ts_ms, event_id""".stripMargin,
     // t17: open/close spelled as rank-1 rows over the explicit
     // (ts, event_id) order — the engine-portable image of
     // min_by/max_by(value, struct(ts_ms, event_id))

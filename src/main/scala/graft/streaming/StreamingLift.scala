@@ -27,6 +27,23 @@ object StreamingLift {
       .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** OHLC bars (t17's lift): open/close as struct-ordered min_by/max_by
+    * are plain declarative aggregates, so the SAME grouping runs under a
+    * watermark in append mode — per-bar state is one (first, last, min,
+    * max, sum) tuple, evicted when the watermark passes the hour. */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"),
+        max("value").as("high"), min("value").as("low"),
+        sum(dec(col("value"))).cast("double").as("volume"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("hour_start_ms"),
+        col("n"), col("open"), col("close"), col("high"), col("low"),
+        col("volume"))
+
   def session(events: DataFrame): DataFrame =
     events
       .withWatermark("event_ts", "1 hour")

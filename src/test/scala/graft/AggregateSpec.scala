@@ -73,6 +73,24 @@ class AggregateSpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("a21: weighted median matches a driver-side cumulative scan") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (f, xs) =>
+      val byV = xs.groupBy(_._2).map { case (v, ys) =>
+        v -> ys.map(y => BigDecimal(y._3)).sum
+      }.toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = BigDecimal(0)
+      val med = byV.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      f -> (med, tot.toDouble)
+    }
+    val got = operators.Aggregates.a21(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got === expected)
+  }
+
   test("a20: bitmap distinct equals exact countDistinct; partial bitmaps merge") {
     import org.apache.spark.sql.functions._
     val exact = Tables.events(spark, sf)

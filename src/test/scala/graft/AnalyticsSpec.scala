@@ -178,6 +178,44 @@ class AnalyticsSpec extends SparkSuite {
       "fixture must contain overlapping intervals or the union is trivial")
   }
 
+  test("t18: rolling z-scores match a driver-side trailing-window replay") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3, e._2))
+      ord.zipWithIndex.map { case (e, i) =>
+        val frame = ord.slice(math.max(0, i - 100), i).map(_._4)
+        val z =
+          if (frame.length < 20) None
+          else {
+            val mu = frame.sum / frame.length
+            val sd = math.sqrt(
+              frame.map(x => (x - mu) * (x - mu)).sum / (frame.length - 1))
+            if (sd > 0) Some(math.floor((e._4 - mu) / sd * 1e6 + 0.5) / 1e6)
+            else None
+          }
+        (e._1, e._2) -> (frame.length.toLong, z, z.exists(v => math.abs(v) > 3.0))
+      }
+    }.toMap
+    val got = operators.EventTime.t18(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6))).toMap
+    // float summation order differs driver-vs-engine; allow 1e-6 slack on
+    // z while pinning window sizes and flags exactly
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (n, z, flag)) =>
+      val (gn, gz, gflag) = got(k)
+      assert(gn === n, s"$k window size")
+      assert(z.isDefined === gz.isDefined, s"$k z nullability")
+      z.zip(gz).foreach { case (a, b) => assert(math.abs(a - b) <= 2e-6, s"$k z") }
+      assert(gflag === flag, s"$k anomaly flag")
+    }
+    // the fixture must actually contain anomalies
+    assert(got.values.exists(_._3), "no anomaly flagged — fixture too tame")
+  }
+
   test("t17: OHLC bars match a per-bar driver replay; no window in the plan") {
     val events = Tables.events(spark, sf)
       .select("event_type", "event_id", "ts_ms", "value").collect()

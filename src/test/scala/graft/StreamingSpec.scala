@@ -58,6 +58,19 @@ class StreamingSpec extends SparkSuite {
       sortedRows(batch, "win_start_ms", "event_type", "n", "sum_value"))
   }
 
+  test("OHLC bars: streaming append == batch == t17") {
+    val streamed = runStream(StreamingLift.ohlc)
+      .filter(col("event_type") =!= "__sentinel__")
+    val batch = StreamingLift.ohlc(
+      batchEvents.withColumn("event_ts", timestamp_millis(col("ts_ms"))))
+    val cols = Seq("event_type", "hour_start_ms", "n", "open", "close",
+      "high", "low", "volume")
+    assert(sortedRows(streamed, cols: _*) === sortedRows(batch, cols: _*))
+    // and the lift agrees with the oracled batch operator
+    assert(sortedRows(batch, cols: _*) ===
+      sortedRows(operators.EventTime.t17(spark, sf), cols: _*))
+  }
+
   test("sliding distinct: chained stateful dedup+agg == batch == t12") {
     val streamed = runStream(StreamingLift.slidingDistinct)
       .filter(col("win_start_ms") < Sentinel - 21600000L) // drop sentinel panes
