@@ -412,7 +412,35 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "ts_ms", "event_id")
   }
 
+  /** t19: data-gap report — the pipeline-health question every ingestion
+    * SLA asks: where did a series go silent? A gap is an inter-arrival
+    * exceeding 4× the series' own mean spacing (a DATA-RELATIVE
+    * threshold: a fixed "2 hours" silently stops firing as event rates
+    * grow with the corpus — for exponential inter-arrivals the 4× rule
+    * flags a stable ~e⁻⁴ ≈ 1.8% of gaps at ANY scale). One lead()
+    * window riding the series exchange + a broadcast join of the 5-row
+    * per-series stats — no self-join. */
+  def t19(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_ms"))
+    val stats = e.groupBy("event_type")
+      .agg(((max("ts_ms") - min("ts_ms")).cast("double")
+        / (count(lit(1)) - 1)).as("mean_gap_ms"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts_ms"), col("event_id"))
+    e.withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .join(broadcast(stats), "event_type")
+      .filter(col("next_ts").isNotNull &&
+        (col("next_ts") - col("ts_ms")).cast("double") > col("mean_gap_ms") * 4)
+      .select(col("event_type"), col("ts_ms").as("gap_start_ms"),
+        col("next_ts").as("gap_end_ms"),
+        (col("next_ts") - col("ts_ms")).as("gap_ms"),
+        (floor((col("next_ts") - col("ts_ms")) / col("mean_gap_ms")
+          * 1000000.0 + 0.5) / 1000000.0).as("gap_x_mean"))
+      .orderBy("event_type", "gap_start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_gap_report" -> t19,
     "t18_rolling_zscore" -> t18,
     "t17_ohlc_bars" -> t17,
     "t16_interval_union" -> t16,
@@ -433,6 +461,28 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t19: same data-relative 4×-mean-spacing rule, same (ts, id) order
+    "t19_gap_report" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts)//1000000 AS ts_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |         (MAX(ts_ms) - MIN(ts_ms)) / CAST(COUNT(*) - 1 AS DOUBLE) AS mean_gap_ms
+        |  FROM e GROUP BY event_type),
+        |x AS (
+        |  SELECT e.*, s.mean_gap_ms,
+        |         lead(ts_ms) OVER (PARTITION BY e.event_type
+        |                           ORDER BY ts_ms, event_id) AS next_ts
+        |  FROM e JOIN s ON e.event_type = s.event_type)
+        |SELECT event_type, ts_ms AS gap_start_ms, next_ts AS gap_end_ms,
+        |       next_ts - ts_ms AS gap_ms,
+        |       floor((next_ts - ts_ms) / mean_gap_ms * 1000000.0 + 0.5)
+        |         / 1000000.0 AS gap_x_mean
+        |FROM x
+        |WHERE next_ts IS NOT NULL
+        |  AND CAST(next_ts - ts_ms AS DOUBLE) > mean_gap_ms * 4
+        |ORDER BY event_type, gap_start_ms""".stripMargin,
     // t18: identical trailing frame (100 PRECEDING .. 1 PRECEDING) and
     // warm-up/degenerate-sd NULL rules
     "t18_rolling_zscore" ->

@@ -281,6 +281,53 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g08: onion-layer (k-core peel-round) decomposition, k = 5, three
+    * synchronous rounds over g07's near-id band — the "how deep in the
+    * dense part does this node sit" primitive (spam-cluster mining,
+    * influence cores). layer r = the round the node was peeled (its
+    * CURRENT induced degree fell under k, including isolation by
+    * earlier peels — the explicit alive-set left-join makes orphaned
+    * nodes drop instead of silently vanishing); layer 0 = still in the
+    * round-3 core. Every node gets a label, so the result is total at
+    * any SF (the full co-occurrence projection is near-complete at
+    * small SF and peels to nothing at large — the band layers at all).
+    * Per round: one degree aggregate + one left join on the alive set +
+    * two LEFT-SEMI edge filters — all node-keyed, edge list only
+    * shrinks. Fixed 3 rounds for the hash gate; unbounded = Fixpoint
+    * loop on "no node dropped". */
+  def g08(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val base = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
+      .select("p1", "p2").localCheckpoint()
+    var alive = base.select(col("p1").as("node"))
+      .unionAll(base.select(col("p2").as("node"))).distinct().localCheckpoint()
+    var edges = base
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val d = edges.select(col("p1").as("node"))
+        .unionAll(edges.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val labeled = alive.join(d, Seq("node"), "left")
+        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      layers += labeled.filter(col("deg") < K)
+        .select(col("node"), lit(r).as("layer")).localCheckpoint()
+      val nextAlive = labeled.filter(col("deg") >= K).select("node").localCheckpoint()
+      val nextEdges = edges
+        .join(nextAlive.withColumnRenamed("node", "p1"), Seq("p1"), "left_semi")
+        .join(nextAlive.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
+        .select("p1", "p2").localCheckpoint()
+      graft.Fixpoint.release(alive)
+      if (!(edges eq base)) graft.Fixpoint.release(edges)
+      alive = nextAlive
+      edges = nextEdges
+    }
+    val out = layers.reduce(_ unionAll _)
+      .unionAll(alive.select(col("node"), lit(0).as("layer")))
+      .orderBy("node").localCheckpoint()
+    (Seq(base, alive, edges) ++ layers).foreach(graft.Fixpoint.release)
+    out
+  }
+
   /** g04: TWO synchronous rounds of deterministic label propagation
     * (community detection) over the part↔supplier bipartite graph. The
     * classic LPA tie-break ("random neighbor label") is replaced by a
@@ -386,7 +433,8 @@ object Graph extends QueryModule {
     "g04_label_prop" -> g04,
     "g05_triangle_count" -> g05,
     "g06_jaccard_neighbors" -> g06,
-    "g07_bfs_layers" -> g07)
+    "g07_bfs_layers" -> g07,
+    "g08_kcore" -> g08)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
@@ -404,6 +452,37 @@ object Graph extends QueryModule {
          |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM pr2 JOIN deg d1 ON d1.p = p1 JOIN deg d2 ON d2.p = p2
          |ORDER BY p1, p2""".stripMargin),
+    // g08: three peel rounds unrolled; each round left-joins the alive
+    // set onto the induced degree table (COALESCE 0 drops orphans)
+    "g08_kcore" ->
+      (coocSqlCtes + """,
+         |band AS (SELECT p1, p2 FROM pr2 WHERE p2 - p1 <= 4),
+         |a0 AS (SELECT DISTINCT node FROM (
+         |         SELECT p1 AS node FROM band UNION ALL SELECT p2 FROM band) t),
+         |d1 AS (SELECT a0.node, COALESCE(g.cnt, 0) AS deg FROM a0 LEFT JOIN (
+         |         SELECT node, COUNT(*) AS cnt FROM (
+         |           SELECT p1 AS node FROM band UNION ALL SELECT p2 FROM band) t
+         |         GROUP BY node) g ON g.node = a0.node),
+         |a1 AS (SELECT node FROM d1 WHERE deg >= 5),
+         |e1 AS (SELECT p1, p2 FROM band
+         |       WHERE p1 IN (SELECT node FROM a1) AND p2 IN (SELECT node FROM a1)),
+         |d2 AS (SELECT a1.node, COALESCE(g.cnt, 0) AS deg FROM a1 LEFT JOIN (
+         |         SELECT node, COUNT(*) AS cnt FROM (
+         |           SELECT p1 AS node FROM e1 UNION ALL SELECT p2 FROM e1) t
+         |         GROUP BY node) g ON g.node = a1.node),
+         |a2 AS (SELECT node FROM d2 WHERE deg >= 5),
+         |e2 AS (SELECT p1, p2 FROM e1
+         |       WHERE p1 IN (SELECT node FROM a2) AND p2 IN (SELECT node FROM a2)),
+         |d3 AS (SELECT a2.node, COALESCE(g.cnt, 0) AS deg FROM a2 LEFT JOIN (
+         |         SELECT node, COUNT(*) AS cnt FROM (
+         |           SELECT p1 AS node FROM e2 UNION ALL SELECT p2 FROM e2) t
+         |         GROUP BY node) g ON g.node = a2.node),
+         |a3 AS (SELECT node FROM d3 WHERE deg >= 5)
+         |SELECT node, 1 AS layer FROM d1 WHERE deg < 5
+         |UNION ALL SELECT node, 2 FROM d2 WHERE deg < 5
+         |UNION ALL SELECT node, 3 FROM d3 WHERE deg < 5
+         |UNION ALL SELECT node, 0 FROM a3
+         |ORDER BY node""".stripMargin),
     // g07: three frontier rounds unrolled as min-combine CTEs (DuckDB
     // recursive CTEs can't express min-distance dedup per round without
     // UNION-distinct-by-key; the unrolled form is the same relaxation)

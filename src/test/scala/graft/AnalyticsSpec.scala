@@ -178,6 +178,25 @@ class AnalyticsSpec extends SparkSuite {
       "fixture must contain overlapping intervals or the union is trivial")
   }
 
+  test("t19: gap report matches a driver-side inter-arrival scan") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (et, es) =>
+      val ord = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val mean = (ord.max - ord.min).toDouble / (ord.length - 1)
+      ord.zip(ord.tail).collect {
+        case (a, b) if (b - a).toDouble > mean * 4 =>
+          (et, a, b, b - a, math.floor((b - a) / mean * 1e6 + 0.5) / 1e6)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.EventTime.t19(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty, "fixture must contain flagged gaps")
+  }
+
   test("t18: rolling z-scores match a driver-side trailing-window replay") {
     val events = Tables.events(spark, sf)
       .select("event_type", "event_id", "ts_ms", "value").collect()

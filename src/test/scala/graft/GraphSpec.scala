@@ -90,6 +90,29 @@ class GraphSpec extends SparkSuite {
     assert(got.values.toSet.size >= 3, s"distances seen: ${got.values.toSet}")
   }
 
+  test("g08: onion layers match a driver-side peel replay; peeling bites") {
+    var pairs = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .filter(p => p._2 - p._1 <= 4) // g08's near-id band
+    var alive = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.toSet
+    val expected = scala.collection.mutable.Map.empty[Long, Int]
+    for (r <- 1 to 3) {
+      val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val dropped = alive.filter(n => deg.getOrElse(n, 0) < 5)
+      dropped.foreach(n => expected(n) = r)
+      alive = alive -- dropped
+      pairs = pairs.filter(p => alive(p._1) && alive(p._2))
+    }
+    alive.foreach(n => expected(n) = 0)
+    val got = operators.Graph.g08(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected.toMap)
+    // the peel must actually fire AND leave a core in this fixture
+    assert(got.values.exists(_ == 1), "round-1 peel empty")
+    assert(got.values.exists(_ == 0), "core empty at sf0.001")
+  }
+
   test("g04: two deterministic LPA rounds match a driver-side replay") {
     val edges = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").distinct().collect()
