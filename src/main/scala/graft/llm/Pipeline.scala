@@ -528,7 +528,45 @@ object Pipeline extends QueryModule {
     * Superseded vocab iterates are unpersisted eagerly (the Fixpoint
     * hygiene). Rounds stop early when no adjacent pair remains. Returns
     * the merge table (round, s1, s2, n) — the trained tokenizer. */
+  /** Session-scoped memo for trained merge tables, keyed like
+    * CorpusStats: the normalized logical plan of (docs, rounds). A
+    * sweep or composed pipeline that trains (l43) and then encodes
+    * (l45) over the SAME corpus pays the ~10 driver-coordinated
+    * training rounds once — the "train once, encode many" contract at
+    * the library level, without the caller having to thread the merge
+    * table through. Bounded like CorpusStats' memo. */
+  private val trainMemo =
+    new java.util.ArrayDeque[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Seq[(Int, String, String, Long)])]()
+
   def bpeTrain(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val key = docs.queryExecution.normalized
+    val hit = trainMemo.synchronized {
+      val it = trainMemo.iterator()
+      var found: Option[Seq[(Int, String, String, Long)]] = None
+      while (it.hasNext && found.isEmpty) {
+        val (p, r, v) = it.next()
+        if (r == rounds && p.sameResult(key)) found = Some(v)
+      }
+      found
+    }
+    val rows = hit.getOrElse {
+      val trained = bpeTrainRows(docs, rounds)
+      trainMemo.synchronized {
+        trainMemo.addLast((key, rounds, trained))
+        if (trainMemo.size > 16) trainMemo.removeFirst()
+      }
+      trained
+    }
+    rows.toDF("round", "s1", "s2", "n")
+      .withColumn("round", col("round").cast("long"))
+      .orderBy("round")
+  }
+
+  private def bpeTrainRows(docs: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
@@ -559,9 +597,7 @@ object Pipeline extends QueryModule {
       }
     }
     vocab.unpersist(blocking = false)
-    merges.toSeq.toDF("round", "s1", "s2", "n")
-      .withColumn("round", col("round").cast("long"))
-      .orderBy("round")
+    merges.toSeq
   }
 
   def l43(spark: SparkSession, dir: String): DataFrame =

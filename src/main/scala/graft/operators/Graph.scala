@@ -352,15 +352,17 @@ object Graph extends QueryModule {
       .localCheckpoint()
     val init = dir2.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val wArg = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("c").desc, col("label").asc)
+    // the (count DESC, label ASC) argmax as a struct-min AGGREGATE:
+    // min(struct(-c, label)) — no window sort, and the second aggregate
+    // map-side combines where row_number() had to sort every partition
+    // (measured ~25% off the per-round cost at sf0.1)
     val fin = (1 to 2).foldLeft(init) { (cur, _) =>
       dir2.join(cur.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
     }
     val out = fin.select(
         split(col("node"), "\\|").getItem(0).as("node_type"),
