@@ -649,11 +649,36 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** l48: tokenizer FERTILITY by language — BPE symbols per word, the
+    * standard multilingual-equity metric for a trained tokenizer (a
+    * tokenizer trained on English-heavy data over-segments other
+    * languages; fertility quantifies by how much, and drives vocab-size
+    * / data-mix decisions). Rides the memoized merge table (train once
+    * per corpus per session) + the typed partition-local encode; the
+    * only shuffle is the 5-row language rollup. No oracle by design
+    * (output depends on the trained merges); PipelineSpec recomputes
+    * from the encode output and pins fertility ≥ 1. */
+  def l48(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_syms_bpe").as("n_syms_bpe"),
+        (floor(sum("n_syms_bpe") / sum("n_words") * 1000000.0 + 0.5)
+          / 1000000.0).as("fertility"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l37_ngram_lm" -> l37,
     "l42_bpe_stats" -> l42,
     "l43_bpe_train" -> l43,
     "l45_bpe_encode" -> l45,
+    "l48_tokenizer_fertility" -> l48,
     "l33_histogram" -> l33,
     "l32_corpus_diff" -> l32,
     "l31_dataset_card" -> l31,

@@ -87,6 +87,33 @@ class PipelineSpec extends SparkSuite {
       col("keep") =!= (col("r_len") * col("r_wlen") * col("r_digit") * col("r_sym"))).count() == 0)
   }
 
+  test("l48: per-language fertility reconciles with the encode output; fertility >= 1") {
+    val docs = Tables.documents(spark, sf)
+    val merges = llm.Pipeline.bpeTrain(docs).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = llm.Pipeline.bpeEncode(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_syms_bpe")))
+    val expected = enc.groupBy(_._1).map { case (lang, xs) =>
+      val (w, s) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      lang -> (xs.length.toLong, w, s,
+        math.floor(s.toDouble / w * 1e6 + 0.5) / 1e6)
+    }
+    val got = llm.Pipeline.l48(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got === expected)
+    // a merge can only join symbols, never split: fertility ≥ 1 everywhere,
+    // and the learned merges must have compressed the corpus overall
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1.0) }
+    val chars = llm.Pipeline.bpeEncode(docs, merges)
+      .agg(org.apache.spark.sql.functions.sum("n_syms_chars"),
+        org.apache.spark.sql.functions.sum("n_syms_bpe")).collect()(0)
+    assert(chars.getLong(1) < chars.getLong(0),
+      "trained merges compressed nothing")
+  }
+
   test("l47: manifest matches a driver-side recompute and the XOR fingerprint " +
       "detects any single-document drop") {
     val docs = Tables.documents(spark, sf)

@@ -98,6 +98,18 @@ class PlanSpec extends SparkSuite {
     assert(planString(operators.Joins.j08(spark, sf)).contains("LeftAnti"))
   }
 
+  test("t16: interval union runs on ONE user-key exchange (window + agg fused)") {
+    val plan = planString(operators.EventTime.t16(spark, sf))
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected the aggregate to ride the window exchange:\n$plan")
+  }
+
+  test("l46: distribution joins broadcast (the 64-row llr never shuffles the token stream)") {
+    val plan = planString(llm.Semantic.l46(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"llr join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the tiny side:\n$plan")
+  }
+
   test("j20: fact scan carries a dynamic partition pruning filter") {
     val plan = planString(operators.Joins.j20(spark, sf))
     assert(plan.toLowerCase.contains("dynamicpruning"),
