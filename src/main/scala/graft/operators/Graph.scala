@@ -343,19 +343,22 @@ object Graph extends QueryModule {
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
+    // nodes and labels live in ONE numeric id space (part → 2·id,
+    // supplier → 2·id+1): every shuffle key and every label value is an
+    // 8-byte long instead of a "part|123" string — the join/agg rounds
+    // hash and compare longs, and the label tie-break (count DESC,
+    // label ASC) becomes a numeric order the oracle states identically.
+    // Decode back to (type, id) only in the final projection.
     val dir2 = edges.select(
-        concat(lit("part|"), col("p")).as("src"),
-        concat(lit("supplier|"), col("s")).as("dst"))
+        (col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(edges.select(
-        concat(lit("supplier|"), col("s")).as("src"),
-        concat(lit("part|"), col("p")).as("dst")))
+        (col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .localCheckpoint()
     val init = dir2.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     // the (count DESC, label ASC) argmax as a struct-min AGGREGATE:
     // min(struct(-c, label)) — no window sort, and the second aggregate
     // map-side combines where row_number() had to sort every partition
-    // (measured ~25% off the per-round cost at sf0.1)
     val fin = (1 to 2).foldLeft(init) { (cur, _) =>
       dir2.join(cur.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
@@ -365,9 +368,12 @@ object Graph extends QueryModule {
         .select(col("node"), col("m.label").as("label"))
     }
     val out = fin.select(
-        split(col("node"), "\\|").getItem(0).as("node_type"),
-        split(col("node"), "\\|").getItem(1).cast("bigint").as("node_id"),
-        col("label"))
+        when(pmod(col("node"), lit(2)) === 0, "part").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        when(pmod(col("label"), lit(2)) === 0, "part").otherwise("supplier")
+          .as("label_type"),
+        expr("label div 2").as("label_id"))
       .orderBy("node_type", "node_id")
       .localCheckpoint()
     graft.Fixpoint.release(dir2)
@@ -536,9 +542,9 @@ object Graph extends QueryModule {
     "g04_label_prop" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |dir2 AS (
-        |  SELECT 'part|' || p AS src, 'supplier|' || s AS dst FROM edges
+        |  SELECT p * 2 AS src, s * 2 + 1 AS dst FROM edges
         |  UNION ALL
-        |  SELECT 'supplier|' || s AS src, 'part|' || p AS dst FROM edges),
+        |  SELECT s * 2 + 1 AS src, p * 2 AS dst FROM edges),
         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir2),
         |n1 AS (SELECT d.dst AS node, l.label, COUNT(*) AS c
         |       FROM dir2 d JOIN l0 l ON l.node = d.src GROUP BY 1, 2),
@@ -554,9 +560,10 @@ object Graph extends QueryModule {
         |                row_number() OVER (PARTITION BY node
         |                                   ORDER BY c DESC, label ASC) AS rn
         |         FROM n2) t WHERE rn = 1)
-        |SELECT CASE WHEN node LIKE 'part|%' THEN 'part' ELSE 'supplier' END AS node_type,
-        |       CAST(substr(node, position('|' IN node) + 1) AS BIGINT) AS node_id,
-        |       label
+        |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+        |       node // 2 AS node_id,
+        |       CASE WHEN label % 2 = 0 THEN 'part' ELSE 'supplier' END AS label_type,
+        |       label // 2 AS label_id
         |FROM r2 ORDER BY node_type, node_id""".stripMargin,
     "g02_pagerank_iter3" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

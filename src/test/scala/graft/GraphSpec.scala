@@ -114,14 +114,15 @@ class GraphSpec extends SparkSuite {
   }
 
   test("g04: two deterministic LPA rounds match a driver-side replay") {
+    // same even/odd numeric encoding as the operator: part→2id, supp→2id+1
     val edges = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").distinct().collect()
-      .map(r => (s"part|${r.getLong(0)}", s"supplier|${r.getLong(1)}"))
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
     val dir2 = edges ++ edges.map { case (a, b) => (b, a) }
     val nodes = dir2.map(_._1).distinct
-    val in: Map[String, Seq[String]] =
+    val in: Map[Long, Seq[Long]] =
       dir2.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSeq }
-    var labels: Map[String, String] = nodes.map(n => n -> n).toMap
+    var labels: Map[Long, Long] = nodes.map(n => n -> n).toMap
     for (_ <- 1 to 2) {
       labels = nodes.map { n =>
         val counts = in(n).map(labels).groupBy(identity)
@@ -129,8 +130,10 @@ class GraphSpec extends SparkSuite {
         n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
       }.toMap
     }
+    def enc(t: String, id: Long): Long = if (t == "part") id * 2 else id * 2 + 1
     val got = operators.Graph.g04(spark, sf).collect()
-      .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getString(2)).toMap
+      .map(r => enc(r.getString(0), r.getLong(1)) ->
+        enc(r.getString(2), r.getLong(3))).toMap
     assert(got === labels)
     // propagation must actually merge communities: strictly fewer
     // distinct labels than nodes
