@@ -179,7 +179,28 @@ object Windows extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** o08: weighted sampling without replacement (Efraimidis-Spirakis
+    * A-Res): rank every row by u^(1/w) with u a seeded-hash uniform and
+    * take the top k — the ONE-PASS distributed weighted sample (longer
+    * documents proportionally likelier). The property that makes it the
+    * scale algorithm: no weight-normalization pass (keys are compared,
+    * never summed), so it runs as a map + TakeOrdered — no global sort,
+    * no second scan, and the same keys stream into a bounded heap in a
+    * streaming setting. Ranked via the monotone image ln(u)/w (exactly
+    * the same total order); selection happens at full double precision,
+    * output carries no float columns. */
+  def o08(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0"))
+      .withColumn("k", expr("ln(u) / n_chars"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o08_weighted_sample" -> o08,
     "w01_win_rank" -> w01,
     "w02_win_analytic" -> w02,
     "w03_win_frame_rows" -> w03,
@@ -200,6 +221,16 @@ object Windows extends QueryModule {
     "u07_union_evolve" -> u07)
 
   val oracles: Map[String, String] = Map(
+    // o08: identical seeded-uniform + monotone key; ordering decided at
+    // full double precision (distinct keys with prob 1), floats not output
+    "o08_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         ln(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            / 1152921504606846976.0) / n_chars AS k
+        |  FROM documents
+        |  ORDER BY k DESC, doc_id LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin,
     "w01_win_rank" ->
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,

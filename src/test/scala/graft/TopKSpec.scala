@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   * edge cases. */
 class TopKSpec extends SparkSuite {
 
+  test("o08: weighted sample matches a driver-side A-Res replay and skews long") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def key(id: Long, w: Long): Double =
+      math.log(java.lang.Long.parseLong(md5Hex(s"ws:$id").take(15), 16)
+        / 1152921504606846976.0) / w
+    val expected = docs.sortBy { case (id, w) => (-key(id, w), id) }
+      .take(50).map(_._1).sorted.toSeq
+    val got = operators.Windows.o08(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // weighting must bite: sampled docs are longer than average
+    val sampled = docs.filter(d => got.contains(d._1)).map(_._2.toDouble)
+    val all = docs.map(_._2.toDouble)
+    assert(sampled.sum / sampled.length > all.sum / all.length,
+      "length-weighted sample should over-represent long documents")
+  }
+
   private def windowTopK(k: Int) = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
