@@ -248,6 +248,19 @@ object Llm extends QueryModule {
     // the space scanned; recall/latency dial = plane count + radius)
     annSearch(Tables.embeddings(spark, dir))
 
+  /** l49: FILTERED vector search, pre-filter route — ANN restricted to a
+    * metadata predicate (label ≡ 0 mod 3 here). The classic trap is
+    * POST-filtering: take the unfiltered top-k, then filter — with a
+    * selective predicate most of the k dies and recall collapses. The
+    * pre-filter route applies the predicate BEFORE bucketing/probing,
+    * so the candidate set is drawn entirely from the allowed subset and
+    * k survivors are guaranteed if they exist. Costs nothing extra at
+    * scale: the predicate prunes the scan (it reaches the parquet
+    * reader), and the LSH probe machinery is annSearch unchanged. */
+  def l49(spark: SparkSession, dir: String): DataFrame =
+    annSearch(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0 || pmod(col("label"), lit(3)) === 0))
+
   /** Diagnostic for AnnSpec: how many vectors the multi-probe touches. */
   def annProbedCount(emb0: DataFrame, radius: Int = 1,
       planes: Seq[Seq[Int]] = Hyperplanes): Long = {
@@ -547,6 +560,7 @@ object Llm extends QueryModule {
     "l02_dedup_near" -> l02,
     "l03_sim_topk" -> l03,
     "l03b_sim_ann" -> l03b,
+    "l49_filtered_ann" -> l49,
     "l04_text_stats" -> l04,
     "l05_multimodal_cols" -> l05,
     "l06_langid" -> l06,
@@ -563,6 +577,13 @@ object Llm extends QueryModule {
 
 
   /** Oracle for l03b, generated from the same literal hyperplanes. */
+  // l49: l03b's oracle with the pre-filter predicate applied to the
+  // candidate universe (probe row exempt) — same buckets, same ranking
+  private def l49Oracle: String =
+    l03bOracle.replace(
+      "FROM embeddings),",
+      "FROM embeddings WHERE vec_id = 0 OR label % 3 = 0),")
+
   private def l03bOracle: String = {
     val sig = sigExprDuck("embedding")
     s"""WITH e AS (SELECT vec_id, label, embedding, $sig AS sig FROM embeddings),
@@ -719,6 +740,7 @@ object Llm extends QueryModule {
         |       floor((MAX(c) / CAST(SUM(c) AS BIGINT)) * 1000000 + 0.5) / 1000000 AS rep_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l03b_sim_ann" -> l03bOracle,
+    "l49_filtered_ann" -> l49Oracle,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -42,4 +42,24 @@ class AnnSpec extends SparkSuite {
       assert(sweep(4)._3 === total)
     }
   }
+
+  test("l49 filtered ANN: every hit satisfies the predicate, and pre-filter " +
+      "recall beats post-filtering the unfiltered top-k") {
+    for ((name, dir) <- sfs) {
+      val got = llm.Llm.l49(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.nonEmpty)
+      got.foreach { case (id, label) =>
+        assert(label % 3 == 0, s"$name: vec $id label $label leaked through")
+      }
+      // post-filter route: unfiltered ANN top-10, then filter — with a
+      // 1-in-3 predicate most of the k dies; pre-filter keeps k full
+      val post = llm.Llm.annSearch(Tables.embeddings(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .filter(_._2 % 3 == 0)
+      assert(got.length >= post.length,
+        s"$name: pre-filter (${got.length}) must not trail post-filter (${post.length})")
+      assert(got.length === 10, s"$name: pre-filter should fill k")
+    }
+  }
 }
