@@ -439,7 +439,75 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "gap_start_ms")
   }
 
+  /** t21: peak concurrency — the capacity-planning question ("how many
+    * sessions were active AT ONCE, and when was the peak?") answered by
+    * the classic sweep-line: each interval [ts, ts+10min) contributes a
+    * +1 at its start and a −1 at its end, the running sum over the time
+    * order is the live concurrency, its max is the peak. Boundary rule:
+    * half-open intervals — an end at instant t applies BEFORE a start
+    * at t (delta ASC in the order), so back-to-back intervals never
+    * double-count. One explode (2 rows per event) + one window riding
+    * the series exchange + the argmax aggregate (a19's struct trick:
+    * min over (-conc, t) picks the EARLIEST peak instant). */
+  def t21(spark: SparkSession, dir: String): DataFrame = {
+    val lenMs = 600000L
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_ms"))
+      .select(col("event_type"), col("event_id"),
+        explode(array(
+          struct(col("ts_ms").as("t"), lit(1).as("delta")),
+          struct((col("ts_ms") + lenMs).as("t"), lit(-1).as("delta")))).as("ev"))
+      .select(col("event_type"), col("event_id"),
+        col("ev.t").as("t"), col("ev.delta").as("delta"))
+      .withColumn("conc", sum("delta").over(w))
+      .groupBy("event_type")
+      .agg(max("conc").as("peak"),
+        min(struct((-col("conc")).as("nc"), col("t"))).getField("t")
+          .as("first_peak_ms"),
+        count(lit(1)).as("n_boundary_events"))
+      .orderBy("event_type")
+  }
+
+  /** t20: exponentially-weighted moving average per series — the
+    * smoothing primitive (y_i = α·y_{i-1} + (1−α)·x_i) that no window
+    * frame can express (every output depends on ALL history through the
+    * recurrence). This is the sanctioned home of the imperative
+    * per-partition path — the classic SECONDARY SORT: repartition on
+    * the series key, sortWithinPartitions by (key, time), then ONE
+    * sequential pass whose state (a single Double) resets on key
+    * change. O(1) memory per series regardless of series length (a
+    * groupByKey.flatMapGroups would NOT guarantee within-group time
+    * order after its own key-only exchange), one shuffle total, and
+    * the same fold lifts to streaming as mapGroupsWithState. No oracle
+    * by design (DuckDB windows can't state the recurrence); the spec
+    * replays it exactly. */
+  def t20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.9
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "ts_ms", "event_id")
+      .as[(String, Long, Long, Double)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var ewma = 0.0
+        it.map { case (et, id, ts, v) =>
+          if (et != cur) { cur = et; ewma = v }
+          else ewma = alpha * ewma + (1 - alpha) * v
+          (et, id, ts, v, math.floor(ewma * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF("event_type", "event_id", "ts_ms", "value", "ewma")
+      .orderBy("event_type", "ts_ms", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_ewma" -> t20,
+    "t21_peak_concurrency" -> t21,
     "t19_gap_report" -> t19,
     "t18_rolling_zscore" -> t18,
     "t17_ohlc_bars" -> t17,
@@ -461,6 +529,30 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t21: same sweep-line (+1/-1), same end-before-start boundary rule,
+    // argmax spelled as rank-1 over (conc DESC, t ASC)
+    "t21_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts)//1000000 AS ts_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, event_id, ts_ms AS t, 1 AS delta FROM e
+        |  UNION ALL
+        |  SELECT event_type, event_id, ts_ms + 600000, -1 FROM e),
+        |c AS (
+        |  SELECT *, SUM(delta) OVER (PARTITION BY event_type
+        |              ORDER BY t, delta, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY conc DESC, t ASC) AS rn
+        |  FROM c)
+        |SELECT event_type,
+        |       CAST(MAX(conc) AS BIGINT) AS peak,
+        |       MAX(CASE WHEN rn = 1 THEN t END) AS first_peak_ms,
+        |       COUNT(*) AS n_boundary_events
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // t19: same data-relative 4×-mean-spacing rule, same (ts, id) order
     "t19_gap_report" ->
       """WITH e AS (

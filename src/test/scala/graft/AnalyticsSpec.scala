@@ -178,6 +178,55 @@ class AnalyticsSpec extends SparkSuite {
       "fixture must contain overlapping intervals or the union is trivial")
   }
 
+  test("t20: EWMA matches an exact sequential replay per series") {
+    val alpha = 0.9
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3, e._2))
+      var ewma = 0.0
+      ord.zipWithIndex.map { case ((et, id, ts, v), i) =>
+        ewma = if (i == 0) v else alpha * ewma + (1 - alpha) * v
+        (et, id) -> math.floor(ewma * 1e6 + 0.5) / 1e6
+      }
+    }.toMap
+    val got = operators.EventTime.t20(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got === expected)
+    // smoothing must actually smooth: the EWMA stream varies less than raw
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val raw = events.map(_._4).toSeq
+    val sm = operators.EventTime.t20(spark, sf).collect().map(_.getDouble(4)).toSeq
+    assert(variance(sm) < variance(raw))
+  }
+
+  test("t21: peak concurrency matches a driver-side sweep-line") {
+    val lenMs = 600000L
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).map { case (et, es) =>
+      val boundary = es.flatMap(e =>
+        Seq((e._3, 1, e._2), (e._3 + lenMs, -1, e._2)))
+        .sortBy(b => (b._1, b._2, b._3))
+      var conc = 0L; var peak = 0L; var peakT = 0L
+      boundary.foreach { case (t, d, _) =>
+        conc += d
+        if (conc > peak) { peak = conc; peakT = t }
+      }
+      et -> (peak, peakT, boundary.length.toLong)
+    }
+    val got = operators.EventTime.t21(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // overlap must exist or the sweep is trivial
+    assert(got.values.exists(_._1 > 1))
+  }
+
   test("t19: gap report matches a driver-side inter-arrival scan") {
     val events = Tables.events(spark, sf)
       .select("event_type", "event_id", "ts_ms").collect()
