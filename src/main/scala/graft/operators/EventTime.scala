@@ -505,7 +505,50 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "ts_ms", "event_id")
   }
 
+  /** t22: Holt's linear-trend (double exponential) smoothing + one-step
+    * forecast — t20's recurrence with a second state component:
+    *   level_i = α·x_i + (1−α)(level_{i-1} + trend_{i-1})
+    *   trend_i = β(level_i − level_{i-1}) + (1−β)·trend_{i-1}
+    *   forecast_{i+1} = level_i + trend_i
+    * the simplest forecasting primitive a metrics pipeline runs per
+    * series. Same secondary-sort shape as t20 (two Doubles of state,
+    * reset on key change, one shuffle); hourly pre-aggregation first so
+    * the smoothed series is the t01-style rollup, not raw noise. */
+  def t22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (a, b) = (0.5, 0.3)
+    val hourMs = 3600000L
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"(ts_ms div $hourMs) * $hourMs").as("hour_ms"))
+      .agg(sum(dec(col("value"))).cast("double").as("x"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "hour_ms")
+      .as[(String, Long, Double)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var level = 0.0
+        var trend = 0.0
+        var n = 0
+        it.map { case (et, h, x) =>
+          if (et != cur) { cur = et; level = x; trend = 0.0; n = 1 }
+          else {
+            val prev = level
+            level = a * x + (1 - a) * (level + trend)
+            trend = b * (level - prev) + (1 - b) * trend
+            n += 1
+          }
+          (et, h, x, math.floor(level * 1e6 + 0.5) / 1e6,
+            math.floor(trend * 1e6 + 0.5) / 1e6,
+            math.floor((level + trend) * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF("event_type", "hour_ms", "x", "level", "trend", "forecast_next")
+      .orderBy("event_type", "hour_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_holt_trend" -> t22,
     "t20_ewma" -> t20,
     "t21_peak_concurrency" -> t21,
     "t19_gap_report" -> t19,

@@ -204,6 +204,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(variance(sm) < variance(raw))
   }
 
+  test("t22: Holt level/trend/forecast match an exact sequential replay") {
+    val (a, b) = (0.5, 0.3)
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
+        "CAST(value AS DECIMAL(38,4)) AS v")
+      .groupBy("event_type", "hour_ms")
+      .agg(sum("v").cast("double").as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(_._2)
+      var level = 0.0; var trend = 0.0
+      ord.zipWithIndex.map { case ((et, h, x), i) =>
+        if (i == 0) { level = x; trend = 0.0 }
+        else {
+          val prev = level
+          level = a * x + (1 - a) * (level + trend)
+          trend = b * (level - prev) + (1 - b) * trend
+        }
+        (et, h) -> (math.floor(level * 1e6 + 0.5) / 1e6,
+          math.floor(trend * 1e6 + 0.5) / 1e6,
+          math.floor((level + trend) * 1e6 + 0.5) / 1e6)
+      }
+    }.toMap
+    val got = operators.EventTime.t22(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got === expected)
+    // the trend state must activate on this fixture
+    assert(got.values.exists(v => math.abs(v._2) > 0.0))
+  }
+
   test("t21: peak concurrency matches a driver-side sweep-line") {
     val lenMs = 600000L
     val events = Tables.events(spark, sf)

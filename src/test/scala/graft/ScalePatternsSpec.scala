@@ -332,6 +332,29 @@ class ScalePatternsSpec extends SparkSuite {
       s"cap should cut pair work by >100× (got ${u10.toDouble / c10}×)")
   }
 
+  test("j21 growth law: the fuzzy-join dictionary saturates while the corpus 10x's") {
+    // the edit-distance work is a function of the NAME DICTIONARY, not
+    // the table: vocabulary is bounded, so candidates stay ~constant as
+    // rows scale — the whole point of the dedupe-first design
+    def dictAndCandidates(dir: String): (Long, Long) = {
+      val names = Tables.part(spark, dir).select("p_name").distinct()
+        .withColumn("blk", org.apache.spark.sql.functions.substring(
+          col("p_name"), -4, 4))
+      val dict = names.count()
+      val cands = names.as("x").join(names.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name")).count()
+      (dict, cands)
+    }
+    val (d1, c1) = dictAndCandidates("/root/testdata/sf0.01")
+    val (d10, c10) = dictAndCandidates("/root/testdata/sf0.1")
+    val rows1 = Tables.part(spark, "/root/testdata/sf0.01").count()
+    val rows10 = Tables.part(spark, "/root/testdata/sf0.1").count()
+    info(s"rows $rows1 -> $rows10; dict $d1 -> $d10; candidates $c1 -> $c10")
+    assert(rows10 >= rows1 * 5, "fixture must actually scale")
+    assert(d10 <= d1 * 2, s"dictionary should saturate: $d1 -> $d10")
+    assert(c10 <= c1 * 4, s"candidate pairs should not track row count: $c1 -> $c10")
+  }
+
   test("corpus-size probe memoizes per input frame: composed stages rescan once") {
     val sc = spark.sparkContext
     llm.CorpusStats.clear()
