@@ -673,7 +673,41 @@ object Pipeline extends QueryModule {
       .orderBy("lang")
   }
 
+  /** l50: SFT chat-template formatting — the last hop before tokenized
+    * training batches: split each document into a prompt/completion
+    * pair, wrap in the chat template, and emit the LOSS-MASK OFFSET
+    * (completion tokens train, prompt tokens are masked — the
+    * supervised-fine-tuning convention). Map-only string assembly; the
+    * formatted text itself is surfaced as an md5 (keeps the gated
+    * output row small while still pinning every byte of the template),
+    * plus the whitespace token estimate and a truncation flag. */
+  def l50(spark: SparkSession, dir: String): DataFrame = {
+    val promptChars = 120
+    val maxChars = 520
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, promptChars).as("prompt"),
+        substring(col("text"), promptChars + 1, maxChars - promptChars)
+          .as("completion"),
+        (length(col("text")) > maxChars).as("truncated"))
+      .select(col("doc_id"), col("lang"), col("truncated"),
+        concat(lit("<|user|>\n"), col("prompt"),
+          lit("\n<|assistant|>\n"), col("completion"), lit("<|end|>"))
+          .as("formatted"),
+        // loss mask starts at the first completion character:
+        // |<|user|>\n| + prompt + |\n<|assistant|>\n|
+        (lit(9) + length(col("prompt")) + lit(15)).cast("bigint")
+          .as("mask_off"))
+      .select(col("doc_id"), col("lang"), col("truncated"),
+        md5(col("formatted").cast("binary")).as("formatted_md5"),
+        length(col("formatted")).cast("bigint").as("n_chars"),
+        size(split(col("formatted"), "\\s+")).cast("bigint").as("ws_tokens"),
+        col("mask_off"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l50_sft_format" -> l50,
     "l37_ngram_lm" -> l37,
     "l42_bpe_stats" -> l42,
     "l43_bpe_train" -> l43,
@@ -696,6 +730,26 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    // l50: byte-identical template assembly — the md5 pins every byte
+    "l50_sft_format" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         substr(text, 1, 120) AS prompt,
+        |         substr(text, 121, 400) AS completion,
+        |         length(text) > 520 AS truncated
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, truncated,
+        |         '<|user|>' || chr(10) || prompt || chr(10) ||
+        |         '<|assistant|>' || chr(10) || completion || '<|end|>' AS formatted,
+        |         CAST(9 + length(prompt) + 15 AS BIGINT) AS mask_off
+        |  FROM s)
+        |SELECT doc_id, lang, truncated,
+        |       md5(formatted) AS formatted_md5,
+        |       CAST(length(formatted) AS BIGINT) AS n_chars,
+        |       CAST(len(string_split_regex(formatted, '\s+')) AS BIGINT) AS ws_tokens,
+        |       mask_off
+        |FROM f ORDER BY doc_id""".stripMargin,
     "l37_ngram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
         |flat AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
