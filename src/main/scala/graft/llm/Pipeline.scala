@@ -555,8 +555,16 @@ object Pipeline extends QueryModule {
     val rows = hit.getOrElse {
       val trained = bpeTrainRows(docs, rounds)
       trainMemo.synchronized {
-        trainMemo.addLast((key, rounds, trained))
-        if (trainMemo.size > 16) trainMemo.removeFirst()
+        val dup = trainMemo.iterator()
+        var exists = false
+        while (dup.hasNext && !exists) {
+          val (p, r, _) = dup.next()
+          exists = r == rounds && p.sameResult(key)
+        }
+        if (!exists) {
+          trainMemo.addLast((key, rounds, trained))
+          if (trainMemo.size > 16) trainMemo.removeFirst()
+        }
       }
       trained
     }
@@ -564,6 +572,19 @@ object Pipeline extends QueryModule {
       .withColumn("round", col("round").cast("long"))
       .orderBy("round")
   }
+
+  /** Invalidation hook (CorpusStats.clear's sibling): drop memoized
+    * merge tables when a corpus is regenerated in place — the
+    * normalized plan still sameResult-matches a re-read of the same
+    * path, so without this a mutated corpus would keep serving its old
+    * tokenizer. */
+  def clearTrainMemo(): Unit = trainMemo.synchronized(trainMemo.clear())
+
+  /** The trained merge list in application order — the ONE accessor
+    * every encode-side consumer shares (row layout stated here once). */
+  def trainedMerges(docs: DataFrame, rounds: Int = 10): Seq[(String, String)] =
+    bpeTrain(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   private def bpeTrainRows(docs: DataFrame,
       rounds: Int): Seq[(Int, String, String, Long)] = {
@@ -616,9 +637,7 @@ object Pipeline extends QueryModule {
     * the compression the learned merges bought. */
   def l45(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = bpeTrain(docs).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    bpeEncode(docs, merges)
+    bpeEncode(docs, trainedMerges(docs))
   }
 
   /** The encode stage on its own, for library callers that already hold
@@ -660,9 +679,7 @@ object Pipeline extends QueryModule {
     * from the encode output and pins fertility ≥ 1. */
   def l48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = bpeTrain(docs).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    bpeEncode(docs, merges)
+    bpeEncode(docs, trainedMerges(docs))
       .join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

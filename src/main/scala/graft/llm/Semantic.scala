@@ -233,21 +233,39 @@ object Semantic extends QueryModule {
     * sum is computed over the SORTED per-bucket term array (l29's
     * trick) so double addition order can't diverge from the oracle. */
   def l46(spark: SparkSession, dir: String): DataFrame = {
-    val nb = 64
-    val tok = Tables.documents(spark, dir)
+    // ONE tokenize+hash pass: the per-doc bucket counts are the only
+    // corpus-sized aggregate, and the 64-row distributions derive from
+    // THEM (sum over docs) instead of re-scanning the token stream; the
+    // scoped cache covers the two consumers, released after the
+    // checkpointed result materializes
+    val db = l46DocBuckets(spark, dir).cache()
+    val out = l46Score(db).localCheckpoint()
+    db.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-doc hashed-bucket counts — l46's single corpus-sized pass. */
+  private[graft] def l46DocBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         explode(split(lower(col("text")), " ")).as("t"))
-      .withColumn("b", expr("CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT)") % nb)
-    val dist = tok.groupBy("b").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("ca"))
+      .withColumn("b",
+        expr("CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT)") % 64)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n_b"), first("tgt").as("tgt"))
+
+  /** Distribution build + per-doc scoring over the bucket-count frame. */
+  private[graft] def l46Score(db: DataFrame): DataFrame = {
+    val nb = 64
+    val dist = db.groupBy("b").agg(
+      sum(when(col("tgt"), col("n_b")).otherwise(0L)).as("ct"),
+      sum(col("n_b")).as("ca"))
     val tot = dist.agg(sum("ct").as("tt"), sum("ca").as("ta"))
     val llr = dist.crossJoin(broadcast(tot))
       .select(col("b"),
         log(((col("ct") + 1) / (col("tt") + nb)) /
             ((col("ca") - col("ct") + 1) / (col("ta") - col("tt") + nb))).as("llr"))
-    tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n_b"))
-      .join(broadcast(llr), "b")
+    db.join(broadcast(llr), "b")
       .withColumn("term", col("n_b").cast("double") * col("llr"))
       .groupBy("doc_id")
       .agg(sum("n_b").as("n_tokens"),

@@ -397,11 +397,26 @@ object EventTime extends QueryModule {
     val w = Window.partitionBy("event_type")
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(-100, -1)
+    // mean/stddev from DECIMAL frame sums, not avg()/stddev_samp():
+    // windowed float aggregation orders differ between engines (Spark
+    // rescans the frame, DuckDB uses segment trees), so native stats
+    // are order-sensitive in the last ulps — enough to flip the 1e-6
+    // floor on a boundary. v and v² are exact IEEE doubles identically
+    // computed, their DECIMAL sums are exact, and every expression
+    // below them is one fixed shape both engines evaluate bit-equal.
     Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
       .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("mu", avg("value").over(w))
-      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("s1", sum(col("value").cast(
+        org.apache.spark.sql.types.DecimalType(38, 10))).over(w))
+      .withColumn("s2", sum((col("value") * col("value")).cast(
+        org.apache.spark.sql.types.DecimalType(38, 10))).over(w))
+      .withColumn("mu",
+        when(col("n_window") > 0, col("s1").cast("double") / col("n_window")))
+      .withColumn("sd",
+        when(col("n_window") > 1, sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") - col("s1").cast("double") * col("mu"))
+            / (col("n_window") - 1)))))
       .withColumn("z",
         when(col("n_window") >= 20 && col("sd") > 0,
           floor((col("value") - col("mu")) / col("sd") * 1000000.0 + 0.5)
@@ -529,14 +544,12 @@ object EventTime extends QueryModule {
         var cur: String = null
         var level = 0.0
         var trend = 0.0
-        var n = 0
         it.map { case (et, h, x) =>
-          if (et != cur) { cur = et; level = x; trend = 0.0; n = 1 }
+          if (et != cur) { cur = et; level = x; trend = 0.0 }
           else {
             val prev = level
             level = a * x + (1 - a) * (level + trend)
             trend = b * (level - prev) + (1 - b) * trend
-            n += 1
           }
           (et, h, x, math.floor(level * 1e6 + 0.5) / 1e6,
             math.floor(trend * 1e6 + 0.5) / 1e6,
@@ -619,20 +632,31 @@ object EventTime extends QueryModule {
         |  AND CAST(next_ts - ts_ms AS DOUBLE) > mean_gap_ms * 4
         |ORDER BY event_type, gap_start_ms""".stripMargin,
     // t18: identical trailing frame (100 PRECEDING .. 1 PRECEDING) and
-    // warm-up/degenerate-sd NULL rules
+    // warm-up/degenerate-sd NULL rules; mean/stddev derived from exact
+    // DECIMAL frame sums so neither engine's windowed float-aggregation
+    // order can perturb the 1e-6 floor
     "t18_rolling_zscore" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value,
         |         epoch_ns(ts)//1000000 AS ts_ms
         |  FROM events),
-        |wf AS (
+        |fs AS (
         |  SELECT *,
         |    COUNT(*) OVER w AS n_window,
-        |    AVG(value) OVER w AS mu,
-        |    STDDEV_SAMP(value) OVER w AS sd
+        |    SUM(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
+        |    SUM(CAST(value * value AS DECIMAL(38,10))) OVER w AS s2
         |  FROM e
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
-        |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+        |wf AS (
+        |  SELECT *,
+        |    CASE WHEN n_window > 0
+        |         THEN CAST(s1 AS DOUBLE) / n_window END AS mu,
+        |    CASE WHEN n_window > 1
+        |         THEN sqrt(greatest(0.0, (CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_window))
+        |              / (n_window - 1))) END AS sd
+        |  FROM fs)
         |SELECT event_type, event_id, ts_ms, value, n_window,
         |       CASE WHEN n_window >= 20 AND sd > 0
         |            THEN floor((value - mu) / sd * 1000000.0 + 0.5) / 1000000.0

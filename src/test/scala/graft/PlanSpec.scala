@@ -105,7 +105,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("l46: distribution joins broadcast (the 64-row llr never shuffles the token stream)") {
-    val plan = planString(llm.Semantic.l46(spark, sf))
+    // inspect the scoring plan pre-checkpoint (l46 itself returns the
+    // materialized checkpoint, whose plan is an opaque RDD scan)
+    val plan = planString(
+      llm.Semantic.l46Score(llm.Semantic.l46DocBuckets(spark, sf)))
     assert(plan.contains("BroadcastHashJoin"), s"llr join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the tiny side:\n$plan")
   }
