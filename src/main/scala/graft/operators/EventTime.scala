@@ -397,29 +397,32 @@ object EventTime extends QueryModule {
     val w = Window.partitionBy("event_type")
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(-100, -1)
-    // mean/stddev from DECIMAL frame sums, not avg()/stddev_samp():
-    // windowed float aggregation orders differ between engines (Spark
-    // rescans the frame, DuckDB uses segment trees), so native stats
-    // are order-sensitive in the last ulps — enough to flip the 1e-6
-    // floor on a boundary. v and v² are exact IEEE doubles identically
-    // computed, their DECIMAL sums are exact, and every expression
-    // below them is one fixed shape both engines evaluate bit-equal.
+    // mean/stddev from INTEGER milli-unit frame sums, not
+    // avg()/stddev_samp(): windowed float aggregation orders differ
+    // between engines (Spark rescans bounded frames, DuckDB uses
+    // segment trees), so native stats are order-sensitive in the last
+    // ulps — enough to flip the 1e-6 floor on a boundary. The values
+    // are 2-decimal synthetics, so milli-quantization is LOSSLESS,
+    // long sums are exact and fast (a DECIMAL(38,_) variant measured
+    // 2.5× slower in the sliding frame), and every expression below
+    // them is one fixed double shape both engines evaluate bit-equal.
     Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("vm", expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)"))
       .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("value").cast(
-        org.apache.spark.sql.types.DecimalType(38, 10))).over(w))
-      .withColumn("s2", sum((col("value") * col("value")).cast(
-        org.apache.spark.sql.types.DecimalType(38, 10))).over(w))
+      .withColumn("s1", sum("vm").over(w))
+      .withColumn("s2", sum(expr("vm * vm")).over(w))
       .withColumn("mu",
-        when(col("n_window") > 0, col("s1").cast("double") / col("n_window")))
+        when(col("n_window") > 0,
+          col("s1").cast("double") / (col("n_window") * 1000.0)))
       .withColumn("sd",
         when(col("n_window") > 1, sqrt(greatest(lit(0.0),
-          (col("s2").cast("double") - col("s1").cast("double") * col("mu"))
+          (col("s2").cast("double") / 1000000.0
+            - (col("s1").cast("double") / 1000.0) * col("mu"))
             / (col("n_window") - 1)))))
       .withColumn("z",
         when(col("n_window") >= 20 && col("sd") > 0,
-          floor((col("value") - col("mu")) / col("sd") * 1000000.0 + 0.5)
+          floor((col("vm") / 1000.0 - col("mu")) / col("sd") * 1000000.0 + 0.5)
             / 1000000.0))
       .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"),
         col("n_window"), col("z"),
@@ -633,36 +636,38 @@ object EventTime extends QueryModule {
         |ORDER BY event_type, gap_start_ms""".stripMargin,
     // t18: identical trailing frame (100 PRECEDING .. 1 PRECEDING) and
     // warm-up/degenerate-sd NULL rules; mean/stddev derived from exact
-    // DECIMAL frame sums so neither engine's windowed float-aggregation
-    // order can perturb the 1e-6 floor
+    // integer milli-unit frame sums so neither engine's windowed
+    // float-aggregation order can perturb the 1e-6 floor
     "t18_rolling_zscore" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value,
+        |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
         |         epoch_ns(ts)//1000000 AS ts_ms
         |  FROM events),
         |fs AS (
         |  SELECT *,
         |    COUNT(*) OVER w AS n_window,
-        |    SUM(CAST(value AS DECIMAL(38,10))) OVER w AS s1,
-        |    SUM(CAST(value * value AS DECIMAL(38,10))) OVER w AS s2
+        |    CAST(SUM(vm) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(vm * vm) OVER w AS BIGINT) AS s2
         |  FROM e
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
         |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
         |wf AS (
         |  SELECT *,
         |    CASE WHEN n_window > 0
-        |         THEN CAST(s1 AS DOUBLE) / n_window END AS mu,
+        |         THEN CAST(s1 AS DOUBLE) / (n_window * 1000.0) END AS mu,
         |    CASE WHEN n_window > 1
-        |         THEN sqrt(greatest(0.0, (CAST(s2 AS DOUBLE)
-        |              - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_window))
+        |         THEN sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) / 1000000.0
+        |              - (CAST(s1 AS DOUBLE) / 1000.0) *
+        |                (CAST(s1 AS DOUBLE) / (n_window * 1000.0)))
         |              / (n_window - 1))) END AS sd
         |  FROM fs)
         |SELECT event_type, event_id, ts_ms, value, n_window,
         |       CASE WHEN n_window >= 20 AND sd > 0
-        |            THEN floor((value - mu) / sd * 1000000.0 + 0.5) / 1000000.0
+        |            THEN floor((vm / 1000.0 - mu) / sd * 1000000.0 + 0.5) / 1000000.0
         |       END AS z,
         |       CASE WHEN n_window >= 20 AND sd > 0
-        |            THEN abs(floor((value - mu) / sd * 1000000.0 + 0.5) / 1000000.0) > 3.0
+        |            THEN abs(floor((vm / 1000.0 - mu) / sd * 1000000.0 + 0.5) / 1000000.0) > 3.0
         |            ELSE FALSE END AS is_anomaly
         |FROM wf ORDER BY event_type, ts_ms, event_id""".stripMargin,
     // t17: open/close spelled as rank-1 rows over the explicit
