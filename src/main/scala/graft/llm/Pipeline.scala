@@ -723,7 +723,36 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** l51: TEMPERATURE-scaled source mixing — the multilingual/multi-
+    * source sampling law (α-smoothed: p_i ∝ (n_i/N)^α) that keeps
+    * low-resource slices from vanishing under natural-proportion
+    * sampling while not drowning the head. α = 0.5 so the power is
+    * sqrt — IEEE-exact in BOTH engines (pow() differs by ulps across
+    * libm implementations; sqrt is correctly-rounded everywhere). The
+    * smoothed mass is summed in DECIMAL(38,6) (order-independent), and
+    * every surfaced ratio is one double division + the shared
+    * floor(x·1e6+0.5)/1e6 rounding rule — bit-identical cross-engine.
+    * Cost: one (source, lang) aggregate + a broadcast scalar — the
+    * whole op is corpus-stats-sized, nothing document-sized shuffles. */
+  def l51(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val g = Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("st", sqrt(col("n_chars"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+    val tot = g.agg(sum("n_chars").as("tot_chars"), sum("st").as("tot_st"))
+    val pNat = col("n_chars").cast("double") / col("tot_chars").cast("double")
+    val pTemp = col("st").cast("double") / col("tot_st").cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        r6(pNat).as("p_natural"), r6(pTemp).as("p_temp"),
+        r6(pTemp / pNat).as("boost"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l51_mix_temperature" -> l51,
     "l50_sft_format" -> l50,
     "l37_ngram_lm" -> l37,
     "l42_bpe_stats" -> l42,
@@ -747,6 +776,24 @@ object Pipeline extends QueryModule {
     "l24_decontaminate_bloom" -> l24)
 
   val oracles: Map[String, String] = Map(
+    // l51: sqrt is correctly-rounded in both engines; the smoothed mass
+    // sums in DECIMAL and every ratio shares the floor-rounding rule
+    "l51_mix_temperature" ->
+      """WITH g AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |         CAST(sqrt(SUM(n_chars)) AS DECIMAL(38,6)) AS st
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(n_chars) AS tot_chars, SUM(st) AS tot_st FROM g)
+        |SELECT source, lang, n_docs, n_chars,
+        |       floor(CAST(n_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS p_natural,
+        |       floor(CAST(st AS DOUBLE) / CAST(tot_st AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS p_temp,
+        |       floor((CAST(st AS DOUBLE) / CAST(tot_st AS DOUBLE))
+        |             / (CAST(n_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS boost
+        |FROM g, t ORDER BY source, lang""".stripMargin,
     // l50: byte-identical template assembly — the md5 pins every byte
     "l50_sft_format" ->
       """WITH s AS (

@@ -563,7 +563,52 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "hour_ms")
   }
 
+  /** t23: MAD-based robust outlier report — the monitoring-pipeline
+    * anomaly primitive that survives the heavy tails a mean/stddev gate
+    * (a16) is blind to: median and median-absolute-deviation have a 50%
+    * breakdown point, so one bad feed can't move the threshold. All
+    * order statistics are EXACT and integer: values quantize to milli-
+    * units (floor(v·1000+0.5), the same rule both engines evaluate
+    * identically), and each median is the a21 first-crossing pick over
+    * a (type, value)-collapsed count table — no percentile
+    * interpolation, no engine-specific tie rule. Cost: the collapse is
+    * one map-side-combinable shuffle; the per-type windows run over the
+    * collapsed table (|distinct values|, not |events|); medians
+    * broadcast back — at 100 TB the events table is scanned twice and
+    * nothing else is event-sized. */
+  def t23(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").as("vm"))
+    // median-low per type: first row where cumulative weight crosses
+    // half the total (exact integers end-to-end)
+    def medLow(df: DataFrame, vcol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy("event_type").orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      df.groupBy(col("event_type"), col(vcol))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("cum", sum("w").over(wCum))
+        .withColumn("tot", sum("w").over(wAll))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("event_type").agg(min(vcol).as(out))
+    }
+    val med = medLow(e, "vm", "med")
+    val withDev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("vm") - col("med")))
+    val mad = medLow(withDev.select(col("event_type"), col("dev")), "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (min("med").cast("double") / lit(1000.0)).as("median"),
+        (min("mad").cast("double") / lit(1000.0)).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        (max("dev").cast("double") / lit(1000.0)).as("max_dev"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_mad_outliers" -> t23,
     "t22_holt_trend" -> t22,
     "t20_ewma" -> t20,
     "t21_peak_concurrency" -> t21,
@@ -588,6 +633,37 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t23: the same milli-unit quantization and first-crossing median
+    // picks, spelled as two windowed CTE passes
+    "t23_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (SELECT event_type, vm, COUNT(*) AS w FROM e GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        SUM(w) OVER (PARTITION BY event_type ORDER BY vm
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(w) OVER (PARTITION BY event_type) AS tot FROM g),
+        |med AS (SELECT event_type, MIN(vm) AS med
+        |        FROM c WHERE cum * 2 >= tot GROUP BY 1),
+        |d AS (SELECT e.event_type, vm, med, abs(vm - med) AS dev
+        |      FROM e JOIN med USING (event_type)),
+        |g2 AS (SELECT event_type, dev, COUNT(*) AS w FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT *,
+        |        SUM(w) OVER (PARTITION BY event_type ORDER BY dev
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(w) OVER (PARTITION BY event_type) AS tot FROM g2),
+        |mad AS (SELECT event_type, MIN(dev) AS mad
+        |        FROM c2 WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(med) AS DOUBLE) / 1000.0 AS median,
+        |       CAST(MIN(mad) AS DOUBLE) / 1000.0 AS mad,
+        |       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(MAX(dev) AS DOUBLE) / 1000.0 AS max_dev
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // t21: same sweep-line (+1/-1), same end-before-start boundary rule,
     // argmax spelled as rank-1 over (conc DESC, t ASC)
     "t21_peak_concurrency" ->

@@ -328,6 +328,34 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g09: THREE synchronous rounds of min-label propagation — the
+    * hash-partitioned connected-components kernel (Hash-Min of
+    * Rastogi et al.; what l21's large-star/small-star accelerates to
+    * O(log²n) rounds). Over g07's near-id band so components are
+    * non-trivial at every SF. Per round: ONE edge⋈label equi join + a
+    * min-combine keyed on node — map-side combinable, the shuffle
+    * carries one candidate label per (node, partition). Fixed 3 rounds
+    * keeps the output hash-gateable; the run-to-convergence version is
+    * l21's Fixpoint loop. label after round r = min node id within r
+    * hops — deterministic under any partitioning. */
+  def g09(spark: SparkSession, dir: String): DataFrame = {
+    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
+    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      val pulled = edges
+        .join(lbl.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      lbl = lbl.unionAll(pulled).groupBy("node").agg(min("label").as("label"))
+    }
+    val out = lbl.orderBy("node").localCheckpoint()
+    graft.Fixpoint.release(edges)
+    out
+  }
+
   /** g04: TWO synchronous rounds of deterministic label propagation
     * (community detection) over the part↔supplier bipartite graph. The
     * classic LPA tie-break ("random neighbor label") is replaced by a
@@ -442,7 +470,8 @@ object Graph extends QueryModule {
     "g05_triangle_count" -> g05,
     "g06_jaccard_neighbors" -> g06,
     "g07_bfs_layers" -> g07,
-    "g08_kcore" -> g08)
+    "g08_kcore" -> g08,
+    "g09_cc_rounds" -> g09)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
@@ -514,6 +543,27 @@ object Graph extends QueryModule {
          |         SELECT u.dst, d2.dist + 1 FROM und u JOIN d2 ON u.src = d2.node) t3
          |       GROUP BY node)
          |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
+    // g09: three Hash-Min rounds unrolled — per round the new label is
+    // MIN over (own label ∪ labels pulled across each incident edge)
+    "g09_cc_rounds" ->
+      (coocSqlCtes + """,
+         |band AS (SELECT p1, p2 FROM pr2 WHERE p2 - p1 <= 4),
+         |und AS (SELECT p1 AS src, p2 AS dst FROM band
+         |        UNION ALL SELECT p2, p1 FROM band),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |l1 AS (SELECT node, MIN(label) AS label FROM (
+         |         SELECT node, label FROM l0 UNION ALL
+         |         SELECT u.dst, l0.label FROM und u JOIN l0 ON u.src = l0.node) t1
+         |       GROUP BY node),
+         |l2 AS (SELECT node, MIN(label) AS label FROM (
+         |         SELECT node, label FROM l1 UNION ALL
+         |         SELECT u.dst, l1.label FROM und u JOIN l1 ON u.src = l1.node) t2
+         |       GROUP BY node),
+         |l3 AS (SELECT node, MIN(label) AS label FROM (
+         |         SELECT node, label FROM l2 UNION ALL
+         |         SELECT u.dst, l2.label FROM und u JOIN l2 ON u.src = l2.node) t3
+         |       GROUP BY node)
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
     // g05: same capped projection, then degree orientation + wedge
     // self-join + EXISTS closure — mechanics differ (DuckDB has no
     // struct-ordered when(); the (deg, id) order is spelled as booleans)

@@ -336,7 +336,51 @@ object History extends QueryModule {
       .orderBy("user_id", "valid_day_asof")
   }
 
+  /** h11: SNAPSHOT DIFF — the table-format time-travel primitive
+    * (Delta/Iceberg "what changed between snapshot T1 and T2"): latest-
+    * op-wins live state is reconstructed at two data-derived transaction
+    * cuts (⅓ and ⅔ of the changelog's time span) and full-outer-joined
+    * on the entity key; each key classifies as added (live only at T2),
+    * removed (a later delete won, h05's tombstone rule), or changed
+    * (both live, different winning event). Unchanged keys are dropped —
+    * a diff's output is O(churn), not O(keys), which is what makes
+    * incremental consumers (CDC backfills, audit reports) feasible at
+    * 100 TB. Shape: both snapshots shuffle once on user_id and the
+    * full-outer join reuses that partitioning — no third exchange. */
+  def h11(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_ms"),
+        when(pmod(col("event_id"), lit(10)) === 0, "delete")
+          .otherwise("upsert").as("op"))
+    val cuts = e.agg(
+      expr("min(ts_ms) + (max(ts_ms) - min(ts_ms)) div 3").as("t1"),
+      expr("min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * 2) div 3").as("t2"))
+    val ec = e.crossJoin(broadcast(cuts))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    def stateAt(cut: org.apache.spark.sql.Column): DataFrame =
+      ec.filter(col("ts_ms") <= cut)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "upsert")
+        .select(col("user_id"), col("event_id"), col("value"))
+    val s1 = stateAt(col("t1"))
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("value").as("old_value"))
+    val s2 = stateAt(col("t2"))
+      .select(col("user_id"), col("event_id").as("new_event_id"),
+        col("value").as("new_value"))
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_event_id").isNull, "added")
+          .when(col("new_event_id").isNull, "removed")
+          .when(col("old_event_id") =!= col("new_event_id"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("user_id", "status", "old_event_id", "old_value",
+        "new_event_id", "new_value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h11_snapshot_diff" -> h11,
     "h10_bitemporal" -> h10,
     "h09_mv_rewrite" -> h09,
     "h08_pit_join" -> h08,
@@ -349,6 +393,36 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h11: both snapshots spelled as the same latest-op-wins rank; the
+    // diff is the identical full-outer classification
+    "h11_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts)//1000000 AS ts_ms,
+        |         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events),
+        |c AS (SELECT MIN(ts_ms) + (MAX(ts_ms) - MIN(ts_ms)) // 3 AS t1,
+        |             MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 2) // 3 AS t2
+        |      FROM e),
+        |s1 AS (
+        |  SELECT user_id, event_id AS old_event_id, value AS old_value FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM e, c WHERE ts_ms <= c.t1) t
+        |  WHERE rn = 1 AND op = 'upsert'),
+        |s2 AS (
+        |  SELECT user_id, event_id AS new_event_id, value AS new_value FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM e, c WHERE ts_ms <= c.t2) t
+        |  WHERE rn = 1 AND op = 'upsert'),
+        |d AS (
+        |  SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |         CASE WHEN s1.user_id IS NULL THEN 'added'
+        |              WHEN s2.user_id IS NULL THEN 'removed'
+        |              WHEN old_event_id <> new_event_id THEN 'changed' END AS status,
+        |         old_event_id, old_value, new_event_id, new_value
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT * FROM d WHERE status IS NOT NULL ORDER BY user_id""".stripMargin,
     // h10: the same two-axis pick spelled as a rank over (valid desc,
     // tx desc, id desc) per (user, grid point); value passes through
     // unaggregated, so both engines surface the identical parquet double

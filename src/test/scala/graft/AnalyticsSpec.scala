@@ -353,4 +353,34 @@ class AnalyticsSpec extends SparkSuite {
     // centroid means live inside the data's value range
     out.foreach { case (_, _, _, m) => assert(m > -10.0 && m < 10.0) }
   }
+
+  test("t23: milli-unit median/MAD match a driver-side exact replay") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1000.0 + 0.5).toLong))
+    def medLow(xs: Seq[Long]): Long = {
+      // first value whose cumulative count crosses half the total —
+      // exactly the operator's first-crossing pick
+      val sorted = xs.sorted
+      sorted((xs.size - 1) / 2)
+    }
+    val expected = events.groupBy(_._1).map { case (t, es) =>
+      val vs = es.map(_._2).toSeq
+      val med = medLow(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = medLow(devs)
+      t -> ((vs.size.toLong, med / 1000.0, mad / 1000.0,
+        devs.count(_ > 3 * mad).toLong, devs.max / 1000.0))
+    }
+    val got = operators.EventTime.t23(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got === expected)
+    // robustness must bite: some type flags outliers, none flags all
+    assert(got.values.exists(_._4 > 0), "no outliers flagged anywhere")
+    got.foreach { case (t, (n, _, _, k, _)) =>
+      assert(k < n, s"$t flags every event as an outlier")
+    }
+  }
 }

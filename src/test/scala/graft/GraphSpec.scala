@@ -171,4 +171,23 @@ class GraphSpec extends SparkSuite {
     assert(got === expect)
     assert(got.size < byUser.size, "at least one tombstone should fire")
   }
+
+  test("g09: three Hash-Min rounds match a driver-side label relaxation") {
+    val pairs = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 - p._1 <= 4) // g09's near-id band
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val pulled = lbl.toSeq.flatMap { case (n, l) => adj(n).map(_ -> l) }
+      lbl = (lbl.toSeq ++ pulled).groupBy(_._1)
+        .map { case (n, ls) => n -> ls.map(_._2).min }
+    }
+    val got = operators.Graph.g09(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lbl)
+    // labels must actually propagate (some node carries a non-self label)
+    assert(got.exists { case (n, l) => l != n }, "no label moved in 3 rounds")
+  }
 }

@@ -188,4 +188,36 @@ class HistorySpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(inc.toSeq == full.toSeq) // bit-exact, not approximate
   }
+
+  test("h11: snapshot diff matches a driver-side two-cut state replay") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "value", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val (mn, mx) = (events.map(_._4).min, events.map(_._4).max)
+    val (t1, t2) = (mn + (mx - mn) / 3, mn + (mx - mn) * 2 / 3)
+    def stateAt(cut: Long): Map[Long, (Long, Double)] =
+      events.filter(_._4 <= cut).groupBy(_._1).flatMap { case (u, evs) =>
+        val w = evs.maxBy(e => (e._4, e._2))
+        if (w._2 % 10 == 0) None else Some(u -> ((w._2, w._3)))
+      }
+    val (s1, s2) = (stateAt(t1), stateAt(t2))
+    val expected = (s1.keySet ++ s2.keySet).flatMap { u =>
+      (s1.get(u), s2.get(u)) match {
+        case (None, Some(n))                      => Some(u -> ("added", None, Some(n._1)))
+        case (Some(_), None)                      => Some(u -> ("removed", s1.get(u).map(_._1), None))
+        case (Some(o), Some(n)) if o._1 != n._1   => Some(u -> ("changed", Some(o._1), Some(n._1)))
+        case _                                    => None
+      }
+    }.toMap
+    val got = operators.History.h11(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    }.toMap
+    assert(got === expected)
+    // the fixture must exercise every diff arm
+    Seq("added", "removed", "changed").foreach { s =>
+      assert(got.values.exists(_._1 == s), s"no '$s' rows in the diff")
+    }
+  }
 }

@@ -251,4 +251,27 @@ class PipelineSpec extends SparkSuite {
     assert(perDoc.exists(_ == 2L), "some doc must upsample to 2 copies")
     assert(texts.size > perDoc.size, "some doc must drop to 0 copies")
   }
+
+  test("l51: temperature mixing flattens the distribution monotonically") {
+    val rows = llm.Pipeline.l51(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+    // probabilities are distributions (up to the 1e-6 surface rounding)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "p_natural sums to 1")
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-4, "p_temp sums to 1")
+    // α = 0.5 flattening: every slice above the mean share is downweighted,
+    // every slice below it is upweighted (boost crosses 1 with size)
+    val totChars = rows.map(_._4).sum.toDouble
+    rows.foreach { case (src, lang, _, nc, pn, pt, boost) =>
+      val exp = math.sqrt(nc.toDouble) /
+        rows.map(r => BigDecimal(math.sqrt(r._4.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+      assert(math.abs(pt - exp) < 1e-4, s"($src,$lang) p_temp")
+      assert(math.abs(boost - pt / pn) < 1e-2, s"($src,$lang) boost")
+      if (nc.toDouble / totChars > 1.5 / rows.length)
+        assert(boost < 1.0, s"($src,$lang) big slice must downweight")
+    }
+    assert(rows.exists(_._7 > 1.0), "some small slice must upweight")
+  }
 }
