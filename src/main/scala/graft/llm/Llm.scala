@@ -555,9 +555,43 @@ object Llm extends QueryModule {
     out
   }
 
+  /** l52: HARD-NEGATIVE MINING for contrastive training — per anchor,
+    * the top-3 most-cosine-similar vectors carrying a DIFFERENT label
+    * (the "looks alike, isn't" examples that make embedding models
+    * learn boundaries; the batch-mining pass behind DPR/SimCSE-style
+    * pipelines). Plan: anchors are a deterministic sparse slice
+    * (vec_id % 500) and BROADCAST; per-row norms are computed ONCE on
+    * each side before the pair expansion (not per pair); the only
+    * shuffle is the per-anchor top-k window over |anchors|·|corpus|
+    * scored rows. At 100 TB the anchor set is the small side by
+    * construction, so this is one corpus scan per mining batch — and
+    * the exact scorer drops in behind l03b's LSH prefilter when the
+    * corpus outgrows a full scan. */
+  def l52(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("na", expr("sqrt(vec_dot(embedding, embedding))"))
+    val anchors = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("p"), col("na").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("cosine",
+        round(expr("vec_dot(embedding, p)") / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("rk").cast("long").as("rk"), col("vec_id").as("negative_id"),
+        col("label").as("negative_label"), col("cosine"))
+      .orderBy("anchor_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
+    "l52_hard_negatives" -> l52,
     "l03_sim_topk" -> l03,
     "l03b_sim_ann" -> l03b,
     "l49_filtered_ann" -> l49,
@@ -741,6 +775,26 @@ object Llm extends QueryModule {
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l03b_sim_ann" -> l03bOracle,
     "l49_filtered_ann" -> l49Oracle,
+    // l52: same scorer as l03 (per-element double products, sequential
+    // sum), same round-6 surface, ties broken by vec_id
+    "l52_hard_negatives" ->
+      """WITH pr AS (
+        |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS p
+        |  FROM embeddings WHERE vec_id % 500 = 0),
+        |c AS (
+        |  SELECT anchor_id, anchor_label, vec_id, label,
+        |         round(
+        |           list_sum(list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |  FROM embeddings CROSS JOIN pr
+        |  WHERE label <> anchor_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cosine DESC, vec_id) AS rk FROM c)
+        |SELECT anchor_id, anchor_label, CAST(rk AS BIGINT) AS rk,
+        |       vec_id AS negative_id, label AS negative_label, cosine
+        |FROM r WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin,
     "l03_sim_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

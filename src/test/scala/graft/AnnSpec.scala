@@ -62,4 +62,31 @@ class AnnSpec extends SparkSuite {
       assert(got.length === 10, s"$name: pre-filter should fill k")
     }
   }
+
+  test("l52 hard negatives: top-3 cross-label matches a brute-force replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val expected = vecs.filter(_._1 % 500 == 0).flatMap { case (aid, av, albl) =>
+      vecs.filter(_._3 != albl)
+        .map { case (vid, vv, vlbl) => (vid, vlbl, cos(av, vv)) }
+        .sortBy { case (vid, _, c) => (-c, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, vlbl, c), i) => (aid, i + 1L, vid, vlbl, c) }
+    }.toSet
+    val got = llm.Llm.l52(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+      .toSet
+    assert(got === expected)
+    // every mined negative must actually cross the label boundary
+    val anchorLbl = vecs.filter(_._1 % 500 == 0).map(v => v._1 -> v._3).toMap
+    got.foreach { case (aid, _, _, nlbl, _) =>
+      assert(nlbl != anchorLbl(aid), s"anchor $aid mined a same-label 'negative'")
+    }
+  }
 }
