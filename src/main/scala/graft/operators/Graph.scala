@@ -356,6 +356,35 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g10: TWO rounds of HITS (hubs = suppliers, authorities = parts)
+    * over the bipartite graph, UNNORMALIZED so every score is an exact
+    * BIGINT path count (a_r(p) = #paths of length 2r−1 ending at p,
+    * h_r(s) = #paths of length 2r ending at s) — the ℓ²-normalization
+    * that makes textbook HITS converge is a per-round scalar divide,
+    * irrelevant to the RANKING the operator exists for and the enemy of
+    * cross-engine exactness. Each half-round is one edge⋈score equi
+    * join + a map-side-combinable sum on the opposite key — g01's
+    * vertex-cut gather with alternating directions. */
+  def g10(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct().cache()
+    val a1 = edges.groupBy("p").agg(count(lit(1)).as("a1")) // h0 ≡ 1
+    val h1 = edges.join(a1, "p").groupBy("s").agg(sum("a1").as("h1"))
+    val a2 = edges.join(h1, "s").groupBy("p").agg(sum("h1").as("a2"))
+    val h2 = edges.join(a2, "p").groupBy("s").agg(sum("a2").as("h2"))
+    val out = a1.join(a2, "p")
+      .select(lit("part").as("node_type"), col("p").as("node_id"),
+        col("a1").as("score_r1"), col("a2").as("score_r2"))
+      .unionAll(h1.join(h2, "s")
+        .select(lit("supplier").as("node_type"), col("s").as("node_id"),
+          col("h1").as("score_r1"), col("h2").as("score_r2")))
+      .orderBy("node_type", "node_id")
+      .localCheckpoint()
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** g04: TWO synchronous rounds of deterministic label propagation
     * (community detection) over the part↔supplier bipartite graph. The
     * classic LPA tie-break ("random neighbor label") is replaced by a
@@ -471,7 +500,8 @@ object Graph extends QueryModule {
     "g06_jaccard_neighbors" -> g06,
     "g07_bfs_layers" -> g07,
     "g08_kcore" -> g08,
-    "g09_cc_rounds" -> g09)
+    "g09_cc_rounds" -> g09,
+    "g10_hits" -> g10)
 
   val oracles: Map[String, String] = Map(
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
@@ -564,6 +594,22 @@ object Graph extends QueryModule {
          |         SELECT u.dst, l2.label FROM und u JOIN l2 ON u.src = l2.node) t3
          |       GROUP BY node)
          |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
+    // g10: the same four integer gathers as CTEs — exact path counts,
+    // no normalization, no floats
+    "g10_hits" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |a1 AS (SELECT p, COUNT(*) AS a1 FROM e GROUP BY p),
+        |h1 AS (SELECT s, CAST(SUM(a1) AS BIGINT) AS h1
+        |       FROM e JOIN a1 USING (p) GROUP BY s),
+        |a2 AS (SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+        |       FROM e JOIN h1 USING (s) GROUP BY p),
+        |h2 AS (SELECT s, CAST(SUM(a2) AS BIGINT) AS h2
+        |       FROM e JOIN a2 USING (p) GROUP BY s)
+        |SELECT 'part' AS node_type, p AS node_id, a1 AS score_r1, a2 AS score_r2
+        |FROM a1 JOIN a2 USING (p)
+        |UNION ALL
+        |SELECT 'supplier', s, h1, h2 FROM h1 JOIN h2 USING (s)
+        |ORDER BY node_type, node_id""".stripMargin,
     // g05: same capped projection, then degree orientation + wedge
     // self-join + EXISTS closure — mechanics differ (DuckDB has no
     // struct-ordered when(); the (deg, id) order is spelled as booleans)

@@ -199,8 +199,31 @@ object Windows extends QueryModule {
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** w07: IGNORE-NULLS gap fill — the sensor/telemetry idiom: a sparse
+    * signal (here value surfaces only on every 5th event) forward-fills
+    * from the last observation and back-fills from the next, per entity
+    * in event-time order. last/first with ignoreNulls over one-sided
+    * frames — ONE user-key shuffle carries both directions; no self-join,
+    * no as-of. (t10 is the time-GRID resample; this is the row-aligned
+    * fill that keeps the original event spine.) */
+  def w07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("v_sparse",
+        when(pmod(col("event_id"), lit(5)) === 0, col("value")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("v_sparse"),
+        last(col("v_sparse"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("v_ffill"),
+        first(col("v_sparse"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("v_bfill"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o08_weighted_sample" -> o08,
+    "w07_win_fill" -> w07,
     "w01_win_rank" -> w01,
     "w02_win_analytic" -> w02,
     "w03_win_frame_rows" -> w03,
@@ -221,6 +244,21 @@ object Windows extends QueryModule {
     "u07_union_evolve" -> u07)
 
   val oracles: Map[String, String] = Map(
+    // w07: same one-sided ignore-nulls frames; value passes through
+    // unaggregated so the parquet doubles surface identically
+    "w07_win_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms,
+        |         CASE WHEN event_id % 5 = 0 THEN value END AS v_sparse
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, v_sparse,
+        |       last_value(v_sparse IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+        |       first_value(v_sparse IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+        |FROM e ORDER BY user_id, ts_ms, event_id""".stripMargin,
     // o08: identical seeded-uniform + monotone key; ordering decided at
     // full double precision (distinct keys with prob 1), floats not output
     "o08_weighted_sample" ->

@@ -383,4 +383,26 @@ class AnalyticsSpec extends SparkSuite {
       assert(k < n, s"$t flags every event as an outlier")
     }
   }
+
+  test("w07: ignore-nulls fill matches a driver-side scan in both directions") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_ms", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3, e._2))
+      val sparse = ord.map(e => if (e._2 % 5 == 0) Some(e._4) else None)
+      val ff = sparse.scanLeft(Option.empty[Double])((acc, v) => v.orElse(acc)).tail
+      val bf = sparse.scanRight(Option.empty[Double])((v, acc) => v.orElse(acc)).init
+      ord.indices.map(i => (ord(i)._1, ord(i)._2) -> ((sparse(i), ff(i), bf(i))))
+    }.toMap
+    val got = operators.Windows.w07(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getLong(1)) -> ((opt(3), opt(4), opt(5)))
+    }.toMap
+    assert(got === expected)
+    // the fixture must exercise real gaps: some rows fill from a
+    // non-adjacent observation and leading rows stay null
+    assert(got.values.exists { case (s, f, _) => s.isEmpty && f.nonEmpty }, "no forward fill happened")
+    assert(got.values.exists(_._2.isEmpty), "no leading-null rows")
+  }
 }

@@ -190,4 +190,25 @@ class GraphSpec extends SparkSuite {
     // labels must actually propagate (some node carries a non-self label)
     assert(got.exists { case (n, l) => l != n }, "no label moved in 3 rounds")
   }
+
+  test("g10: unnormalized HITS rounds are exact bipartite path counts") {
+    val edges = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byP = edges.groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+    val byS = edges.groupBy(_._2).map { case (s, es) => s -> es.map(_._1) }
+    val a1 = byP.map { case (p, ss) => p -> ss.size.toLong }
+    val h1 = byS.map { case (s, ps) => s -> ps.map(a1).sum }
+    val a2 = byP.map { case (p, ss) => p -> ss.map(h1).sum }
+    val h2 = byS.map { case (s, ps) => s -> ps.map(a2).sum }
+    val got = operators.Graph.g10(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected =
+      a1.map { case (p, v) => ("part", p) -> ((v, a2(p))) } ++
+      h1.map { case (s, v) => ("supplier", s) -> ((v, h2(s))) }
+    assert(got === expected.toMap)
+    // scores must differentiate (not a degenerate all-equal fixture)
+    assert(got.values.map(_._2).toSet.size > 1, "round-2 scores all equal")
+  }
 }
