@@ -304,6 +304,31 @@ object Llm extends QueryModule {
         length(col("bundle.doc.text")).cast("long").as("text_len"))
       .orderBy("doc_id")
 
+  /** Integer micro-unit image of l07's quality composite — the total-order
+    * ranking key quality-aware passes (l53) sort by. Same term order as
+    * l07 so the double expression is bit-identical cross-engine before
+    * the single floor. */
+  private[graft] def qualityU(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("stop_raw",
+        expr(s"size(filter(toks, t -> ${stopHits(enStops)}))") / col("n_tok"))
+      .withColumn("uniq_raw", size(array_distinct(col("toks"))) / col("n_tok"))
+      .withColumn("len_raw", least(col("n_tok") / 100.0, lit(1.0)))
+      .select(col("doc_id"),
+        floor((lit(0.4) * col("uniq_raw") + lit(0.3) * col("len_raw")
+          + lit(0.3) * least(col("stop_raw") * 5.0, lit(1.0)))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("quality_u"))
+
+  /** The qualityU composite as DuckDB SQL (a CTE body over `documents`). */
+  private[graft] val qualityUSql: String =
+    """SELECT doc_id,
+      |  CAST(floor((0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      |     + 0.3 * least(len(toks) / 100.0, 1.0)
+      |     + 0.3 * least(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for')))
+      |                   / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_u
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) tq""".stripMargin
+
   private val enStops = Seq("the", "and", "of", "to", "a", "in", "is", "for")
   private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "por")
   private val deStops = Seq("der", "die", "und", "das", "ist", "von", "mit", "ein")

@@ -277,6 +277,56 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** l53: QUALITY-AWARE dedup canonicalization — production near-dup
+    * passes don't keep the min-id document, they keep the BEST one
+    * (highest quality score) per duplicate cluster and drop the rest.
+    * Clusters come from l21's large-star/small-star CC over the MinHash
+    * pair graph; the ranking key is l07's quality composite in integer
+    * micro-units (one floor, total order, doc_id tie-break) so the pick
+    * is engine-exact. Singletons (no near-dup pair) keep themselves via
+    * the left join's COALESCE. One window over the cluster key after the
+    * CC labels land — the same shuffle the labeling already pays. */
+  def l53(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Llm.l02(spark, dir).select("a", "b")
+    val labels = graft.Fixpoint.connectedComponentsStar(pairs, maxIter = 25)
+    val q = Llm.qualityU(Tables.documents(spark, dir))
+    val lab = q.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("label"), col("doc_id")))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("quality_u").desc, col("doc_id"))
+    lab
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_rep")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_doc_id"),
+        col("quality_u"), col("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
+  private def l53Oracle: String = {
+    val pairSql = Llm.oracles("l02_dedup_near")
+      .replaceAll("\\s*ORDER BY a, b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($pairSql) qq),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+       |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+       |q AS (${Llm.qualityUSql}),
+       |fl AS (SELECT q.doc_id, COALESCE(lab.label, q.doc_id) AS cluster_rep,
+       |              q.quality_u
+       |       FROM q LEFT JOIN lab ON lab.id = q.doc_id),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY cluster_rep
+       |          ORDER BY quality_u DESC, doc_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |      FROM fl)
+       |SELECT cluster_rep, doc_id AS keep_doc_id, quality_u, cluster_size
+       |FROM r WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
+  }
+
   private def l21Oracle: String = {
     // reuse l02's full pair SQL as a derived table (strip its final sort)
     val pairSql = Llm.oracles("l02_dedup_near")
@@ -771,6 +821,7 @@ object Pipeline extends QueryModule {
     "l19_curation_e2e" -> l19,
     "l20_tfidf" -> l20,
     "l21_dedup_clusters" -> l21,
+    "l53_dedup_keep_best" -> l53,
     "l22_constraint_report" -> l22,
     "l23_chunk_overlap" -> l23,
     "l24_decontaminate_bloom" -> l24)
@@ -1069,5 +1120,6 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, rk, t AS term, tf, df,
         |       floor(tfidf_raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    "l21_dedup_clusters" -> l21Oracle)
+    "l21_dedup_clusters" -> l21Oracle,
+    "l53_dedup_keep_best" -> l53Oracle)
 }

@@ -274,4 +274,32 @@ class PipelineSpec extends SparkSuite {
     }
     assert(rows.exists(_._7 > 1.0), "some small slice must upweight")
   }
+
+  test("l53: keep-best replay — union-find clusters, quality argmax keeper") {
+    val pairs = llm.Llm.l02(spark, sf).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val q = llm.Llm.qualityU(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = q.keys.groupBy(find)
+    val expected = clusters.map { case (_, ids) =>
+      val keep = ids.minBy(id => (-q(id), id))
+      // rep label is the min id of the component (Fixpoint's contract)
+      ids.min -> ((keep, q(keep), ids.size.toLong))
+    }
+    val got = llm.Pipeline.l53(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // at least one multi-doc cluster must keep a non-rep (quality beat id)
+    assert(got.exists { case (rep, (keep, _, n)) => n > 1 && keep != rep },
+      "no cluster kept a higher-quality non-representative")
+  }
 }
