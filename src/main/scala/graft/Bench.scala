@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   * a near-zero elapsed for a broken query must not read as a fast
   * success. The line is kept well under 2 KB so a log-tail capture
   * always contains it whole; the full per-query map goes to
-  * bench_full.json in the working directory.
+  * bench_full.json in the working directory, including per-query error
+  * details (`errors`) and internal-job-failure attribution
+  * (`job_failures` — jobs that failed while a query ran even if the
+  * query itself recovered).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,12 +42,31 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Internal-job-failure attribution: a query can SUCCEED while one of
+    // its Spark jobs failed and a fallback path recovered (Fixpoint's
+    // observe-timeout fallback, adaptive replans). r07's sweep had one
+    // such stack trace in the log with no owner — the JSON said 0 failed
+    // and nothing else. This listener pins every failed job to the query
+    // that was running, so a recovered failure is attributed, not lost.
+    val jobFailures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    @volatile var currentQuery: String = "init"
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        e.jobResult match {
+          case org.apache.spark.scheduler.JobFailed(ex) =>
+            jobFailures.merge(currentQuery,
+              s"${ex.getClass.getName}: ${String.valueOf(ex.getMessage).take(200)}",
+              (a, b) => a + " | " + b)
+          case _ => ()
+        }
+    })
     // Warm up EVERY query once at the smallest SF: whole-stage codegen
     // compiles per plan shape, so the compiled classes are reused at the
     // measured SF and per-query numbers measure the query, not javac.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.filter(q => only.forall(_(q._1))).foreach { case (_, fn) =>
+      SparkEntry.queries.filter(q => only.forall(_(q._1))).foreach { case (name, fn) =>
+        currentQuery = s"warmup:$name"
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -54,16 +76,48 @@ object Bench {
     System.gc() // drop the warmup runs' shuffle state before timing
     // best-of-2: a single pass is at the mercy of one ill-timed GC pause
     // (observed 20× spikes); min-of-two is the standard stable estimator.
+    // A failure carries its class + message + first graft stack frame into
+    // the JSON — r07's lesson: a message-only stderr line is not enough to
+    // reconcile a mid-sweep stack trace after the fact.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        name: String): Option[Double] = {
+        name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        None
+        val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
+          .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+          .getOrElse("no-graft-frame")
+        val detail = s"${e.getClass.getName}: " +
+          s"${String.valueOf(e.getMessage).take(300)} @ $frame"
+        System.err.println(s"[bench] $name failed: $detail")
+        Left(detail)
       }
+    }
+    // Full state drain — shared by the between-queries point AND the point
+    // between a query's two timed runs. r07's lesson: draining only
+    // between queries lets run 2 of a fixpoint query re-materialize its
+    // localCheckpoints while run 1's blocks are still resident (the
+    // sweep's `Block rdd_… already exists` churn), inflating the
+    // iterative tail 2-3× over the same code in a fresh JVM. The drain is
+    // NOT part of the measured time.
+    def drain(): Unit = {
+      // caches pinned inside a query (l02 shingles, ODM explode levels)
+      // must not outlive its run: pinned storage memory starves later
+      // sort-heavy runs of execution memory → spills.
+      spark.catalog.clearCache()
+      // clearCache() only empties the CacheManager — localCheckpoint
+      // blocks (l21/l25 fixpoint iterates) bypass it and otherwise sit in
+      // storage memory until driver GC collects the RDD reference.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // two-phase: the first gc() queues the dead shuffle/broadcast weak
+      // refs, the ContextCleaner thread then issues the removal RPCs, and
+      // the second gc() collects what those released.
+      System.gc()
+      Thread.sleep(200)
+      System.gc()
     }
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
@@ -72,38 +126,25 @@ object Bench {
     }
     val results = SparkEntry.queries.filter(q => only.forall(_(q._1)))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
+      currentQuery = name
       val gc0 = gcMillis()
-      val best = (once(fn, name), once(fn, name)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case _ => None
+      val r1 = once(fn, name)
+      drain() // run 2 must start from the same clean state run 1 did
+      val r2 = once(fn, name)
+      val best = (r1, r2) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
       }
       val gcSec = (gcMillis() - gc0) / 1e3
-      // caches pinned inside a query (l02 shingles, ODM explode levels)
-      // must not outlive its measurement: pinned storage memory starves
-      // later sort-heavy queries of execution memory → spills (the
-      // round-2 u*/w* 10-90× cliff). Each query measures from a clean
-      // block manager; the explicit gc() lets the ContextCleaner drop
-      // this query's shuffle files before the next one is timed.
-      spark.catalog.clearCache()
-      // clearCache() only empties the CacheManager — localCheckpoint
-      // blocks (l21/l25 fixpoint iterates, checkpointed query results)
-      // bypass it and otherwise sit in storage memory until driver GC
-      // happens to collect the RDD reference. Drop them deterministically.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // two-phase drain: the first gc() queues the dead shuffle/broadcast
-      // weak refs, the ContextCleaner thread then issues the actual
-      // removeShuffle/removeBroadcast RPCs, and the second gc() collects
-      // what those released. One pass left the l-block queries paying
-      // 10+ s of organic GC for their predecessors' state.
-      System.gc()
-      Thread.sleep(200)
-      System.gc()
+      drain()
       (name, best, gcSec)
     }
-    val ok = results.collect { case (n, Some(t), _) => n -> t }
-    val failed = results.collect { case (n, None, _) => n }
-    val gcByQuery = results.collect { case (n, Some(_), g) => n -> g }
+    currentQuery = "post-sweep"
+    val ok = results.collect { case (n, Right(t), _) => n -> t }
+    val failed = results.collect { case (n, Left(_), _) => n }
+    val errors = results.collect { case (n, Left(e), _) => n -> e }
+    val gcByQuery = results.collect { case (n, Right(_), g) => n -> g }
     val total = ok.map(_._2).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -125,9 +166,29 @@ object Bench {
     // instead of reconstructing it from timestamps
     val ctx = s""""context":{"xmx_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
       s""""cpus":$cpus,"java":"${System.getProperty("java.version")}"}"""
+    // JSON string escape for error details (class names / messages can
+    // carry quotes, newlines, control chars)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def sJson(entries: Seq[(String, String)]) = entries
+      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // errors = queries whose timed run threw (also in `failed`);
+    // job_failures = Spark jobs that FAILED while a query was running
+    // even if the query itself recovered and succeeded — the r07
+    // unattributed-stack-trace class, now pinned to its owner.
+    import scala.jdk.CollectionConverters._
+    val jobFailJson = sJson(jobFailures.asScala.toSeq.sortBy(_._1))
     val full = s"""{"total":${f3(total)},$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"errors":${sJson(errors)},""" +
+      s""""job_failures":$jobFailJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record
     if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

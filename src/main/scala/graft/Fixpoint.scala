@@ -123,13 +123,29 @@ object Fixpoint {
     * either agrees. The returned frame is localCheckpoint-materialized
     * (small: one row per node); all loop-internal checkpoints are
     * released before returning. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 0): DataFrame =
     connectedComponentsStarWithStats(pairs, maxIter)._1
 
-  /** connectedComponentsStar plus the round count, for specs that assert
-    * the O(log² n) bound actually holds on adversarial chains. */
+  /** The adaptive round cap: ceil(log₂ n)² with n bounded by 2·(edge
+    * count) — the Kiveris et al. worst-case round bound, so the cap is
+    * a PROVEN backstop, never an early truncation. A flat cap (the old
+    * 25) silently truncates once the graph outgrows it: at 100 TB an
+    * adversarial pair graph legally needs more rounds than any constant,
+    * and a truncated labeling is a WRONG answer (split components), not
+    * a slow one. Signature-stability detection still exits most runs in
+    * a handful of rounds; this only bounds the pathological tail. */
+  private[graft] def adaptiveCcCap(edgeCount: Long): Int = {
+    val n = 2.0 * edgeCount + 2.0
+    val l = math.ceil(math.log(n) / math.log(2.0))
+    math.max(6, (l * l).toInt)
+  }
+
+  /** connectedComponentsStar plus the realized round count, for specs
+    * that assert the O(log² n) bound actually holds on adversarial
+    * chains. `maxIter <= 0` (the default) = the adaptive
+    * [[adaptiveCcCap]] computed from the observed initial edge count. */
   def connectedComponentsStarWithStats(pairs: DataFrame,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 0): (DataFrame, Int) = {
     val init = pairs
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -191,10 +207,11 @@ object Fixpoint {
     val initObs = Observation(s"graft_cc_${obsId.incrementAndGet()}")
     var cur = init.observe(initObs, sigCols.head, sigCols.tail: _*).localCheckpoint()
     var curSig = observedSig(initObs, cur)
+    val cap = if (maxIter > 0) maxIter else adaptiveCcCap(curSig._1)
     var iters = 0
     var go = curSig._1 > 0
     try {
-      while (go && iters < maxIter) {
+      while (go && iters < cap) {
         val obs = Observation(s"graft_cc_${obsId.incrementAndGet()}")
         val next = star(star(cur, large = true), large = false)
           .observe(obs, sigCols.head, sigCols.tail: _*)

@@ -320,21 +320,25 @@ object Llm extends QueryModule {
           + lit(0.3) * least(col("stop_raw") * 5.0, lit(1.0)))
           * lit(1000000.0) + lit(0.5)).cast("long").as("quality_u"))
 
-  /** The qualityU composite as DuckDB SQL (a CTE body over `documents`). */
-  private[graft] val qualityUSql: String =
-    """SELECT doc_id,
-      |  CAST(floor((0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-      |     + 0.3 * least(len(toks) / 100.0, 1.0)
-      |     + 0.3 * least(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for')))
-      |                   / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_u
-      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) tq""".stripMargin
-
   private val enStops = Seq("the", "and", "of", "to", "a", "in", "is", "for")
   private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "por")
   private val deStops = Seq("der", "die", "und", "das", "ist", "von", "mit", "ein")
 
   private def stopHits(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("t IN (", ", ", ")")
+
+  /** The qualityU composite as DuckDB SQL (a CTE body over `documents`).
+    * The stopword IN-list is interpolated from the SAME `enStops` the
+    * Spark expression uses — one source of truth, so an edit to the list
+    * can never silently diverge the oracle from the engine (the l53
+    * keep-best contract depends on this composite being engine-exact). */
+  private[graft] val qualityUSql: String =
+    s"""SELECT doc_id,
+       |  CAST(floor((0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+       |     + 0.3 * least(len(toks) / 100.0, 1.0)
+       |     + 0.3 * least(len(list_filter(toks, t -> ${stopHits(enStops)}))
+       |                   / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_u
+       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) tq""".stripMargin
 
   /** Language-ID heuristic: stopword voting (n-gram profile stand-in that
     * stays oracle-able). */
@@ -603,8 +607,14 @@ object Llm extends QueryModule {
       .orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(anchors))
       .filter(col("label") =!= col("anchor_label"))
+      // the repo-standard floor(x·1e6+0.5)/1e6 rounding rule (l07/l51/
+      // t23, and AnnSpec's brute-force replay) — round(_, 6) is HALF_UP
+      // on BigDecimal and disagrees with it on negative-cosine
+      // half-boundaries, which would make operator/oracle/spec three
+      // subtly different surfaces
       .withColumn("cosine",
-        round(expr("vec_dot(embedding, p)") / (col("na") * col("nb")), 6))
+        floor(expr("vec_dot(embedding, p)") / (col("na") * col("nb"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("anchor_id"), col("anchor_label"),
@@ -801,18 +811,20 @@ object Llm extends QueryModule {
     "l03b_sim_ann" -> l03bOracle,
     "l49_filtered_ann" -> l49Oracle,
     // l52: same scorer as l03 (per-element double products, sequential
-    // sum), same round-6 surface, ties broken by vec_id
+    // sum), the repo-standard floor(x·1e6+0.5)/1e6 surface, ties broken
+    // by vec_id
     "l52_hard_negatives" ->
       """WITH pr AS (
         |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS p
         |  FROM embeddings WHERE vec_id % 500 = 0),
         |c AS (
         |  SELECT anchor_id, anchor_label, vec_id, label,
-        |         round(
+        |         floor(
         |           list_sum(list_transform(range(1, len(embedding) + 1),
         |             i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
         |           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |              * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |              * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |           * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |  FROM embeddings CROSS JOIN pr
         |  WHERE label <> anchor_label),
         |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id

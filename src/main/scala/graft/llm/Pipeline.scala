@@ -267,9 +267,23 @@ object Pipeline extends QueryModule {
     * materializes (retained checkpoints were the round-4 in-sweep GC
     * debt). Labels are the component minimum either way, so the
     * recursive-CTE oracle is unchanged. */
-  def l21(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Llm.l02(spark, dir).select("a", "b")
-    val labels = graft.Fixpoint.connectedComponentsStar(pairs, maxIter = 25)
+  def l21(spark: SparkSession, dir: String): DataFrame =
+    l21From(dedupClusterLabels(spark, dir))
+
+  /** The shared CC labeling both l21 and l53 canonicalize from: one
+    * large-star/small-star run over the l02 MinHash pair graph, round
+    * cap adaptive (ceil(log₂ n)² — Fixpoint.adaptiveCcCap). The
+    * registered queries stay independent (each computes its own
+    * labeling, per the one-query-one-operator contract), but a library
+    * user running BOTH passes over one corpus calls this once and feeds
+    * the same labels to [[l21From]] and [[l53From]] — the CC fixpoint,
+    * the dominant cost, is paid once (PipelineSpec pins the sharing). */
+  def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Fixpoint.connectedComponentsStar(
+      Llm.l02(spark, dir).select("a", "b"))
+
+  /** l21's cluster report from a precomputed (id, label) CC labeling. */
+  def l21From(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
@@ -286,9 +300,12 @@ object Pipeline extends QueryModule {
     * is engine-exact. Singletons (no near-dup pair) keep themselves via
     * the left join's COALESCE. One window over the cluster key after the
     * CC labels land — the same shuffle the labeling already pays. */
-  def l53(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Llm.l02(spark, dir).select("a", "b")
-    val labels = graft.Fixpoint.connectedComponentsStar(pairs, maxIter = 25)
+  def l53(spark: SparkSession, dir: String): DataFrame =
+    l53From(spark, dir, dedupClusterLabels(spark, dir))
+
+  /** l53's keep-best pick from a precomputed (id, label) CC labeling —
+    * share one [[dedupClusterLabels]] run with [[l21From]]. */
+  def l53From(spark: SparkSession, dir: String, labels: DataFrame): DataFrame = {
     val q = Llm.qualityU(Tables.documents(spark, dir))
     val lab = q.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("label"), col("doc_id")))

@@ -633,6 +633,43 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t22: the two-state recurrence IS expressible in DuckDB — a
+    // recursive CTE advancing every series one hour per iteration (720
+    // hourly rows per series; measured 0.8 s at sf0.1 with the base CTE
+    // MATERIALIZED — without it DuckDB re-evaluates the events rollup
+    // every iteration, 27 s). Every literal is CAST to DOUBLE so both
+    // engines evaluate the identical IEEE-754 expression in the same
+    // order (a bare 0.7 DECIMAL literal would fold 1−0.3 exactly where
+    // Scala's double arithmetic doesn't); the new level is recomputed
+    // inline in the trend update — same doubles as the sequential
+    // Scala fold. t20 stays no-oracle: its recurrence runs over RAW
+    // events (20k rows/series at sf0.1) and a one-row-per-iteration
+    // recursive CTE was measured >120 s — any reassociated closed form
+    // diverges in final-bit doubles, so the spec's exact sequential
+    // replay remains the gate.
+    "t22_holt_trend" ->
+      """WITH RECURSIVE roll AS MATERIALIZED (
+        |  SELECT event_type, (epoch_ns(ts)//1000000 // 3600000) * 3600000 AS hour_ms,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |base AS MATERIALIZED (
+        |  SELECT event_type, hour_ms, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hour_ms) AS rn
+        |  FROM roll),
+        |rec AS (
+        |  SELECT event_type, hour_ms, x, rn, x AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.hour_ms, b.x, b.rn,
+        |         CAST(0.5 AS DOUBLE) * b.x + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.level + r.trend),
+        |         CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * b.x + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.level + r.trend)) - r.level)
+        |           + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.trend
+        |  FROM rec r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        |SELECT event_type, hour_ms, x,
+        |       floor(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+        |       floor(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |       floor((level + trend) * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
+        |FROM rec ORDER BY event_type, hour_ms""".stripMargin,
     // t23: the same milli-unit quantization and first-crossing median
     // picks, spelled as two windowed CTE passes
     "t23_mad_outliers" ->

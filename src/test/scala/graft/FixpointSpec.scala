@@ -31,6 +31,22 @@ class FixpointSpec extends SparkSuite {
     assert(retained <= 1, s"$retained new persisted RDDs retained (want ≤ 1)")
   }
 
+  test("adaptive CC round cap: ceil(log2 n)^2 from the edge count, realized rounds within it") {
+    // the cap formula itself: n = 2m+2, cap = ceil(log2 n)^2, floor 6
+    assert(Fixpoint.adaptiveCcCap(1L) === 6) // tiny graphs keep the floor
+    assert(Fixpoint.adaptiveCcCap(63L) === 49) // 2*63+2=128, log2=7, 49
+    assert(Fixpoint.adaptiveCcCap(1L << 40) === (42 * 42), // ceil(log2(2^41+2)) = 42
+      "a 100 TB-scale edge count gets a cap a flat 25 would truncate")
+    // the DEFAULT (adaptive) run on the adversarial chain: converges,
+    // and the realized round count respects the adaptive bound
+    val chain = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+    val (labels, iters) = Fixpoint.connectedComponentsStarWithStats(chain)
+    assert(labels.collect().forall(_.getString(1) == "n00"))
+    assert(iters <= Fixpoint.adaptiveCcCap(63L),
+      s"realized rounds $iters exceed the adaptive cap")
+    Fixpoint.release(labels)
+  }
+
   test("star CC handles forests, singleton-free input, and empty input") {
     val two = Seq(("b", "a"), ("c", "b"), ("y", "z")).toDF("a", "b")
     val got = Fixpoint.connectedComponentsStar(two).collect()

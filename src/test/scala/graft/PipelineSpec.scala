@@ -302,4 +302,16 @@ class PipelineSpec extends SparkSuite {
     assert(got.exists { case (rep, (keep, _, n)) => n > 1 && keep != rep },
       "no cluster kept a higher-quality non-representative")
   }
+
+  test("shared CC labeling: one dedupClusterLabels run feeds both l21From and l53From") {
+    // the library path a user takes when running both passes over one
+    // corpus: the CC fixpoint (the dominant cost) is paid ONCE, and the
+    // derived outputs are exactly the registered queries' results
+    val labels = llm.Pipeline.dedupClusterLabels(spark, sf)
+    val l21Shared = llm.Pipeline.l21From(labels).collect().map(_.toSeq).toSet
+    val l53Shared = llm.Pipeline.l53From(spark, sf, labels).collect().map(_.toSeq).toSet
+    assert(l21Shared === llm.Pipeline.l21(spark, sf).collect().map(_.toSeq).toSet)
+    assert(l53Shared === llm.Pipeline.l53(spark, sf).collect().map(_.toSeq).toSet)
+    Fixpoint.release(labels)
+  }
 }
