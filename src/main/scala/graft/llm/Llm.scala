@@ -112,6 +112,47 @@ object Llm extends QueryModule {
       .drop("bsz")
   }
 
+  /** Map-only (ZERO-shuffle) image of [[bandSignatures]]: the same
+    * (band, m0, m1) rows derived per input row with array higher-order
+    * functions — distinct shingles via array_distinct, each minhash an
+    * array_min over the in-row shingle list. Row-for-row equal to the
+    * explode+groupBy path (DedupSpec pins it); exists because a STREAM
+    * can't pay a stateful groupBy just to hash one document: this
+    * version makes band signing a stateless projection, so l02's
+    * candidate generation lifts onto readStream with state only at the
+    * final pair dedup. All other input columns pass through (the
+    * streaming caller keeps its event-time column). Docs under 3 words
+    * have no shingles and are dropped, same as [[shinglesOf]]. */
+  private[graft] def withBandSignatures(docs: DataFrame): DataFrame = {
+    def mh(h: Int) = s"array_min(transform(_shs, s -> " +
+      s"CAST(conv(substr(md5(concat('$h|', s)), 1, 15), 16, 10) AS BIGINT)))"
+    docs
+      .withColumn("_w", split(lower(col("text")), " "))
+      .filter(size(col("_w")) >= 3)
+      .withColumn("_shs", expr("array_distinct(transform(sequence(1, size(_w)-2), " +
+        "i -> concat_ws(' ', element_at(_w,i), element_at(_w,i+1), element_at(_w,i+2))))"))
+      .withColumn("_bs", explode(array(
+        (0 until NumHashes / RowsPerBand).map(j => struct(
+          lit(j).as("band"),
+          expr(mh(RowsPerBand * j)).as("m0"),
+          expr(mh(RowsPerBand * j + 1)).as("m1"))): _*)))
+      .withColumn("band", col("_bs.band"))
+      .withColumn("m0", col("_bs.m0"))
+      .withColumn("m1", col("_bs.m1"))
+      .drop("_w", "_shs", "_bs")
+  }
+
+  /** The PERSISTABLE band index of a corpus: one (doc_id, band, m0, m1)
+    * row per band signature — what l25's "historical side" looks like as
+    * a stored table instead of a per-run recomputation. Write it
+    * bucketed on (band, m0, m1) (s11's machinery) and the daily delta's
+    * candidate probe becomes an index-sized join with NO corpus rescan;
+    * [[graft.streaming.StreamingLift.nearDupCandidates]] probes the same
+    * frame per micro-batch. DedupSpec gates a write→read→probe roundtrip
+    * against the in-memory recomputation. */
+  def bandIndexOf(docs: DataFrame): DataFrame =
+    bandSignatures(shinglesOf(docs))
+
   /** Library path for l02 over any (doc_id, text) frame: MinHash banded
     * candidates (bucket-capped) + exact shingle-Jaccard verify. */
   def minHashNearDupPairs(docs: DataFrame, jaccMin: Double = 0.4,
@@ -584,6 +625,33 @@ object Llm extends QueryModule {
     out
   }
 
+  /** l54: MinHash band-INDEX MAINTENANCE — the persisted-index image of
+    * l25's daily-ingest story. l25 recomputes the historical band
+    * signatures every run; at 100 TB the historical index is a STORED
+    * bucketed table ([[bandIndexOf]]) and the daily unit of work is this
+    * query: sign the delta (map-only), roll it up per bucket, and LEFT
+    * JOIN the historical per-bucket stats — output one row per bucket
+    * the delta TOUCHES (n_new / n_hist / n_total + min doc ids), i.e.
+    * the index-merge upsert set and the flood telemetry (a bucket whose
+    * n_total crosses BandBucketCap is a boilerplate cluster the capped
+    * candidate join will skip). Both rollups are map-side-combinable
+    * counts on the bucket key; the join is delta-bucket-sized; nothing
+    * is corpus-sized after the two signature scans. */
+  def l54(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandSignatures(shingles(spark, dir))
+    val newMark = col("doc_id") % 10 === 0
+    val hist = bands.filter(!newMark).groupBy("band", "m0", "m1")
+      .agg(count(lit(1)).as("n_hist"), min("doc_id").as("min_hist_doc"))
+    val delta = bands.filter(newMark).groupBy("band", "m0", "m1")
+      .agg(count(lit(1)).as("n_new"), min("doc_id").as("min_new_doc"))
+    delta.join(hist, Seq("band", "m0", "m1"), "left")
+      .select(col("band"), col("m0"), col("m1"),
+        col("n_new"), col("min_new_doc"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"), col("min_hist_doc"),
+        (col("n_new") + coalesce(col("n_hist"), lit(0L))).as("n_total"))
+      .orderBy("band", "m0", "m1")
+  }
+
   /** l52: HARD-NEGATIVE MINING for contrastive training — per anchor,
     * the top-3 most-cosine-similar vectors carrying a DIFFERENT label
     * (the "looks alike, isn't" examples that make embedding models
@@ -642,6 +710,7 @@ object Llm extends QueryModule {
     "l12_redact" -> l12,
     "l13_repetition" -> l13,
     "l25_dedup_incremental" -> l25,
+    "l54_minhash_index" -> l54,
     "l36_leakage_split" -> l36)
 
 
@@ -752,6 +821,30 @@ object Llm extends QueryModule {
          |       COALESCE(ne.exact_of, near.near_of) AS dup_of
          |FROM new_exact ne LEFT JOIN near ON near.a = ne.doc_id
          |ORDER BY ne.doc_id""".stripMargin,
+    // l54: same minhash/band restatement as l02, rolled up per bucket on
+    // each side of the delta split — no cap here (the INDEX stores every
+    // bucket; the cap applies at candidate-join time)
+    "l54_minhash_index" ->
+      s"""WITH $duckShingles,
+         |hashed AS (
+         |  SELECT doc_id, sh, hs.h,
+         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
+         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+         |bands0 AS (
+         |  SELECT doc_id, h // $RowsPerBand AS band,
+         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
+         |  FROM minsig GROUP BY doc_id, band),
+         |hist AS (SELECT band, m0, m1, COUNT(*) AS n_hist, MIN(doc_id) AS min_hist_doc
+         |         FROM bands0 WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+         |newb AS (SELECT band, m0, m1, COUNT(*) AS n_new, MIN(doc_id) AS min_new_doc
+         |         FROM bands0 WHERE doc_id % 10 = 0 GROUP BY 1, 2, 3)
+         |SELECT n.band, n.m0, n.m1, n.n_new, n.min_new_doc,
+         |       COALESCE(h.n_hist, 0) AS n_hist, h.min_hist_doc,
+         |       n.n_new + COALESCE(h.n_hist, 0) AS n_total
+         |FROM newb n LEFT JOIN hist h USING (band, m0, m1)
+         |ORDER BY band, m0, m1""".stripMargin,
     "l47_export_manifest" ->
       """WITH d AS (
         |  SELECT doc_id, text,

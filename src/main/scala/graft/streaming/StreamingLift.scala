@@ -153,6 +153,24 @@ object StreamingLift {
         when(col("hist_id").isNotNull, "exact_dup").otherwise("new").as("status"),
         col("hist_id").as("dup_of"))
 
+  /** Streaming NEAR-dup candidate generation — l02's front half as a
+    * continuous stream. Each arriving document (doc_id, text, doc_ts) is
+    * band-signed by the map-only [[graft.llm.Llm.withBandSignatures]]
+    * (array minhashes — a stateless projection, so signing needs NO
+    * streaming aggregation), then probes the PERSISTED historical band
+    * index ([[graft.llm.Llm.bandIndexOf]] written as a bucketed table;
+    * re-broadcast per micro-batch here). A doc sharing several buckets
+    * with the same historical doc would emit the pair once per bucket —
+    * stateful dedup on (doc_id, hist_id) collapses them, state bounded
+    * by the watermark. Candidates feed the same exact-Jaccard verify
+    * the batch pass runs; the corpus is never re-shuffled. */
+  def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    graft.llm.Llm.withBandSignatures(docs.withWatermark("doc_ts", "1 hour"))
+      .join(broadcast(bandIndex.select(col("band"), col("m0"), col("m1"),
+        col("doc_id").as("hist_id"))), Seq("band", "m0", "m1"))
+      .dropDuplicatesWithinWatermark("doc_id", "hist_id")
+      .select(col("doc_id"), col("hist_id"))
+
   /** R14 command→event correlation, stream-stream mode (SURVEY.md §3.2):
     * requests joined to their responses on cid within a bounded response
     * window. BOTH sides carry watermarks and the join predicate bounds

@@ -158,6 +158,42 @@ class DedupSpec extends SparkSuite {
     assert(uncapped === flood * (flood - 1) / 2)
   }
 
+  test("map-only band signing equals the explode+groupBy signatures row-for-row") {
+    val docs = Tables.documents(spark, sf)
+    val viaAgg = Llm.bandIndexOf(docs)
+      .select("doc_id", "band", "m0", "m1").collect().map(_.toSeq).toSet
+    val viaRow = Llm.withBandSignatures(docs)
+      .select("doc_id", "band", "m0", "m1").collect().map(_.toSeq).toSet
+    assert(viaRow === viaAgg)
+    assert(viaRow.nonEmpty)
+  }
+
+  test("persisted band index roundtrip: write, read back, probe with the delta == in-memory recompute") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(!(col("doc_id") % 10 === 0))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    // the production shape: the historical index is a STORED table the
+    // daily delta probes — corpus never rescanned
+    Llm.bandIndexOf(hist).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val got = Llm.withBandSignatures(delta)
+      .join(stored.select(col("band"), col("m0"), col("m1"),
+        col("doc_id").as("hist_id")), Seq("band", "m0", "m1"))
+      .select("doc_id", "hist_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent recompute: bucket-sharing (delta, hist) pairs from
+    // the one-shot signature path
+    val all = Llm.bandIndexOf(docs)
+    val expect = all.filter(col("doc_id") % 10 === 0).as("x")
+      .join(all.filter(!(col("doc_id") % 10 === 0)).as("y"),
+        Seq("band", "m0", "m1"))
+      .select(col("x.doc_id"), col("y.doc_id").as("hist_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "planted near-dups must produce candidates")
+  }
+
   test("l34 equals an independent driver-side recomputation at test SF") {
     import org.apache.spark.sql.functions._
     val raw = graft.Tables.documents(spark, sf).select("doc_id", "text")

@@ -458,6 +458,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming near-dup candidates: banded index probes == batch, intra-batch repeats collapse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(!(col("doc_id") % 10 === 0))
+    val bandIndex = llm.Llm.bandIndexOf(hist).cache()
+    // the delta arrives as a stream: (doc_id, text, doc_ts)
+    val deltaRows = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t, new java.sql.Timestamp(1704067200000L + id)) }
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = stream.toDF().toDF("doc_id", "text", "doc_ts")
+    val name = s"graft_ndc_${System.nanoTime()}"
+    val q = StreamingLift.nearDupCandidates(src, bandIndex)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      deltaRows.grouped(math.max(deltaRows.length / 3, 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch ground truth: distinct bucket-sharing (delta, hist) pairs
+    val all = llm.Llm.bandIndexOf(docs)
+    val expect = all.filter(col("doc_id") % 10 === 0).as("x")
+      .join(all.filter(!(col("doc_id") % 10 === 0)).as("y"),
+        Seq("band", "m0", "m1"))
+      .select(col("x.doc_id"), col("y.doc_id").as("hist_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bandIndex.unpersist(blocking = false)
+    assert(streamed === expect)
+    assert(streamed.nonEmpty, "planted near-dups must surface candidates")
+    // exactly-once surface: no duplicate pairs in the append output
+    assert(spark.table(name).count() === streamed.size)
+  }
+
   test("session paths: streaming append == batch, order pinned across micro-batches") {
     val streamed = runStream(StreamingLift.sessionPaths)
       .filter(col("user_id") >= 0)
