@@ -29,9 +29,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same hygiene as Bench: intra-query caches must not accumulate
-      // across the ~111-query sweep (pinned storage starves execution
-      // memory), and gc() lets the cleaner actually drop them
+      // across the ~244-query sweep (pinned storage starves execution
+      // memory), and gc() lets the cleaner actually drop them.
+      // localCheckpoint blocks (fixpoint labels) bypass clearCache —
+      // unpersist them explicitly or they ride along for the session.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
