@@ -95,29 +95,22 @@ object Bench {
         Left(detail)
       }
     }
-    // Full state drain — shared by the between-queries point AND the point
-    // between a query's two timed runs. r07's lesson: draining only
-    // between queries lets run 2 of a fixpoint query re-materialize its
-    // localCheckpoints while run 1's blocks are still resident (the
+    // Full state drain (graft.Harness.drain) — at the between-queries
+    // point AND between a query's two timed runs. r07's lesson: draining
+    // only between queries lets run 2 of a fixpoint query re-materialize
+    // its localCheckpoints while run 1's blocks are still resident (the
     // sweep's `Block rdd_… already exists` churn), inflating the
     // iterative tail 2-3× over the same code in a fresh JVM. The drain is
-    // NOT part of the measured time.
+    // NOT part of the measured time, and its forced GCs are excluded
+    // from gc_sec (each run's GC is windowed separately below). The
+    // listener-bus flush keeps job_failures attribution honest: failure
+    // events are delivered asynchronously, and without the flush a
+    // failure from query N's run could be pinned to query N+1 (or
+    // dropped entirely at end of sweep).
     def drain(): Unit = {
-      // caches pinned inside a query (l02 shingles, ODM explode levels)
-      // must not outlive its run: pinned storage memory starves later
-      // sort-heavy runs of execution memory → spills.
-      spark.catalog.clearCache()
-      // clearCache() only empties the CacheManager — localCheckpoint
-      // blocks (l21/l25 fixpoint iterates) bypass it and otherwise sit in
-      // storage memory until driver GC collects the RDD reference.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // two-phase: the first gc() queues the dead shuffle/broadcast weak
-      // refs, the ContextCleaner thread then issues the removal RPCs, and
-      // the second gc() collects what those released.
-      System.gc()
-      Thread.sleep(200)
-      System.gc()
+      org.apache.spark.GraftSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext, 10000L)
+      Harness.drain(spark, settleMs = 200L)
     }
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
@@ -129,14 +122,20 @@ object Bench {
       currentQuery = name
       val gc0 = gcMillis()
       val r1 = once(fn, name)
+      val gc1 = gcMillis()
       drain() // run 2 must start from the same clean state run 1 did
+      val gc2 = gcMillis()
       val r2 = once(fn, name)
+      val gc3 = gcMillis()
       val best = (r1, r2) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _) => Left(e)
         case (_, Left(e)) => Left(e)
       }
-      val gcSec = (gcMillis() - gc0) / 1e3
+      // gc_sec = GC time during the two TIMED runs only — the drain's
+      // forced full GCs are maintenance, not query-caused pressure, and
+      // counting them would misread drain overhead as a regression
+      val gcSec = ((gc1 - gc0) + (gc3 - gc2)) / 1e3
       drain()
       (name, best, gcSec)
     }
@@ -168,15 +167,7 @@ object Bench {
       s""""cpus":$cpus,"java":"${System.getProperty("java.version")}"}"""
     // JSON string escape for error details (class names / messages can
     // carry quotes, newlines, control chars)
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jq(s: String): String = Harness.jsonEscape(s)
     def sJson(entries: Seq[(String, String)]) = entries
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     // errors = queries whose timed run threw (also in `failed`);

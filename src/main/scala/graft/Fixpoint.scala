@@ -225,6 +225,19 @@ object Fixpoint {
         curSig = nextSig
         iters += 1
       }
+      // Cap-hit without convergence = the labeling would be WRONG
+      // (components split across labels), not slow. The adaptive cap is
+      // the published O(log² n) bound, but Kiveris et al.'s constant is
+      // not literally 1 — if an adversarial graph ever needs more
+      // rounds, fail loudly so the caller can raise maxIter, instead of
+      // silently emitting split components into a dedup pass.
+      if (go) {
+        release(cur)
+        throw new IllegalStateException(
+          s"star CC hit its round cap ($cap) before the edge-set " +
+            "signature stabilized — labels would be incorrect; rerun " +
+            "with a larger maxIter")
+      }
     } catch { case t: Throwable => release(cur); throw t }
     // converged stars: every edge is (member, center); centers label themselves
     val labels = cur.select(col("a").as("id"), col("b").as("label"))

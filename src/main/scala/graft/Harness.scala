@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the two driver-contract mains (Bench, Verify):
+  * the JSON string escaper and the inter-query state drain. One source
+  * of truth — these used to be per-file copies, and a fix to either
+  * (e.g. the two-phase-GC rationale below) must not have to land in
+  * several places to be real. */
+object Harness {
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL or an exception
+    * message would otherwise make the driver's json.load fail. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Full sweep-state drain. Caches pinned inside a query (l02
+    * shingles, ODM explode levels) must not outlive its run — pinned
+    * storage memory starves later sort-heavy runs of execution memory →
+    * spills. clearCache() only empties the CacheManager; localCheckpoint
+    * blocks (fixpoint iterates) bypass it and sit in storage memory
+    * until driver GC collects the RDD reference, so they are unpersisted
+    * explicitly. The GC is two-phase when `settleMs` > 0: the first
+    * gc() queues the dead shuffle/broadcast weak refs, the
+    * ContextCleaner thread then issues the removal RPCs, and the second
+    * gc() collects what those released — one pass left later queries
+    * paying 10+ s of organic GC for their predecessors' state. */
+  def drain(spark: SparkSession, settleMs: Long): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    if (settleMs > 0) {
+      Thread.sleep(settleMs)
+      System.gc()
+    }
+  }
+}

@@ -28,28 +28,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same hygiene as Bench: intra-query caches must not accumulate
-      // across the ~244-query sweep (pinned storage starves execution
-      // memory), and gc() lets the cleaner actually drop them.
-      // localCheckpoint blocks (fixpoint labels) bypass clearCache —
-      // unpersist them explicitly or they ride along for the session.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      // same hygiene as Bench (graft.Harness.drain): intra-query caches
+      // and localCheckpoint blocks must not accumulate across the
+      // ~244-query sweep. Single-phase GC (settleMs=0): Verify is not
+      // timing anything, it only needs the memory back eventually.
+      Harness.drain(spark, settleMs = 0L)
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness
+    def q(s: String): String = Harness.jsonEscape(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -153,6 +153,18 @@ object Llm extends QueryModule {
   def bandIndexOf(docs: DataFrame): DataFrame =
     bandSignatures(shinglesOf(docs))
 
+  /** A band index with its flooded buckets (membership > cap) removed —
+    * what a candidate-generation PROBE should join against.
+    * [[minHashNearDupPairs]] applies the same cap to its in-memory
+    * bands; a stored index keeps every bucket (l54's telemetry needs
+    * them), so the probe-side cap is applied at read time. Without it,
+    * one arriving document hitting a 10⁶-doc boilerplate bucket emits
+    * 10⁶ candidate pairs per micro-batch — exactly the unshrinkable
+    * work [[BandBucketCap]] exists to refuse. */
+  def cappedBandIndex(index: DataFrame,
+      cap: Int = BandBucketCap): DataFrame =
+    capBuckets(index, Seq("band", "m0", "m1"), cap)
+
   /** Library path for l02 over any (doc_id, text) frame: MinHash banded
     * candidates (bucket-capped) + exact shingle-Jaccard verify. */
   def minHashNearDupPairs(docs: DataFrame, jaccMin: Double = 0.4,
@@ -675,14 +687,12 @@ object Llm extends QueryModule {
       .orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(anchors))
       .filter(col("label") =!= col("anchor_label"))
-      // the repo-standard floor(x·1e6+0.5)/1e6 rounding rule (l07/l51/
-      // t23, and AnnSpec's brute-force replay) — round(_, 6) is HALF_UP
-      // on BigDecimal and disagrees with it on negative-cosine
-      // half-boundaries, which would make operator/oracle/spec three
-      // subtly different surfaces
+      // the repo-standard r6 floor rounding (l07/l51/t23, and AnnSpec's
+      // brute-force replay) — round(_, 6) is HALF_UP on BigDecimal and
+      // disagrees with it on negative-cosine half-boundaries, which
+      // would make operator/oracle/spec three subtly different surfaces
       .withColumn("cosine",
-        floor(expr("vec_dot(embedding, p)") / (col("na") * col("nb"))
-          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        r6(expr("vec_dot(embedding, p)") / (col("na") * col("nb"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("anchor_id"), col("anchor_label"),

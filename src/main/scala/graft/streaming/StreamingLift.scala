@@ -166,8 +166,13 @@ object StreamingLift {
     * the batch pass runs; the corpus is never re-shuffled. */
   def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
     graft.llm.Llm.withBandSignatures(docs.withWatermark("doc_ts", "1 hour"))
-      .join(broadcast(bandIndex.select(col("band"), col("m0"), col("m1"),
-        col("doc_id").as("hist_id"))), Seq("band", "m0", "m1"))
+      // flooded buckets are excluded at probe time (cappedBandIndex) —
+      // the batch pass caps them too, and an uncapped probe would turn
+      // one boilerplate-flood bucket into 10⁶ pairs of state per
+      // arriving doc
+      .join(broadcast(graft.llm.Llm.cappedBandIndex(bandIndex)
+        .select(col("band"), col("m0"), col("m1"),
+          col("doc_id").as("hist_id"))), Seq("band", "m0", "m1"))
       .dropDuplicatesWithinWatermark("doc_id", "hist_id")
       .select(col("doc_id"), col("hist_id"))
 

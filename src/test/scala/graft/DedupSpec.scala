@@ -194,6 +194,16 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty, "planted near-dups must produce candidates")
   }
 
+  test("cappedBandIndex drops flooded buckets, keeps organic ones") {
+    import spark.implicits._
+    val flood = (1L to 300L).map(id => (id, 0, 11L, 22L)) // one 300-doc bucket
+    val organic = (1000L to 1002L).map(id => (id, 1, 33L, 44L))
+    val idx = (flood ++ organic).toDF("doc_id", "band", "m0", "m1")
+    val kept = Llm.cappedBandIndex(idx).collect().map(_.getLong(0)).toSet
+    assert(kept === (1000L to 1002L).toSet,
+      "the flooded bucket must be excluded from probe joins; the organic one kept")
+  }
+
   test("l34 equals an independent driver-side recomputation at test SF") {
     import org.apache.spark.sql.functions._
     val raw = graft.Tables.documents(spark, sf).select("doc_id", "text")

@@ -47,6 +47,20 @@ class FixpointSpec extends SparkSuite {
     Fixpoint.release(labels)
   }
 
+  test("star CC fails loudly when the round cap is hit before convergence") {
+    // a cap-hit labeling is WRONG (split components), never just slow —
+    // the function must throw, not emit it
+    val chain = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+    val (e, retained) = newPersistedAfter {
+      intercept[IllegalStateException] {
+        Fixpoint.connectedComponentsStarWithStats(chain, maxIter = 1)
+      }
+    }
+    assert(e.getMessage.contains("round cap"))
+    // the failure path must release its in-flight checkpoints
+    assert(retained === 0, s"$retained checkpoints leaked by the throw path")
+  }
+
   test("star CC handles forests, singleton-free input, and empty input") {
     val two = Seq(("b", "a"), ("c", "b"), ("y", "z")).toDF("a", "b")
     val got = Fixpoint.connectedComponentsStar(two).collect()
