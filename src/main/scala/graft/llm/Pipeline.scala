@@ -741,9 +741,10 @@ object Pipeline extends QueryModule {
     * languages; fertility quantifies by how much, and drives vocab-size
     * / data-mix decisions). Rides the memoized merge table (train once
     * per corpus per session) + the typed partition-local encode; the
-    * only shuffle is the 5-row language rollup. No oracle by design
-    * (output depends on the trained merges); PipelineSpec recomputes
-    * from the encode output and pins fertility ≥ 1. */
+    * only shuffle is the 5-row language rollup. Oracled since round 8
+    * via the unrolled training chain (see l48OracleSql); PipelineSpec
+    * additionally recomputes from the encode output and pins
+    * fertility ≥ 1. */
   def l48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     bpeEncode(docs, trainedMerges(docs))
@@ -843,7 +844,111 @@ object Pipeline extends QueryModule {
     "l23_chunk_overlap" -> l23,
     "l24_decontaminate_bloom" -> l24)
 
+  /** DuckDB restatement of the BPE TRAINING LOOP (round 8; upgrades
+    * l43/l45/l48 from spec-gated to hash-oracled): the 10 rounds are
+    * UNROLLED into a CTE chain — per round a pair count, the argmax
+    * merge (same tie-break: n DESC, s1, s2), and the merge application.
+    * Symbol sequences live as delimiter-bracketed strings
+    * (chr(1)||sym||chr(2) per symbol), which makes the left-to-right
+    * non-overlapping `mergePair` pass EXACTLY DuckDB's plain substring
+    * replace(): each pattern is a whole bracketed unit, so the char
+    * scan is the symbol scan, and an already-merged token (a||b) can
+    * never re-match s1 within the same pass (that would need b = '').
+    * The corpus is ASCII single-spaced (TESTDATA.md), so lower()/
+    * split/substring agree byte-for-byte across engines; a committed
+    * merge-table fixture was rejected because the trained table is
+    * SF-dependent (sf0.01 and sf0.1 diverge from round 3). Every CTE is
+    * MATERIALIZED — without it DuckDB inlines the whole training chain
+    * into each of the 10 scalar merge lookups (measured >120 s vs 1 s
+    * at sf0.1). */
+  private val bpeD1 = "chr(1)"
+  private val bpeD2 = "chr(2)"
+  private val bpeRoundsSql = 10
+
+  /** w (a word) → its bracketed character-symbol string. */
+  private def bpeSymStr(w: String): String =
+    s"regexp_replace($w, '(.)', $bpeD1 || '\\1' || $bpeD2, 'g')"
+
+  /** The shared training chain: v0..v10 vocab iterates, p/m pair-count +
+    * argmax per round. Ends with m1..m10 holding (s1, s2, n). */
+  private def bpeTrainCtes: Seq[String] = {
+    val v0 = s"""v0 AS MATERIALIZED (
+  SELECT ${bpeSymStr("w")} AS s, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+  GROUP BY 1)"""
+    v0 +: (1 to bpeRoundsSql).flatMap { r =>
+      Seq(
+        s"""p$r AS MATERIALIZED (
+  SELECT sy[CAST(i AS INT)] AS s1, sy[CAST(i AS INT)+1] AS s2, freq FROM (
+    SELECT string_split(trim(s, $bpeD1 || $bpeD2), $bpeD2 || $bpeD1) AS sy, freq
+    FROM v${r - 1}) t,
+    LATERAL (SELECT unnest(range(1, len(sy))) AS i) g)""",
+        s"""m$r AS MATERIALIZED (
+  SELECT s1, s2, CAST(SUM(freq) AS BIGINT) AS n
+  FROM p$r GROUP BY 1, 2 ORDER BY n DESC, s1, s2 LIMIT 1)""",
+        s"""v$r AS MATERIALIZED (
+  SELECT replace(v.s, $bpeD1 || m.s1 || $bpeD2 || $bpeD1 || m.s2 || $bpeD2,
+                 $bpeD1 || m.s1 || m.s2 || $bpeD2) AS s, v.freq
+  FROM v${r - 1} v, m$r m)""")
+    }
+  }
+
+  /** Encode-side CTEs: per-merge replace patterns + the per-distinct-word
+    * encode (the corpus has a tiny closed vocabulary, so encoding each
+    * distinct word once and joining back is the cheap restatement of the
+    * Scala per-occurrence fold — same values by determinism of the fold). */
+  private def bpeEncodeCtes: Seq[String] = {
+    val mpats = (1 to bpeRoundsSql).map { r =>
+      s"""mp$r AS MATERIALIZED (SELECT $bpeD1 || s1 || $bpeD2 || $bpeD1 || s2 || $bpeD2 AS pat,
+  $bpeD1 || s1 || s2 || $bpeD2 AS rep FROM m$r)"""
+    }
+    val encExpr = (1 to bpeRoundsSql).foldLeft(bpeSymStr("w")) { (e, r) =>
+      s"replace($e, (SELECT pat FROM mp$r), (SELECT rep FROM mp$r))"
+    }
+    mpats ++ Seq(
+      s"""dw AS MATERIALIZED (
+  SELECT w, CAST(length(w) AS BIGINT) AS nc,
+         CAST((length(e) - length(replace(e, $bpeD1, ''))) AS BIGINT) AS nb
+  FROM (SELECT DISTINCT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t) u,
+       LATERAL (SELECT $encExpr AS e) x)""",
+      """words AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)""")
+  }
+
+  private def l43OracleSql: String = {
+    val union = (1 to bpeRoundsSql)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, s1, s2, n FROM m$r")
+      .mkString("\nUNION ALL\n")
+    "WITH " + bpeTrainCtes.mkString(",\n") + "\n" + union + "\nORDER BY round"
+  }
+
+  private def l45OracleSql: String =
+    "WITH " + (bpeTrainCtes ++ bpeEncodeCtes).mkString(",\n") + """
+SELECT words.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(dw.nc) AS BIGINT) AS n_syms_chars,
+       CAST(SUM(dw.nb) AS BIGINT) AS n_syms_bpe,
+       CAST(SUM(dw.nc) AS DOUBLE) / CAST(SUM(dw.nb) AS DOUBLE) AS compression
+FROM words JOIN dw USING (w)
+GROUP BY words.doc_id ORDER BY words.doc_id"""
+
+  private def l48OracleSql: String =
+    "WITH " + (bpeTrainCtes ++ bpeEncodeCtes).mkString(",\n") + """,
+enc AS MATERIALIZED (
+  SELECT words.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(dw.nb) AS BIGINT) AS n_syms_bpe
+  FROM words JOIN dw USING (w) GROUP BY words.doc_id)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(enc.n_syms_bpe) AS BIGINT) AS n_syms_bpe,
+       floor(CAST(SUM(enc.n_syms_bpe) AS DOUBLE) / CAST(SUM(enc.n_words) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS fertility
+FROM enc JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+
   val oracles: Map[String, String] = Map(
+    "l43_bpe_train" -> l43OracleSql,
+    "l45_bpe_encode" -> l45OracleSql,
+    "l48_tokenizer_fertility" -> l48OracleSql,
     // l51: sqrt is correctly-rounded in both engines; the smoothed mass
     // sums in DECIMAL and every ratio shares the floor-rounding rule
     "l51_mix_temperature" ->
