@@ -329,6 +329,74 @@ object Llm extends QueryModule {
   def l03bProbedCount(spark: SparkSession, dir: String): Long =
     annProbedCount(Tables.embeddings(spark, dir))
 
+  /** l55: ANN RECALL EVALUATION — the harness that makes the l03b/l03c/l44
+    * shortcuts trustworthy. At 100 TB nobody can eyeball whether the LSH
+    * route is losing neighbors; the production answer is to hold out a
+    * deterministic PROBE SAMPLE (vec_id ≡ 0 mod 97, ~1%), compute exact
+    * ground truth for just that sample, and report recall@k per probe
+    * radius. With 4 hyperplanes the Hamming radius saturates at 4, so the
+    * radius-4 slice of the SAME candidate frame IS the exact ground truth —
+    * one frame, one window, no separate brute-force pass to keep in sync.
+    *
+    * Scale shape: signatures are map-side; the probe table is
+    * sample-sized and BROADCAST; the candidate frame is (corpus ×
+    * probes) — the eval's intrinsic ground-truth cost, bounded by the
+    * probe rate, never corpus×corpus; the only shuffle is the one
+    * (radius, probe) top-k window. Ranking is on the floor-rounded
+    * cosine with vec_id tie-break, so the top-10 SETS are identical
+    * across engines and recall is integer-exact.
+    *
+    * Output per radius: probes evaluated, candidate pairs scanned (the
+    * cost axis), exact-top-10 hits (the quality axis), recall. */
+  def annRecallEval(emb0: DataFrame, k: Int = 10,
+      probeMod: Int = 97): DataFrame = {
+    val spark = emb0.sparkSession
+    graft.functions.VecMath.register(spark)
+    import spark.implicits._
+    val maxRadius = Hyperplanes.size // saturating radius = exact scan
+    val emb = emb0.withColumn("sig", expr(sigExprSpark("embedding")))
+    val probes = emb.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+        col("sig").as("psig"))
+    val cand = emb
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("d", expr("bit_count(sig ^ psig)"))
+      .withColumn("cosine", r6(expr("vec_dot(embedding, p)")
+        / (sqrt(expr("vec_dot(embedding, embedding)"))
+          * sqrt(expr("vec_dot(p, p)")))))
+      .select("probe_id", "vec_id", "d", "cosine")
+    val radii = Seq(0, 1, 2, maxRadius).toDF("radius")
+    val byRadius = cand.join(broadcast(radii), col("d") <= col("radius"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("radius", "probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = byRadius
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("radius", "probe_id", "vec_id")
+      .localCheckpoint() // radius-4 slice re-read as ground truth below
+    val exact = top.filter(col("radius") === maxRadius)
+      .select(col("probe_id").as("ep"), col("vec_id").as("ev"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = top
+      .join(exact, col("probe_id") === col("ep") && col("vec_id") === col("ev"),
+        "left_semi")
+      .groupBy("radius").agg(count(lit(1)).as("n_hits"))
+    byRadius.groupBy("radius")
+      .agg(countDistinct("probe_id").as("n_probes"),
+        count(lit(1)).as("n_scanned"))
+      .join(hits, Seq("radius"))
+      .crossJoin(broadcast(nExact)) // 1-row denominator, stays lazy
+      .withColumn("recall", r6(col("n_hits") / col("n_exact")))
+      .select(col("radius").cast("long").as("radius"), col("n_probes"),
+        col("n_scanned"), col("n_hits"), col("recall"))
+      .orderBy("radius")
+  }
+
+  def l55(spark: SparkSession, dir: String): DataFrame =
+    annRecallEval(Tables.embeddings(spark, dir))
+
   def l04(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(lower(col("text")), " "))
@@ -707,6 +775,7 @@ object Llm extends QueryModule {
     "l52_hard_negatives" -> l52,
     "l03_sim_topk" -> l03,
     "l03b_sim_ann" -> l03b,
+    "l55_ann_recall" -> l55,
     "l49_filtered_ann" -> l49,
     "l04_text_stats" -> l04,
     "l05_multimodal_cols" -> l05,
@@ -731,6 +800,49 @@ object Llm extends QueryModule {
     l03bOracle.replace(
       "FROM embeddings),",
       "FROM embeddings WHERE vec_id = 0 OR label % 3 = 0),")
+
+  /** Oracle for l55: the full recall-eval replayed in DuckDB — same
+    * literal hyperplanes, same floor-rounded cosine, same radius sweep;
+    * radius 4 is the saturating (exact) slice in both engines, so the
+    * recall denominator needs no separate brute-force restatement. */
+  private def l55Oracle: String = {
+    val sig = sigExprDuck("embedding")
+    val dot = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pr.pe[i] AS DOUBLE)))"
+    val na = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val nb = "sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+       |pr AS MATERIALIZED (SELECT vec_id AS probe_id, embedding AS pe, sig AS psig
+       |  FROM e WHERE vec_id % 97 = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT pr.probe_id, e.vec_id, bit_count(xor(e.sig, pr.psig)) AS d,
+       |         floor($dot / ($na * $nb) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |  FROM e, pr WHERE e.vec_id <> pr.probe_id),
+       |byr AS MATERIALIZED (
+       |  SELECT r.radius, c.* FROM cand c
+       |  JOIN (VALUES (0), (1), (2), (4)) AS r(radius) ON c.d <= r.radius),
+       |topk AS MATERIALIZED (
+       |  SELECT radius, probe_id, vec_id FROM (
+       |    SELECT radius, probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY radius, probe_id
+       |                              ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM byr) t WHERE rk <= 10),
+       |exact AS MATERIALIZED (SELECT probe_id, vec_id FROM topk WHERE radius = 4),
+       |hits AS (
+       |  SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_hits FROM topk
+       |  WHERE EXISTS (SELECT 1 FROM exact x
+       |                WHERE x.probe_id = topk.probe_id AND x.vec_id = topk.vec_id)
+       |  GROUP BY radius)
+       |SELECT CAST(b.radius AS BIGINT) AS radius,
+       |       CAST(COUNT(DISTINCT b.probe_id) AS BIGINT) AS n_probes,
+       |       CAST(COUNT(*) AS BIGINT) AS n_scanned,
+       |       h.n_hits,
+       |       floor(CAST(h.n_hits AS DOUBLE)
+       |             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS recall
+       |FROM byr b JOIN hits h ON b.radius = h.radius
+       |GROUP BY b.radius, h.n_hits
+       |ORDER BY radius""".stripMargin
+  }
 
   private def l03bOracle: String = {
     val sig = sigExprDuck("embedding")
@@ -912,6 +1024,7 @@ object Llm extends QueryModule {
         |       floor((MAX(c) / CAST(SUM(c) AS BIGINT)) * 1000000 + 0.5) / 1000000 AS rep_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l03b_sim_ann" -> l03bOracle,
+    "l55_ann_recall" -> l55Oracle,
     "l49_filtered_ann" -> l49Oracle,
     // l52: same scorer as l03 (per-element double products, sequential
     // sum), the repo-standard floor(x·1e6+0.5)/1e6 surface, ties broken

@@ -63,6 +63,63 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("l55 recall eval: matches a brute-force replay; radius 4 is exact") {
+    // replay at sf0.01 so the probe set (vec_id % 97 == 0) has >1 member
+    val dir = "/root/testdata/sf0.01"
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val planes = llm.Llm.Hyperplanes
+    def sig(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (h, j) =>
+        var (d, i) = (0.0, 0)
+        while (i < v.length) { d += v(i) * h(i); i += 1 }
+        if (d >= 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }.toMap
+    val probes = vecs.filter(_._1 % 97 == 0)
+    assert(probes.length > 1, "probe set degenerate at sf0.01")
+    val radii = Seq(0L, 1L, 2L, 4L)
+    // per radius: top-10 per probe among candidates within Hamming d
+    val top = radii.map { r =>
+      r -> probes.flatMap { case (pid, pv) =>
+        vecs.filter { case (id, _) =>
+          id != pid && java.lang.Long.bitCount(sigs(id) ^ sigs(pid)) <= r }
+          .map { case (id, v) => (id, cos(v, pv)) }
+          .sortBy { case (id, c) => (-c, id) }.take(10)
+          .map { case (id, _) => (pid, id) }
+      }.toSet
+    }.toMap
+    val exact = top(4L)
+    val expected = radii.map { r =>
+      val scanned = probes.map { case (pid, _) =>
+        vecs.count { case (id, _) =>
+          id != pid && java.lang.Long.bitCount(sigs(id) ^ sigs(pid)) <= r }
+      }
+      val nProbes = scanned.count(_ > 0).toLong
+      val hits = top(r).count(exact.contains).toLong
+      (r, nProbes, scanned.sum.toLong, hits,
+        math.floor(hits.toDouble / exact.size * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = llm.Llm.l55(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === expected)
+    // the saturating radius recovers all of its own ground truth
+    val full = got.find(_._1 == 4L).get
+    assert(full._5 === 1.0)
+    // recall and scan cost both widen monotonically with the radius
+    val byR = got.toSeq.sortBy(_._1)
+    byR.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 >= a._5 && b._3 >= a._3, s"not monotone: $byR")
+    }
+  }
+
   test("l52 hard negatives: top-3 cross-label matches a brute-force replay") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
