@@ -484,6 +484,59 @@ object Multimodal {
         min("doc_id").as("keep_id"))
       .orderBy("b1", "b2", "dt")
 
+  // ---- video near-dup (frame-fingerprint join) ------------------------
+
+  /** Boilerplate-frame cap: a frame fingerprint appearing in more than
+    * this many videos is an intro card / black frame / silence — joining
+    * through it would make the candidate pair set quadratic in the
+    * bucket (the same flood-control contract as l02's BandBucketCap).
+    * Capped hashes are dropped from PAIR GENERATION only; per-video
+    * frame counts (the overlap denominator) keep them. */
+  val FrameHashCap = 32
+
+  /** m08: cross-VIDEO near-duplicate candidates — two videos are
+    * candidates when ≥2 of their sampled frames share a fingerprint
+    * (m02's uniform-K frame stream; the fingerprint join is how
+    * production video dedup works — a perceptual frame hash like m05's
+    * aHash swaps into the same key with no dataflow change, md5 here
+    * keeps the oracle byte-exact). Catches exact re-uploads AND
+    * trimmed/re-containered variants whose frame alignment survives.
+    *
+    * Scale shape: frames are map-side (one row in, ≤K fingerprint rows
+    * out — never the decoded video); the ONLY corpus-sized shuffle is
+    * the fingerprint-key join, and FrameHashCap bounds every bucket so
+    * the pair fan-out is ≤ cap² per fingerprint at any corpus size; the
+    * pair rollup and the two per-video count joins are
+    * candidate-pair-sized. Overlap = |shared| / |union| on distinct
+    * fingerprints, floor-rounded (the repo's cross-engine rule). */
+  def videoNearDup(media: Dataset[MediaRow]): DataFrame = {
+    val frames = frameSample(media).toDF()
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val ok = frames.groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= FrameHashCap)
+      .select("frame_md5")
+    val f = frames.join(ok, Seq("frame_md5"), "left_semi")
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    f.as("a").join(f.as("b"),
+        col("a.frame_md5") === col("b.frame_md5")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared")) // frames are distinct per doc
+      .filter(col("n_shared") >= 2)
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_frames").as("n_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_frames").as("n_b")), "doc_b")
+      .withColumn("overlap",
+        floor(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def m08(spark: SparkSession, dir: String): DataFrame =
+    videoNearDup(mediaTable(spark, dir))
+
   /** m05: perceptual-duplicate clusters — group identical average-hashes
     * within a width class (the image-space analogue of l01's content
     * hash; the hamming-radius>0 variant feeds these hash rows into l02's
@@ -504,7 +557,8 @@ object MultimodalQueries extends QueryModule {
     "m04_media_features" -> (Multimodal.m04 _),
     "m05_image_phash" -> (Multimodal.m05 _),
     "m06_audio_fingerprint" -> (Multimodal.m06 _),
-    "m07_scene_cuts" -> (Multimodal.m07 _))
+    "m07_scene_cuts" -> (Multimodal.m07 _),
+    "m08_video_near_dup" -> (Multimodal.m08 _))
 
   // m01's oracle recomputes every decoded feature straight from the
   // SOURCE text, independently of the container bytes — the corpus is
@@ -594,6 +648,35 @@ object MultimodalQueries extends QueryModule {
          |       MIN(doc_id) AS keep_id
          |FROM pairs WHERE b2 IS NOT NULL
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // m08: the frame-fingerprint join replayed over m02's frame SQL —
+    // same distinct-per-doc fingerprints, same boilerplate cap on the
+    // join key, same pre-cap denominators, same floor-rounded overlap
+    "m08_video_near_dup" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             (length(text) + ${Multimodal.FrameSize - 1}) // ${Multimodal.FrameSize} AS nf
+         |           FROM documents),
+         |f AS (SELECT DISTINCT doc_id, text,
+         |             CAST(j * nf // ${Multimodal.FramesPerDoc} AS BIGINT) AS frame_idx
+         |      FROM d, range(0, ${Multimodal.FramesPerDoc}) t(j)),
+         |fr AS (SELECT DISTINCT doc_id,
+         |          md5(substr(text, CAST(frame_idx * ${Multimodal.FrameSize} + 1 AS BIGINT), ${Multimodal.FrameSize})) AS frame_md5
+         |       FROM f),
+         |ok AS (SELECT frame_md5 FROM fr GROUP BY 1
+         |       HAVING COUNT(*) <= ${Multimodal.FrameHashCap}),
+         |g AS (SELECT fr.* FROM fr SEMI JOIN ok USING (frame_md5)),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fr GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM g a JOIN g b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, n_shared, pa.nf AS n_a, pb.nf AS n_b,
+         |       floor(CAST(n_shared AS DOUBLE) / (pa.nf + pb.nf - n_shared)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS overlap
+         |FROM pairs
+         |JOIN pd pa ON pa.doc_id = doc_a
+         |JOIN pd pb ON pb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "m01_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  8 + doc_id % 8 AS w

@@ -136,6 +136,40 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(0).frame_md5 === exp0)
   }
 
+  test("m08: video near-dup pairs — exact dups hit overlap 1, the " +
+      "boilerplate cap suppresses flood buckets, synthetic vectors match") {
+    import spark.implicits._
+    // three "videos": a == b (exact dup), c shares frame 0 only with a/b
+    val fa = Array.tabulate(200)(i => (i % 97).toByte)
+    val fc = fa.take(64) ++ Array.tabulate(136)(i => (i % 89 + 100).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", fa),
+      Multimodal.MediaRow(2L, "video/mp4", fa.clone()),
+      Multimodal.MediaRow(3L, "video/mp4", fc)).toDS()
+    val got = Multimodal.videoNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // only the exact-dup pair survives the ≥2-shared-frames gate
+    // (c shares just its aligned first frame with a/b)
+    assert(got.toSeq === Seq((1L, 2L, 4L, 1.0)))
+
+    // flood control: FrameHashCap+1 identical videos would generate
+    // ~cap²/2 pairs per frame hash; every frame hash is over the cap, so
+    // pair generation must yield NOTHING (the l02 BandBucketCap contract)
+    val flood = (0 until Multimodal.FrameHashCap + 1)
+      .map(i => Multimodal.MediaRow(100L + i, "video/mp4", fa.clone()))
+    val floodOut = Multimodal.videoNearDup(flood.toDS()).collect()
+    assert(floodOut.isEmpty, s"capped bucket leaked ${floodOut.length} pairs")
+
+    // corpus sanity: pairs exist, are ordered, and overlap ∈ (0, 1]
+    val corpus = Multimodal.m08(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val ov = r.getDouble(5)
+      assert(ov > 0.0 && ov <= 1.0 && r.getLong(2) >= 2L)
+    }
+  }
+
   test("m03: resize decimates even rows/cols and carries typed dims") {
     import spark.implicits._
     // 3x2 raster "abcdef": keep (x even, y even) -> y=0: a,c -> "ac"
