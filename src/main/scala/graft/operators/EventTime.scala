@@ -607,7 +607,43 @@ object EventTime extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** t24: SEASONAL PROFILE + hot-hour count — the hour-of-day baseline a
+    * metrics pipeline must learn before it can alert ("is 3 AM traffic
+    * low because it's 3 AM, or because ingestion broke?"). Per
+    * (event_type, hour-of-day): hours observed, total/mean/peak hourly
+    * counts, and how many hours ran ANOMALOUSLY HOT — count > 1.5× the
+    * slot's own mean, compared in exact integer cross-multiplied form
+    * (2·n·n_hours > 3·total: no float thresholds, engine-identical
+    * booleans; 1.5× because more data smooths the profile — at sf0.1 a
+    * 2× gate fires zero times while 1.5× still isolates real spikes).
+    * Scale shape: ONE event-sized shuffle (the hourly rollup, a
+    * map-side-combinable count); the profile is ≤ 24·|types| rows and
+    * BROADCASTS back onto the hourly frame for the anomaly pass —
+    * nothing after the first rollup is event-sized at any corpus. */
+  def t24(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val prof = hourly
+      .groupBy(col("event_type"), pmod(col("hr"), lit(24L)).as("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum("n").as("total"),
+        max("n").as("peak"))
+    val anom = hourly
+      .withColumn("hod", pmod(col("hr"), lit(24L)))
+      .join(broadcast(prof), Seq("event_type", "hod"))
+      .filter(col("n") * col("n_hours") * 2 > col("total") * 3)
+      .groupBy("event_type", "hod").agg(count(lit(1)).as("n_hot"))
+    prof.join(anom, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("hod"), col("n_hours"), col("total"),
+        (floor(col("total").cast("double") / col("n_hours")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mean_per_hour"),
+        col("peak"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot_hours"))
+      .orderBy("event_type", "hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_seasonal_profile" -> t24,
     "t23_mad_outliers" -> t23,
     "t22_holt_trend" -> t22,
     "t20_ewma" -> t20,
@@ -671,6 +707,27 @@ object EventTime extends QueryModule {
         |       floor((level + trend) * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
         |FROM rec ORDER BY event_type, hour_ms""".stripMargin,
     // t23: the same milli-unit quantization and first-crossing median
+    // t24: the same integer rollup/profile/cross-multiplied gate
+    "t24_seasonal_profile" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000 // 3600000 AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, hr % 24 AS hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |         CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS peak
+        |  FROM hourly GROUP BY 1, 2),
+        |anom AS (
+        |  SELECT h.event_type, h.hr % 24 AS hod, CAST(COUNT(*) AS BIGINT) AS n_hot
+        |  FROM hourly h JOIN prof p ON p.event_type = h.event_type AND p.hod = h.hr % 24
+        |  WHERE h.n * p.n_hours * 2 > p.total * 3
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.hod AS BIGINT) AS hod, p.n_hours, p.total,
+        |       floor(CAST(p.total AS DOUBLE) / p.n_hours * 1000000.0 + 0.5)
+        |         / 1000000.0 AS mean_per_hour,
+        |       p.peak, CAST(coalesce(a.n_hot, 0) AS BIGINT) AS n_hot_hours
+        |FROM prof p LEFT JOIN anom a ON a.event_type = p.event_type AND a.hod = p.hod
+        |ORDER BY 1, 2""".stripMargin,
     // picks, spelled as two windowed CTE passes
     "t23_mad_outliers" ->
       """WITH e AS (

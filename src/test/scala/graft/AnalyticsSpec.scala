@@ -384,6 +384,32 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("t24: seasonal profile matches a driver-side replay; hot-hour gate fires") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "ts_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val hourly = events.groupBy { case (t, ts) => (t, ts / 3600000L) }
+      .map { case ((t, hr), es) => (t, hr, es.length.toLong) }.toSeq
+    val expected = hourly.groupBy { case (t, hr, _) => (t, hr % 24) }
+      .map { case ((t, hod), hs) =>
+        val ns = hs.map(_._3)
+        val (nHours, total) = (ns.length.toLong, ns.sum)
+        val hot = ns.count(n => n * nHours * 2 > total * 3).toLong
+        (t, hod) -> ((nHours, total,
+          math.floor(total.toDouble / nHours * 1e6 + 0.5) / 1e6, ns.max, hot))
+      }
+    val got = operators.EventTime.t24(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got === expected)
+    // the gate must be live: some slot has hot hours, no slot is all-hot
+    assert(got.values.exists(_._5 > 0), "no hot hours anywhere")
+    got.foreach { case (k, (nHours, _, _, _, hot)) =>
+      assert(hot < nHours, s"$k flags every hour as hot")
+    }
+  }
+
   test("w07: ignore-nulls fill matches a driver-side scan in both directions") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "ts_ms", "value").collect()
