@@ -510,8 +510,13 @@ object Multimodal {
     * candidate-pair-sized. Overlap = |shared| / |union| on distinct
     * fingerprints, floor-rounded (the repo's cross-engine rule). */
   def videoNearDup(media: Dataset[MediaRow]): DataFrame = {
+    // the fingerprint frame feeds FOUR consumers (cap rollup, two join
+    // sides, per-video counts) — materialize it once so the payload
+    // decode pass runs once, not four times (the l02 localCheckpoint
+    // contract; frames are 3 narrow columns, ≤K rows per video)
     val frames = frameSample(media).toDF()
       .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint()
     val ok = frames.groupBy("frame_md5")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= FrameHashCap)
