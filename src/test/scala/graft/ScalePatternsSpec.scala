@@ -247,6 +247,31 @@ class ScalePatternsSpec extends SparkSuite {
       s"corpus-scaled planes ($scaled) must undercut the pinned fixture ($pinned)")
   }
 
+  test("m08 growth law: frame-fingerprint pair work grows sub-quadratically sf0.01 → sf0.1") {
+    // pair work = Σ bsz·(bsz−1)/2 over post-cap fingerprint buckets —
+    // exactly what the m08 self-join expands
+    def pairWork(dir: String): Long = {
+      val fr = llm.Multimodal
+        .frameSample(llm.Multimodal.mediaTable(spark, dir)).toDF()
+        .select(col("doc_id"), col("frame_md5")).distinct()
+      fr.groupBy("frame_md5").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= llm.Multimodal.FrameHashCap)
+        .agg(coalesce(sum(expr("(bsz * (bsz - 1)) div 2")), lit(0L)))
+        .head().getLong(0)
+    }
+    val n1 = Tables.documents(spark, "/root/testdata/sf0.01").count()
+    val n10 = Tables.documents(spark, "/root/testdata/sf0.1").count()
+    val nRatio = n10.toDouble / n1
+    val (w1, w10) = (math.max(1L, pairWork("/root/testdata/sf0.01")),
+      pairWork("/root/testdata/sf0.1"))
+    val ratio = w10.toDouble / w1
+    info(f"m08 pair work: sf0.01=$w1 sf0.1=$w10 ratio=$ratio%.1f (n ratio $nRatio%.1f)")
+    // duplicates arrive in proportion to the corpus, so shared-frame
+    // buckets grow ~linearly; quadratic would be nRatio² = 100×
+    assert(ratio <= nRatio * 4,
+      s"m08 pair work grew ${ratio}× for a ${nRatio}× corpus")
+  }
+
   test("l34/l37 growth laws: segment stream linear, bigram count table vocab-bounded") {
     val d1 = Tables.documents(spark, "/root/testdata/sf0.01")
     val d10 = Tables.documents(spark, "/root/testdata/sf0.1")
