@@ -30,4 +30,76 @@ object OdmStreamIngest {
       .select(col("odm.*"))
     OdmPipeline.commandsOf(OdmPipeline.explodedFrom(parsed))
   }
+
+  // ---- streaming dependency gate (R15, stream-native) -------------------
+
+  final case class GateEvent(parent_id: String, kind: String, child_id: String)
+  final case class GatedChild(parent_id: String, child_id: String, status: String)
+
+  /** The reference's parent→child dependency gate as STATEFUL streaming:
+    * in the batch pipeline R15 is a left_semi join chain (children kept
+    * only when the parent's command succeeded), which works because batch
+    * sees the whole level before gating. On a live command stream a child
+    * can arrive BEFORE its parent's success event, so the gate needs an
+    * ORPHAN BUFFER: children of an unresolved parent wait in keyed state;
+    * the parent's `parent_ok` releases them, `parent_fail` prunes them
+    * (surfaced with status="pruned", the c03 quarantine posture, never
+    * silently dropped mid-stream). Arrival order within a micro-batch is
+    * applied as delivered, matching the reference's sequential consumer.
+    *
+    * Scale shape: state is one Int + the pending child ids per PARENT key,
+    * sharded by the state store across executors; a parent that never
+    * resolves holds only its own subtree (bounded by fan-out, evictable
+    * via a state TTL when the command stream has a staleness contract).
+    * Statuses: direct (parent already ok), released (waited in the
+    * buffer), pruned (parent failed). */
+  class OrphanGateProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, GateEvent, GatedChild] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    import streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var parentStatus: ValueState[Int] = _ // 1 ok, 2 fail
+    @transient private var pending: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      parentStatus = getHandle.getValueState[Int]("status",
+        Encoders.scalaInt, TTLConfig.NONE)
+      pending = getHandle.getListState[String]("pending",
+        Encoders.STRING, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[GateEvent],
+        timers: TimerValues): Iterator[GatedChild] = {
+      val out = Seq.newBuilder[GatedChild]
+      var status = if (parentStatus.exists()) parentStatus.get() else 0
+      rows.foreach { ev =>
+        ev.kind match {
+          case "parent_ok" | "parent_fail" =>
+            // a parent resolves exactly once upstream; a duplicate
+            // delivery re-resolves to the same state, releasing nothing
+            // (the buffer is already empty)
+            status = if (ev.kind == "parent_ok") 1 else 2
+            val verdict = if (status == 1) "released" else "pruned"
+            pending.get().foreach(c => out += GatedChild(key, c, verdict))
+            pending.clear()
+          case _ =>
+            status match {
+              case 1 => out += GatedChild(key, ev.child_id, "direct")
+              case 2 => out += GatedChild(key, ev.child_id, "pruned")
+              case _ => pending.appendValue(ev.child_id)
+            }
+        }
+      }
+      parentStatus.update(status)
+      out.result().iterator
+    }
+  }
+
+  /** transformWithState wiring for [[OrphanGateProcessor]] — feed it the
+    * merged (parent-resolution ∪ child-command) stream. */
+  def gatedChildren(events: org.apache.spark.sql.Dataset[GateEvent])
+      : org.apache.spark.sql.Dataset[GatedChild] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.parent_id)
+      .transformWithState(new OrphanGateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
