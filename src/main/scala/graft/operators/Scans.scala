@@ -251,7 +251,11 @@ object Scans extends QueryModule {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       }
-    spark.read.format("binaryFile").load(s"$tmp/*.txt")
+    // pathGlobFilter on the DIRECTORY, not a glob path: DataSource
+    // resolution stat()s a literal glob string and logs a spurious
+    // FileNotFoundException stack (FileStreamSink.hasMetadata) — the
+    // r07 "unattributed mid-sweep stack trace" was exactly this noise
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(tmp)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("bigint").as("doc_id"),
         col("length").as("n_bytes"),
