@@ -38,19 +38,24 @@ object Graph extends QueryModule {
     val n = pdeg.select(count(lit(1)).as("np"))
       .crossJoin(sdeg.select(count(lit(1)).as("ns")))
       .select((col("np") + col("ns")).as("n"))
-    // units(u) = round(1e12 / deg(u)) — the integer image of 1/deg
-    val withDeg = edges
-      .join(pdeg, "p").join(sdeg, "s")
-      .withColumn("punits", expr("CAST(round(1000000000000.0 / pdeg) AS BIGINT)"))
+    // units(u) = round(1e12 / deg(u)) — the integer image of 1/deg.
+    // Each gather direction joins ONLY the source side's degree on the
+    // edge-sized frame; the receiver's own degree attaches AFTER the
+    // aggregate, when the frame is node-sized (a single edges⋈pdeg⋈sdeg
+    // frame would run its double join once per consumer — twice the
+    // edge-sized work for a column each side doesn't need yet)
+    val toParts = edges.join(sdeg, "s")
       .withColumn("sunits", expr("CAST(round(1000000000000.0 / sdeg) AS BIGINT)"))
-    val toParts = withDeg.groupBy("p")
-      .agg(sum("sunits").as("units"), first("pdeg").as("deg"))
+      .groupBy("p").agg(sum("sunits").as("units"))
+      .join(pdeg, "p")
       .select(lit("part").as("node_type"), col("p").as("node_id"),
-        col("deg"), col("units"))
-    val toSupps = withDeg.groupBy("s")
-      .agg(sum("punits").as("units"), first("sdeg").as("deg"))
+        col("pdeg").as("deg"), col("units"))
+    val toSupps = edges.join(pdeg, "p")
+      .withColumn("punits", expr("CAST(round(1000000000000.0 / pdeg) AS BIGINT)"))
+      .groupBy("s").agg(sum("punits").as("units"))
+      .join(sdeg, "s")
       .select(lit("supplier").as("node_type"), col("s").as("node_id"),
-        col("deg"), col("units"))
+        col("sdeg").as("deg"), col("units"))
     val out = toParts.unionByName(toSupps)
       .crossJoin(broadcast(n))
       // r1 = 0.15/N + 0.85 · (Σ units)/1e12 / N — identical FP shape in
