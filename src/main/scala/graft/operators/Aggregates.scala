@@ -375,7 +375,43 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** a22: equi-depth histogram per series — the scalable replacement for
+    * a global NTILE: ranking every row needs a TOTAL ORDER (one global
+    * sort — the classic scale-killer window), but the bucket BOUNDARIES
+    * only need the value distribution, which collapses. Optimizers build
+    * CBO histograms exactly this way (s16's ANALYZE surface); a data
+    * pipeline uses the same buckets for stratified sampling and skew
+    * diagnosis. EXACT and engine-portable: quantize to integer
+    * milli-units (t23's rule), collapse to one (series, value) row with
+    * a count, then bucket(v) = (rows strictly below v) · k ÷ total in
+    * BIGINT arithmetic — a value never splits across buckets (the
+    * documented tie rule NTILE itself lacks), and every comparison is
+    * integer. Shuffles: one map-side-combinable (series, vm) aggregate;
+    * the cumulative window rides the collapsed histogram frame (bounded
+    * by the quantized value domain, NOT the row count — at 100 TB the
+    * collapse is the whole point), and the k-row summary rides the same
+    * per-series exchange. */
+  def a22(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val wCum = Window.partitionBy("event_type").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 1000.0 + 0.5).cast("long").as("vm"))
+      .groupBy("event_type", "vm").agg(count(lit(1)).as("w"))
+      .withColumn("cumb", coalesce(sum("w").over(wCum), lit(0L)))
+      .withColumn("tot", sum("w").over(wAll))
+      .withColumn("bucket", expr(s"(cumb * $k) div tot + 1"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("w").as("n_rows"), count(lit(1)).as("n_values"),
+        (min("vm").cast("double") / 1000.0).as("lo"),
+        (max("vm").cast("double") / 1000.0).as("hi"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_equidepth_hist" -> a22,
     "a21_weighted_median" -> a21,
     "a20_bitmap_distinct" -> a20,
     "a19_argmax" -> a19,
@@ -395,6 +431,24 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    // a22: same quantize → collapse → strictly-below cumulative →
+    // BIGINT bucket assignment — every step integer-exact
+    "a22_equidepth_hist" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (SELECT event_type, vm, COUNT(*) AS w FROM e GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        COALESCE(SUM(w) OVER (PARTITION BY event_type ORDER BY vm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |        SUM(w) OVER (PARTITION BY event_type) AS tot FROM g)
+        |SELECT event_type, CAST((cumb * 8) // tot + 1 AS BIGINT) AS bucket,
+        |       CAST(SUM(w) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_values,
+        |       CAST(MIN(vm) AS DOUBLE) / 1000.0 AS lo,
+        |       CAST(MAX(vm) AS DOUBLE) / 1000.0 AS hi
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // a21: same collapse → cumulative scan → first-crossing pick
     "a21_weighted_median" ->
       """WITH g AS (

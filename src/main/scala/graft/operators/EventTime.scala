@@ -642,7 +642,54 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "hod")
   }
 
+  /** t25: CUSUM drift/changepoint detection per series — the alerting
+    * primitive t24's seasonal baseline feeds: a level SHIFT that never
+    * trips a point-outlier gate (t23) still accumulates in the one-sided
+    * CUSUM S_t = max(0, S_{t-1} + x_t − (μ+κ)) and crosses the decision
+    * threshold h. Runs over the t22-style hourly rollup with κ = 0.1·μ
+    * and h = 3·μ (μ = the series' own hourly mean, so the gate is
+    * scale-free across series). Engine-exactness discipline: μ comes
+    * from the exact DECIMAL total of the hourly DECIMAL sums (one double
+    * division at the end — summing doubles would be order-dependent),
+    * and the recurrence is the same secondary-sort sequential fold as
+    * t20/t22 (the one shape a window frame cannot state), replayed
+    * verbatim by a recursive-CTE oracle with every literal CAST to
+    * DOUBLE. Shuffles: the hourly rollup (map-side combinable), a
+    * broadcast of the ≤|series|-row mean table, one series-key exchange
+    * for the fold. */
+  def t25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourMs = 3600000L
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"(ts_ms div $hourMs) * $hourMs").as("hour_ms"))
+      .agg(sum(dec(col("value"))).as("xd"))
+    val mu = hourly.groupBy("event_type")
+      .agg((sum("xd").cast("double") / count(lit(1))).as("mu"))
+    hourly
+      .join(broadcast(mu), Seq("event_type"))
+      .select(col("event_type"), col("hour_ms"),
+        col("xd").cast("double").as("x"), col("mu"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "hour_ms")
+      .as[(String, Long, Double, Double)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var s = 0.0
+        it.map { case (et, h, x, mu) =>
+          val thr = mu * 1.1
+          if (et != cur) { cur = et; s = math.max(0.0, x - thr) }
+          else s = math.max(0.0, s + x - thr)
+          (et, h, x, math.floor(s * 1e6 + 0.5) / 1e6,
+            if (s > mu * 3.0) 1L else 0L)
+        }
+      }
+      .toDF("event_type", "hour_ms", "x", "cusum", "alarm")
+      .orderBy("event_type", "hour_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_cusum_changepoint" -> t25,
     "t24_seasonal_profile" -> t24,
     "t23_mad_outliers" -> t23,
     "t22_holt_trend" -> t22,
@@ -669,6 +716,35 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t25: t22's recursive-CTE pattern (base MATERIALIZED, rn join, all
+    // literals CAST to DOUBLE); μ from the exact DECIMAL hourly-sum
+    // total so both engines divide the same numerator; the alarm
+    // compares the RAW running S (identical doubles), not the floored
+    // display value
+    "t25_cusum_changepoint" ->
+      """WITH RECURSIVE roll AS MATERIALIZED (
+        |  SELECT event_type, (epoch_ns(ts)//1000000 // 3600000) * 3600000 AS hour_ms,
+        |         SUM(CAST(value AS DECIMAL(38,4))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |mu AS MATERIALIZED (
+        |  SELECT event_type, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM roll GROUP BY 1),
+        |base AS MATERIALIZED (
+        |  SELECT r.event_type, r.hour_ms, CAST(r.xd AS DOUBLE) AS x, m.mu,
+        |         row_number() OVER (PARTITION BY r.event_type ORDER BY r.hour_ms) AS rn
+        |  FROM roll r JOIN mu m ON m.event_type = r.event_type),
+        |rec AS (
+        |  SELECT event_type, hour_ms, x, mu, rn,
+        |         greatest(CAST(0 AS DOUBLE), x - mu * CAST(1.1 AS DOUBLE)) AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.hour_ms, b.x, b.mu, b.rn,
+        |         greatest(CAST(0 AS DOUBLE), r.s + b.x - b.mu * CAST(1.1 AS DOUBLE))
+        |  FROM rec r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        |SELECT event_type, hour_ms, x,
+        |       floor(s * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+        |       CAST(CASE WHEN s > mu * CAST(3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM rec ORDER BY event_type, hour_ms""".stripMargin,
     // t22: the two-state recurrence IS expressible in DuckDB — a
     // recursive CTE advancing every series one hour per iteration (720
     // hourly rows per series; measured 0.8 s at sf0.1 with the base CTE

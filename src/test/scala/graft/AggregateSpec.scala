@@ -91,6 +91,44 @@ class AggregateSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("a22: equi-depth histogram matches a driver-side replay; buckets partition the axis") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1000.0 + 0.5).toLong))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (et, es) =>
+      val hist = es.groupBy(_._2).map { case (vm, xs) => vm -> xs.length.toLong }
+        .toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      var cumb = 0L
+      hist.map { case (vm, w) =>
+        val b = cumb * 8 / tot + 1
+        cumb += w
+        (et, vm, w, b)
+      }.groupBy { case (_, _, _, b) => b }.toSeq.map { case (b, vs) =>
+        (et, b) -> ((vs.map(_._3).sum, vs.length.toLong,
+          vs.map(_._2).min / 1000.0, vs.map(_._2).max / 1000.0))
+      }
+    }.toMap
+    val got = operators.Aggregates.a22(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    got.toSeq.groupBy(_._1._1).foreach { case (et, bs) =>
+      val ord = bs.sortBy(_._1._2).map(_._2)
+      // buckets tile the value axis in order, never overlapping, and the
+      // fixture genuinely splits (ties could legally collapse buckets,
+      // but a one-bucket histogram would mean the gate is untested)
+      ord.sliding(2).foreach {
+        case Seq((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 < lo2, s"$et buckets overlap")
+        case _ => ()
+      }
+      assert(ord.length >= 2, s"$et collapsed to one bucket")
+      // mass balance: every row lands in exactly one bucket
+      val n = rows.count(_._1 == et).toLong
+      assert(ord.map(_._1).sum === n)
+    }
+  }
+
   test("a20: bitmap distinct equals exact countDistinct; partial bitmaps merge") {
     import org.apache.spark.sql.functions._
     val exact = Tables.events(spark, sf)

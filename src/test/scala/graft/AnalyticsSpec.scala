@@ -410,6 +410,40 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("t25: CUSUM matches an exact sequential replay; gate is live, not saturated") {
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
+        "CAST(value AS DECIMAL(38,4)) AS v")
+      .groupBy("event_type", "hour_ms")
+      .agg(org.apache.spark.sql.functions.sum("v").as("xd")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(_._2)
+      // μ from the exact DECIMAL total — one double division at the end,
+      // the same arithmetic the operator and the oracle perform
+      val mu = ord.map(e => BigDecimal(e._3)).sum.toDouble / ord.length
+      val thr = mu * 1.1
+      var s = 0.0
+      ord.zipWithIndex.map { case ((et, h, xd), i) =>
+        val x = xd.doubleValue
+        if (i == 0) s = math.max(0.0, x - thr)
+        else s = math.max(0.0, s + x - thr)
+        (et, h) -> ((x, math.floor(s * 1e6 + 0.5) / 1e6,
+          if (s > mu * 3.0) 1L else 0L))
+      }
+    }.toMap
+    val got = operators.EventTime.t25(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the accumulator must actually move, and the decision gate must be
+    // discriminating on this fixture (never all-alarm for a series)
+    assert(got.values.exists(_._2 > 0.0), "cusum never left zero")
+    got.toSeq.groupBy(_._1._1).foreach { case (et, rs) =>
+      assert(rs.exists(_._2._3 == 0L), s"$et alarms on every hour")
+    }
+  }
+
   test("w07: ignore-nulls fill matches a driver-side scan in both directions") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "ts_ms", "value").collect()
