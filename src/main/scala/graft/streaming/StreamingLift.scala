@@ -323,6 +323,90 @@ object StreamingLift {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class CusumRow(event_type: String, hour_ms: Long, x: Double,
+      cusum: Double, alarm: Long)
+
+  /** t25's CUSUM drift gate as a CONTINUOUS monitor — the shape
+    * production change detection actually runs: μ is a trained baseline
+    * (parameter-sized, captured at start like a broadcast), the hourly
+    * rollup accumulates in per-key MapState, and an event-time timer
+    * closes each hour when the watermark passes so the recurrence folds
+    * hours in order, exactly once. One stateful operator (the windowed
+    * rollup lives INSIDE the processor state), so no stateful-chaining
+    * restriction applies; state per key is bounded by the open-hour
+    * count, not the event count.
+    *
+    * Engine-exactness: partials arrive as unscaled DECIMAL(38,4)
+    * micro-units (the caller derives them with Spark's own cast — this
+    * class never re-implements double→decimal rounding), sum exactly in
+    * Long, and surface through the same BigDecimal→double conversion
+    * Spark's decimal cast performs, so the folded x — and therefore the
+    * whole recurrence — is bit-identical to batch t25. */
+  class CusumProcessor(mu: Map[String, Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), CusumRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var hours: MapState[Long, Long] = _
+    @transient private var sState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      hours = getHandle.getMapState[Long, Long](
+        "hours", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      sState = getHandle.getValueState[Double]("s", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timers: TimerValues): Iterator[CusumRow] = {
+      rows.foreach { case (_, hourMs, vMicro) =>
+        val fresh = !hours.containsKey(hourMs)
+        hours.updateValue(hourMs,
+          (if (fresh) 0L else hours.getValue(hourMs)) + vMicro)
+        // arm the close timer once per open hour; the hour ends at +1h
+        if (fresh) getHandle.registerTimer(hourMs + 3600000L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[CusumRow] = {
+      // fold EVERY hour the watermark has passed, ascending — robust to
+      // several timers expiring in one batch in any callback order (later
+      // callbacks find the map already drained and emit nothing)
+      val wm = timers.getCurrentWatermarkInMs()
+      val m = mu.getOrElse(key, 0.0)
+      val thr = m * 1.1
+      val ready = hours.keys().filter(_ + 3600000L <= wm).toSeq.sorted
+      var s = if (sState.exists()) sState.get() else 0.0
+      val out = ready.map { h =>
+        val x = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(hours.getValue(h)), 4).doubleValue()
+        s = math.max(0.0, s + x - thr)
+        hours.removeKey(h)
+        CusumRow(key, h, x, math.floor(s * 1e6 + 0.5) / 1e6,
+          if (s > m * 3.0) 1L else 0L)
+      }
+      sState.update(s)
+      out.iterator
+    }
+  }
+
+  /** Expects (event_type, ts_ms, value, event_ts) with a watermark on
+    * event_ts. The micro-unit partial is derived HERE with Spark's own
+    * double→DECIMAL(38,4) cast so stream and batch share one rounding
+    * rule. `mu` is the per-series trained baseline mean. */
+  def cusum(events: DataFrame, mu: Map[String, Double]): org.apache.spark.sql.Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withColumn("hour_ms", expr("(ts_ms div 3600000) * 3600000"))
+      .withColumn("v_micro",
+        expr("CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT)"))
+      .select(col("event_type"), col("hour_ms"), col("v_micro"), col("event_ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .map(r => (r._1, r._2, r._3))
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(mu),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class UserRunning(user_id: Long, n: Long, max_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState (reference R18/R22's

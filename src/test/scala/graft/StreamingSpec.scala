@@ -286,6 +286,51 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.set(providerKey, prev)
   }
 
+  test("transformWithState: streaming CUSUM == batch t25 (MapState rollup + event-time hour close)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // trained baseline μ — the same exact-DECIMAL mean batch t25 derives
+      val mu = Tables.events(spark, sf)
+        .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
+          "CAST(value AS DECIMAL(38,4)) AS v")
+        .groupBy("event_type", "hour_ms").agg(sum("v").as("xd"))
+        .groupBy("event_type")
+        .agg((sum("xd").cast("double") / count(lit(1))).as("mu"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val rows = batchEvents.as[Ev].collect().sortBy(_.ts_ms)
+      val stream = MemoryStream[Ev]
+      val src = stream.toDF()
+        .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_ts", "1 hour")
+      val name = s"graft_cusum_${System.nanoTime()}"
+      val q = StreamingLift.cusum(src, mu).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 5, 1)).foreach { chunk =>
+          stream.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        stream.addData(Seq(
+          Ev(-1L, -1L, "__sentinel__", 0.0, Sentinel),
+          Ev(-2L, -2L, "__sentinel__", 0.0, Sentinel + 600000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .filter(col("event_type") =!= "__sentinel__")
+      val batch = operators.EventTime.t25(spark, sf)
+      // every real hour closed under the sentinel watermark, folded in
+      // order, exactly once — the rows are bit-identical to batch t25
+      assert(sortedRows(streamed, "event_type", "hour_ms", "x", "cusum", "alarm") ===
+        sortedRows(batch, "event_type", "hour_ms", "x", "cusum", "alarm"))
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("transformWithState: final ValueState count + ListState top-3 == batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
