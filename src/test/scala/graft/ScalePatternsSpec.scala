@@ -247,6 +247,26 @@ class ScalePatternsSpec extends SparkSuite {
       s"corpus-scaled planes ($scaled) must undercut the pinned fixture ($pinned)")
   }
 
+  test("a22 collapse law: the histogram frame grows sublinearly in the row count") {
+    // a22's scale thesis: the windowed frame is the COLLAPSED (series,
+    // quantized value) histogram, bounded by the value domain, not the
+    // corpus. Pin that the collapse is real on this data: distinct
+    // milli-unit values per row must FALL as the corpus grows (at 100 TB
+    // the frame saturates at the domain size while rows keep growing).
+    def shape(dir: String): (Long, Long) = {
+      val e = Tables.events(spark, dir)
+        .select(floor(col("value") * 1000.0 + 0.5).cast("long").as("vm"))
+      (e.count(), e.distinct().count())
+    }
+    val (n1, d1) = shape("/root/testdata/sf0.01")
+    val (n10, d10) = shape("/root/testdata/sf0.1")
+    info(s"rows $n1→$n10, distinct vm $d1→$d10")
+    val rowRatio = n10.toDouble / n1
+    val distinctRatio = d10.toDouble / d1
+    assert(distinctRatio < rowRatio * 0.5,
+      s"histogram frame grew ${distinctRatio}× for a ${rowRatio}× corpus — no collapse")
+  }
+
   test("m08 growth law: frame-fingerprint pair work grows sub-quadratically sf0.01 → sf0.1") {
     // pair work = Σ bsz·(bsz−1)/2 over post-cap fingerprint buckets —
     // exactly what the m08 self-join expands
