@@ -341,7 +341,13 @@ object StreamingLift {
     * class never re-implements double→decimal rounding), sum exactly in
     * Long, and surface through the same BigDecimal→double conversion
     * Spark's decimal cast performs, so the folded x — and therefore the
-    * whole recurrence — is bit-identical to batch t25. */
+    * whole recurrence — is bit-identical to batch t25. Long micro-units
+    * bound |hourly sum| < 9.2e14; beyond that the processor fails loudly
+    * (Math.addExact) rather than wrapping where batch DECIMAL stays
+    * exact. Series absent from the baseline emit NOTHING (no baseline ⇒
+    * no alert — a zero default would alarm on every positive hour), and
+    * a straggler for an already-folded hour is dropped (the foldedTo
+    * frontier), preserving exactly-once per (series, hour). */
   class CusumProcessor(mu: Map[String, Double])
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long, Long), CusumRow] {
@@ -349,19 +355,36 @@ object StreamingLift {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var hours: MapState[Long, Long] = _
     @transient private var sState: ValueState[Double] = _
+    @transient private var foldedTo: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       hours = getHandle.getMapState[Long, Long](
         "hours", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
       sState = getHandle.getValueState[Double]("s", Encoders.scalaDouble, TTLConfig.NONE)
+      foldedTo = getHandle.getValueState[Long]("foldedTo", Encoders.scalaLong, TTLConfig.NONE)
     }
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
         timers: TimerValues): Iterator[CusumRow] = {
+      // no trained baseline for this series ⇒ no alert (the safe
+      // production default) — don't even buffer its hours
+      if (!mu.contains(key)) return Iterator.empty
+      // exactly-once guard: an hour the fold already closed must never
+      // re-open — a straggler beyond it (possible up to the watermark
+      // delay: projecting event_ts away before groupByKey strips the
+      // watermark attribute, so the exec does no late-record filtering
+      // for us) is dropped, mirroring what a windowed aggregation's own
+      // late filter would have done
+      val closed = if (foldedTo.exists()) foldedTo.get() else Long.MinValue
       rows.foreach { case (_, hourMs, vMicro) =>
-        val fresh = !hours.containsKey(hourMs)
-        hours.updateValue(hourMs,
-          (if (fresh) 0L else hours.getValue(hourMs)) + vMicro)
-        // arm the close timer once per open hour; the hour ends at +1h
-        if (fresh) getHandle.registerTimer(hourMs + 3600000L)
+        if (hourMs + 3600000L > closed) {
+          val fresh = !hours.containsKey(hourMs)
+          // Math.addExact: Long micro-units hold |hourly sum| < 9.2e14 —
+          // far beyond this corpus, but a deployment that exceeds it must
+          // fail LOUDLY, not wrap where batch t25's DECIMAL stays exact
+          hours.updateValue(hourMs,
+            if (fresh) vMicro else Math.addExact(hours.getValue(hourMs), vMicro))
+          // arm the close timer once per open hour; the hour ends at +1h
+          if (fresh) getHandle.registerTimer(hourMs + 3600000L)
+        }
       }
       Iterator.empty
     }
@@ -371,9 +394,13 @@ object StreamingLift {
       // several timers expiring in one batch in any callback order (later
       // callbacks find the map already drained and emit nothing)
       val wm = timers.getCurrentWatermarkInMs()
-      val m = mu.getOrElse(key, 0.0)
+      // unknown series buffer nothing and register no timers, so this is
+      // only reachable with a baseline — but stay total regardless
+      if (!mu.contains(key)) return Iterator.empty
+      val m = mu(key)
       val thr = m * 1.1
       val ready = hours.keys().filter(_ + 3600000L <= wm).toSeq.sorted
+      if (ready.isEmpty) return Iterator.empty
       var s = if (sState.exists()) sState.get() else 0.0
       val out = ready.map { h =>
         val x = new java.math.BigDecimal(
@@ -384,6 +411,7 @@ object StreamingLift {
           if (s > m * 3.0) 1L else 0L)
       }
       sState.update(s)
+      foldedTo.update(ready.last + 3600000L)
       out.iterator
     }
   }
@@ -399,6 +427,11 @@ object StreamingLift {
       .withColumn("hour_ms", expr("(ts_ms div 3600000) * 3600000"))
       .withColumn("v_micro",
         expr("CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT)"))
+      // a value beyond Long micro-unit capacity nulls the cast — fail
+      // loudly instead of NPE-ing in the encoder (or silently dropping)
+      .withColumn("v_micro", coalesce(col("v_micro"),
+        raise_error(lit("cusum: |value| exceeds Long micro-unit capacity"))
+          .cast("bigint")))
       .select(col("event_type"), col("hour_ms"), col("v_micro"), col("event_ts"))
       .as[(String, Long, Long, java.sql.Timestamp)]
       .map(r => (r._1, r._2, r._3))

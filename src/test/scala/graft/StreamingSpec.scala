@@ -331,6 +331,50 @@ class StreamingSpec extends SparkSuite {
     } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
   }
 
+  test("streaming CUSUM: a straggler for a folded hour is dropped; no baseline ⇒ no alert") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned
+      val mu = Map("m" -> 10.0) // series "u" deliberately has no baseline
+      val stream = MemoryStream[Ev]
+      val src = stream.toDF()
+        .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_ts", "1 hour")
+      val name = s"graft_cusum_late_${System.nanoTime()}"
+      val q = StreamingLift.cusum(src, mu).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // hour A gets one event, then a far event closes A (wm = t0+3h-1h)
+        stream.addData(Seq(Ev(1L, 1L, "m", 5.0, t0),
+          Ev(2L, 2L, "u", 7.0, t0)))
+        q.processAllAvailable()
+        stream.addData(Seq(Ev(3L, 3L, "m", 1.0, t0 + 3 * 3600000L)))
+        q.processAllAvailable()
+        // straggler INSIDE closed hour A, still within the 1h watermark
+        // delay window — must not re-open the hour or re-emit it
+        stream.addData(Seq(Ev(4L, 4L, "m", 99.0, t0 + 3600000L - 1L)))
+        q.processAllAvailable()
+        stream.addData(Seq(Ev(-1L, -1L, "__sentinel__", 0.0, Sentinel)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name)
+        .select("event_type", "hour_ms", "x").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // exactly one row for (m, hour A), with only the pre-close event's
+      // value — the straggler neither duplicated nor mutated the fold
+      assert(rows.count { case (et, h, _) => et == "m" && h == t0 } === 1)
+      assert(rows.find { case (et, h, _) => et == "m" && h == t0 }.get._3 === 5.0)
+      // the no-baseline series and the sentinel emitted nothing at all
+      assert(!rows.exists(r => r._1 == "u" || r._1 == "__sentinel__"))
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("transformWithState: final ValueState count + ListState top-3 == batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
