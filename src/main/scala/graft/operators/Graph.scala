@@ -286,6 +286,38 @@ object Graph extends QueryModule {
     out
   }
 
+  /** g11: WEIGHTED shortest paths (3 Bellman-Ford rounds) from g07's
+    * seed set — the min-plus relaxation g07's hop count can't express:
+    * with edge weight = the id gap (1-4, the "substitution distance"),
+    * two near substitutions can beat one far one, so the relaxation
+    * genuinely re-decides paths instead of counting hops. Integer
+    * weights keep every cost BIGINT-exact (no float path sums to
+    * reconcile). Same shuffle-minimal shape as g07 — per round ONE
+    * edge⋈frontier equi join + a map-side-combinable min on the node
+    * key (min-plus is a semiring combine: one row per node per
+    * partition shuffles, never one per path); fixed 3 rounds keeps it
+    * hash-gateable, unbounded = the g02 Fixpoint loop with a
+    * convergence observe(). */
+  def g11(spark: SparkSession, dir: String): DataFrame = {
+    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
+      .withColumn("w", col("p2") - col("p1"))
+    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(50)) === 0)
+      .withColumn("cost", lit(0L))
+    for (_ <- 1 to 3) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relaxed).groupBy("node").agg(min("cost").as("cost"))
+    }
+    val out = dist.orderBy("node").localCheckpoint()
+    graft.Fixpoint.release(edges)
+    out
+  }
+
   /** g08: onion-layer (k-core peel-round) decomposition, k = 5, three
     * synchronous rounds over g07's near-id band — the "how deep in the
     * dense part does this node sit" primitive (spam-cluster mining,
@@ -506,9 +538,32 @@ object Graph extends QueryModule {
     "g07_bfs_layers" -> g07,
     "g08_kcore" -> g08,
     "g09_cc_rounds" -> g09,
-    "g10_hits" -> g10)
+    "g10_hits" -> g10,
+    "g11_sssp_rounds" -> g11)
 
   val oracles: Map[String, String] = Map(
+    // g11: g07's unrolled-round pattern with the id-gap weight carried
+    // through the relaxation — min-plus instead of min-hop
+    "g11_sssp_rounds" ->
+      (coocSqlCtes + """,
+         |band AS (SELECT p1, p2, p2 - p1 AS w FROM pr2 WHERE p2 - p1 <= 4),
+         |und AS (SELECT p1 AS src, p2 AS dst, w FROM band
+         |        UNION ALL SELECT p2, p1, w FROM band),
+         |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+         |       FROM und WHERE src % 50 = 0),
+         |d1 AS (SELECT node, MIN(cost) AS cost FROM (
+         |         SELECT node, cost FROM d0 UNION ALL
+         |         SELECT u.dst, d0.cost + u.w FROM und u JOIN d0 ON u.src = d0.node) t1
+         |       GROUP BY node),
+         |d2 AS (SELECT node, MIN(cost) AS cost FROM (
+         |         SELECT node, cost FROM d1 UNION ALL
+         |         SELECT u.dst, d1.cost + u.w FROM und u JOIN d1 ON u.src = d1.node) t2
+         |       GROUP BY node),
+         |d3 AS (SELECT node, MIN(cost) AS cost FROM (
+         |         SELECT node, cost FROM d2 UNION ALL
+         |         SELECT u.dst, d2.cost + u.w FROM und u JOIN d2 ON u.src = d2.node) t3
+         |       GROUP BY node)
+         |SELECT node, cost FROM d3 ORDER BY node""".stripMargin),
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
     // pairing); the CAP (rank-by-partkey ≤ 32 per supplier) is mirrored
     // exactly, so semantics match even though mechanics differ

@@ -90,6 +90,33 @@ class GraphSpec extends SparkSuite {
     assert(got.values.toSet.size >= 3, s"distances seen: ${got.values.toSet}")
   }
 
+  test("g11: three weighted relaxation rounds match a driver-side Bellman-Ford; weights bite") {
+    val pairs = operators.Graph.g03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 - p._1 <= 4) // g11's near-id band
+    val wadj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .map { case (a, b) => (a, b, math.abs(b - a)) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(e => (e._2, e._3)) }
+    var cost: Map[Long, Long] = wadj.keys.filter(_ % 50 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = cost.toSeq.flatMap { case (n, c) =>
+        wadj(n).map { case (m, w) => m -> (c + w) } }
+      cost = (cost.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, cs) => n -> cs.map(_._2).min }
+    }
+    val got = operators.Graph.g11(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === cost)
+    // weights must matter: some node's min COST differs from its min-hop
+    // BFS distance (otherwise this is g07 re-labeled)
+    val hops = operators.Graph.g07(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (n, c) => hops.get(n).exists(_ != c) },
+      "weighted costs collapsed to hop counts")
+    // and the relaxation must still be live in round 3 on this fixture
+    assert(got.values.toSet.size >= 3, s"costs seen: ${got.values.toSet}")
+  }
+
   test("g08: onion layers match a driver-side peel replay; peeling bites") {
     var pairs = operators.Graph.g03(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
