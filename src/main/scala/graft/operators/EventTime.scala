@@ -688,7 +688,38 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "hour_ms")
   }
 
+  /** t26: conversion ATTRIBUTION — per purchase (not per user: t07/t11
+    * are funnel progression), the first-touch and last-touch marketing
+    * event in the 7-day lookback, plus the touch count. The scalable
+    * shape is ONE range-frame window over the interleaved per-user
+    * stream — never a conversions⋈touches join (that materializes the
+    * full cross product inside every lookback window; the frame
+    * aggregates it in place on the sort the user key already pays).
+    * Engine-exactness: first/last are MIN/MAX over (ts, event_id, type)
+    * structs — ORDER-INDEPENDENT aggregates, so duplicate-timestamp
+    * touches can't make first_value/last_value nondeterministic; the
+    * frame [conv−7d, conv−1ms] is integer-bounded. */
+  def t26(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("ts_ms"), col("event_id"), col("event_type")))
+    val wr = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-weekMs, -1L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .withColumn("ft", min(touch).over(wr))
+      .withColumn("lt", max(touch).over(wr))
+      .withColumn("n_touches", count(touch).over(wr))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_ms").as("conv_ts"), col("n_touches"),
+        col("ft.ts_ms").as("first_ts"), col("ft.event_type").as("first_type"),
+        col("lt.ts_ms").as("last_ts"), col("lt.event_type").as("last_type"))
+      .orderBy("user_id", "conv_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_attribution" -> t26,
     "t25_cusum_changepoint" -> t25,
     "t24_seasonal_profile" -> t24,
     "t23_mad_outliers" -> t23,
@@ -716,6 +747,35 @@ object EventTime extends QueryModule {
     "t06_stream_join" -> t06)
 
   val oracles: Map[String, String] = Map(
+    // t26: the join restatement of the range frame — first/last via
+    // deterministic (ts, id) row_numbers, zero-touch conversions kept
+    // by the LEFT JOIN with COUNT(tid)
+    "t26_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_ns(ts)//1000000 AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS tid, event_type AS ttype,
+        |         epoch_ns(ts)//1000000 AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.user_id, c.conv_id, c.conv_ts, t.tid, t.ttype, t.tts
+        |  FROM conv c LEFT JOIN touch t
+        |    ON t.user_id = c.user_id
+        |   AND t.tts < c.conv_ts AND t.tts >= c.conv_ts - 604800000),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, tid) AS rn_a,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC) AS rn_d
+        |  FROM j)
+        |SELECT user_id, conv_id, conv_ts,
+        |       CAST(COUNT(tid) AS BIGINT) AS n_touches,
+        |       MIN(CASE WHEN rn_a = 1 THEN tts END) AS first_ts,
+        |       MIN(CASE WHEN rn_a = 1 THEN ttype END) AS first_type,
+        |       MIN(CASE WHEN rn_d = 1 THEN tts END) AS last_ts,
+        |       MIN(CASE WHEN rn_d = 1 THEN ttype END) AS last_type
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY user_id, conv_id""".stripMargin,
     // t25: t22's recursive-CTE pattern (base MATERIALIZED, rn join, all
     // literals CAST to DOUBLE); μ from the exact DECIMAL hourly-sum
     // total so both engines divide the same numerator; the alarm

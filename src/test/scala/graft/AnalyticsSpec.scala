@@ -410,6 +410,36 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("t26: first/last-touch attribution matches a driver-side lookback scan") {
+    val weekMs = 604800000L
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = events.groupBy(_._1)
+    val expected = events.filter(_._3 == "purchase").map { case (u, cid, _, cts) =>
+      val touches = byUser(u)
+        .filter(e => (e._3 == "view" || e._3 == "click")
+          && e._4 < cts && e._4 >= cts - weekMs)
+        .sortBy(e => (e._4, e._2))
+      val ft = touches.headOption
+      val lt = touches.lastOption
+      (u, cid) -> ((cts, touches.length.toLong,
+        ft.map(_._4), ft.map(_._3), lt.map(_._4), lt.map(_._3)))
+    }.toMap
+    val got = operators.EventTime.t26(spark, sf).collect().map { r =>
+      def ol(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def os(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), ol(4), os(5), ol(6), os(7)))
+    }.toMap
+    assert(got === expected)
+    // the fixture must exercise all three shapes: attributed conversions
+    // where first != last, a single-touch conversion, and a zero-touch one
+    assert(got.values.exists(v => v._2 >= 2 && v._3 != v._5), "no multi-touch path")
+    assert(got.values.exists(_._2 == 1L), "no single-touch conversion")
+    assert(got.values.exists(_._2 == 0L), "no zero-touch conversion")
+  }
+
   test("t25: CUSUM matches an exact sequential replay; gate is live, not saturated") {
     val hourly = Tables.events(spark, sf)
       .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
