@@ -198,6 +198,30 @@ object Scans extends QueryModule {
     spark.read.parquet(compact).transform(Tables.orderAll)
   }
 
+  /** s18: SCHEMA-EVOLVED source read — the data-lake pattern u07 covers
+    * at the frame level, exercised at the SOURCE level: two file
+    * generations under one root (gen=2 added a column after gen=1
+    * shipped), read back in ONE scan with `mergeSchema` + partition
+    * discovery. At 100 TB this is how a table actually grows columns —
+    * no rewrite of historical files; old files surface the new column
+    * as null. mergeSchema is a FOOTER-only merge (per-file metadata,
+    * not data), so the extra cost is one footer pass, and the `gen`
+    * partition column comes free from directory discovery (prunable
+    * like any partition key). */
+  def s18(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s18_evolved", dir)
+    Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("gen").cast("int").as("gen"))
+      .orderBy("o_orderkey")
+  }
+
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
     * training-data interchange. Write documents as JSONL, read back under
     * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
@@ -415,6 +439,7 @@ object Scans extends QueryModule {
     "s12_sink_zorder" -> s12,
     "s13_source_jsonl" -> s13,
     "s15_sink_compact" -> s15,
+    "s18_source_evolved" -> s18,
     "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
@@ -484,6 +509,16 @@ object Scans extends QueryModule {
     "s13_source_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // s18: the evolved-directory read restated against the source table —
+    // gen-1 rows surface the later column as NULL
+    "s18_source_evolved" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS gen
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS gen
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
     "s14_source_binary" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5

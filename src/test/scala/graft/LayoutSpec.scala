@@ -101,6 +101,25 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("s18: mergeSchema read surfaces the evolved column as null on old generations") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Scans.s18(spark, sf)
+    // schema merged across generations; partition discovery typed gen
+    assert(out.columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority", "gen"))
+    val byGen = out.groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_prio"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val src = Tables.orders(spark, sf)
+    val nF = src.filter(col("o_orderstatus") === "F").count()
+    val nO = src.filter(col("o_orderstatus") === "O").count()
+    // gen 1 predates the column: present in the merged schema, all null;
+    // gen 2 carries it on every row — and nothing was dropped either side
+    assert(byGen(1) === ((nF, 0L)), s"gen1: ${byGen(1)}")
+    assert(byGen(2) === ((nO, nO)), s"gen2: ${byGen(2)}")
+  }
+
   test("s12: the box predicate reaches the parquet scan as pushed filters") {
     val zdir = Tables.scratchPath("s12_zorder", sf)
     operators.Scans.s12(spark, sf).collect() // ensure files exist
