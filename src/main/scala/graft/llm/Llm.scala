@@ -198,6 +198,84 @@ object Llm extends QueryModule {
     out
   }
 
+  /** l56: DEDUP-PIPELINE EVALUATION — l55's "measure, don't guess"
+    * discipline applied to the near-dup stack: how good are l02's banded
+    * MinHash candidates, really? A deterministic probe sample (doc_id ≡ 0
+    * mod 7) gets EXACT ground truth — every ≥0.4-shingle-jaccard pair a
+    * probe participates in, via the probe-restricted inverted-index join
+    * (probe shingles ⋈ corpus shingles; the eval's intrinsic cost,
+    * bounded by the probe rate — never corpus²) — and the candidate
+    * stage is scored against it in BOTH configurations: the production
+    * BandBucketCap and uncapped. The gap between the two recalls is the
+    * measured price of the flood guard; candidate precision is the
+    * measured exact-verify work the bands waste. Counts are integers,
+    * ratios floor-rounded — engine-exact. */
+  def l56(spark: SparkSession, dir: String): DataFrame =
+    dedupEval(Tables.documents(spark, dir))
+
+  /** l56's core over an arbitrary (doc_id, text) corpus — exposed so the
+    * spec can feed a synthetic corpus with borderline-jaccard pairs that
+    * the bands probabilistically miss (the production corpus's dups are
+    * near-identical, so recall saturates at 1.0 there; the metric must be
+    * shown to MOVE). */
+  private[graft] def dedupEval(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val isProbe = (c: org.apache.spark.sql.Column) => pmod(c, lit(7)) === 0
+    // exact probe-side truth: all pairs touching a probe, exact jaccard
+    val common = sh.filter(isProbe(col("doc_id"))).select(col("doc_id").as("p"), col("sh"))
+      .join(sh.select(col("doc_id").as("o"), col("sh")), "sh")
+      .filter(col("p") =!= col("o"))
+      // probe-probe pairs are generated from BOTH directions — keep one,
+      // or the shared-shingle count doubles and jaccard inflates
+      .filter(!isProbe(col("o")) || col("p") < col("o"))
+      .select(least(col("p"), col("o")).as("a"),
+        greatest(col("p"), col("o")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    def jaccardOf(pairs: DataFrame): DataFrame = pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+    // probe-probe pairs arrive once per direction; the groupBy above
+    // already merged them (canonical a<b before the count)
+    val truth = jaccardOf(common).filter(col("jaccard") >= 0.4)
+      .select("a", "b").localCheckpoint()
+    val bands0 = bandSignatures(sh)
+    def candidates(bands: DataFrame): DataFrame = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
+          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .filter(isProbe(col("a")) || isProbe(col("b")))
+      .distinct()
+    def score(config: String, cand: DataFrame): DataFrame = {
+      val confirmed = jaccardOf(
+        cand.join(common, Seq("a", "b")))
+        .filter(col("jaccard") >= 0.4)
+      val r6 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(config).as("config"),
+          col("n_candidates"), col("n_confirmed"), col("n_truth"),
+          when(col("n_candidates") === 0, 0.0)
+            .otherwise(r6(col("n_confirmed").cast("double") / col("n_candidates")))
+            .as("prec"),
+          when(col("n_truth") === 0, 0.0)
+            .otherwise(r6(col("n_confirmed").cast("double") / col("n_truth")))
+            .as("recall"))
+    }
+    val out = score("capped", candidates(
+        capBuckets(bands0, Seq("band", "m0", "m1"), BandBucketCap)))
+      .unionByName(score("uncapped", candidates(bands0)))
+      .orderBy("config")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    graft.Fixpoint.release(truth)
+    out
+  }
+
   /** Dropped-mass audit for the capped banded join: one row per band
     * bucket with its membership and whether [[minHashNearDupPairs]]'s cap
     * excluded it — the "log the dropped mass" side channel, as a frame a
@@ -772,6 +850,7 @@ object Llm extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> l01,
     "l02_dedup_near" -> l02,
+    "l56_dedup_eval" -> l56,
     "l52_hard_negatives" -> l52,
     "l03_sim_topk" -> l03,
     "l03b_sim_ann" -> l03b,
@@ -900,6 +979,71 @@ object Llm extends QueryModule {
          |            JOIN sizes nb ON nb.doc_id = common.b
          |WHERE round(c / (na.n + nb.n - c), 6) >= 0.4
          |ORDER BY a, b""".stripMargin,
+    // l56: the l02 band restatement scored against the probe-side exact
+    // truth — same shingles, same banded join (capped AND uncapped),
+    // same round-6 jaccard gate; ratios floor-rounded
+    "l56_dedup_eval" ->
+      s"""WITH $duckShingles,
+         |hashed AS (
+         |  SELECT doc_id, sh, hs.h,
+         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
+         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+         |bands0 AS (
+         |  SELECT doc_id, h // $RowsPerBand AS band,
+         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
+         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
+         |  FROM minsig GROUP BY doc_id, band),
+         |bsz AS (SELECT band, m0, m1, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2, 3),
+         |bands_c AS (
+         |  SELECT b.doc_id, b.band, b.m0, b.m1
+         |  FROM bands0 b JOIN bsz USING (band, m0, m1) WHERE bsz <= $BandBucketCap),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT least(p.doc_id, o.doc_id) AS a,
+         |         greatest(p.doc_id, o.doc_id) AS b, COUNT(*) AS c
+         |  FROM sh p JOIN sh o ON o.sh = p.sh
+         |   AND p.doc_id % 7 = 0 AND o.doc_id <> p.doc_id
+         |   AND (o.doc_id % 7 <> 0 OR p.doc_id < o.doc_id)
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT common.a, common.b,
+         |         round(c / (na.n + nb.n - c), 6) AS jaccard
+         |  FROM common JOIN sizes na ON na.doc_id = common.a
+         |              JOIN sizes nb ON nb.doc_id = common.b),
+         |truth AS (SELECT a, b FROM jac WHERE jaccard >= 0.4),
+         |cand_c AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands_c x JOIN bands_c y
+         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+         |   AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 7 = 0 OR y.doc_id % 7 = 0),
+         |cand_u AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands0 x JOIN bands0 y
+         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+         |   AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 7 = 0 OR y.doc_id % 7 = 0),
+         |s AS (
+         |  SELECT 'capped' AS config,
+         |    (SELECT COUNT(*) FROM cand_c) AS n_candidates,
+         |    (SELECT COUNT(*) FROM cand_c JOIN truth USING (a, b)) AS n_confirmed,
+         |    (SELECT COUNT(*) FROM truth) AS n_truth
+         |  UNION ALL
+         |  SELECT 'uncapped',
+         |    (SELECT COUNT(*) FROM cand_u),
+         |    (SELECT COUNT(*) FROM cand_u JOIN truth USING (a, b)),
+         |    (SELECT COUNT(*) FROM truth))
+         |SELECT config, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_confirmed AS BIGINT) AS n_confirmed,
+         |       CAST(n_truth AS BIGINT) AS n_truth,
+         |       CASE WHEN n_candidates = 0 THEN 0.0 ELSE
+         |         floor(CAST(n_confirmed AS DOUBLE) / n_candidates * 1000000.0 + 0.5)
+         |           / 1000000.0 END AS prec,
+         |       CASE WHEN n_truth = 0 THEN 0.0 ELSE
+         |         floor(CAST(n_confirmed AS DOUBLE) / n_truth * 1000000.0 + 0.5)
+         |           / 1000000.0 END AS recall
+         |FROM s ORDER BY config""".stripMargin,
     "l25_dedup_incremental" ->
       s"""WITH $duckShingles,
          |exact_idx AS (

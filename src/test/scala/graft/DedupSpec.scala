@@ -123,6 +123,44 @@ class DedupSpec extends SparkSuite {
     assert(bucketed.size * 10 >= exact.size, "recall collapsed below 10%")
   }
 
+  test("l56: the eval measures the cap's recall price exactly on a flood corpus") {
+    // the production corpus's dups are near-identical (l56 reports
+    // recall 1.0 there), so prove the metric MOVES where it must: a
+    // 300-identical flood is entirely dropped by the band cap, and the
+    // eval's capped row has to show recall 0 against the exact truth
+    // while the uncapped row shows recall 1 — the cap's price as data.
+    val flood = 300L
+    val boiler = "the very same boilerplate text repeated verbatim across " +
+      "every single copy of this flooded document cluster again and again"
+    val docs = spark.range(1, flood + 201).select(col("id").as("doc_id"),
+      when(col("id") <= flood, lit(boiler))
+        .otherwise(concat(lit("unique document number "), col("id"),
+          lit(" carrying its own words "), md5(col("id").cast("string"))))
+        .as("text"))
+    val got = Llm.dedupEval(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // exact truth: probe-touching pairs inside the flood. probes in
+    // 1..300 are the 42 multiples of 7; C(300,2) − C(258,2) = 11697
+    val truth = 300L * 299 / 2 - 258L * 257 / 2
+    assert(got("capped")._3 === truth)
+    assert(got("uncapped")._3 === truth)
+    // uncapped catches every flood pair (one shared bucket)
+    assert(got("uncapped")._2 === truth)
+    assert(got("uncapped")._5 === 1.0)
+    // capped drops the flood bucket wholesale: zero confirmed, recall 0 —
+    // and nothing else in the corpus can confirm (fillers are < 0.4)
+    assert(got("capped")._2 === 0L)
+    assert(got("capped")._5 === 0.0)
+    assert(got("capped")._4 === 0.0)
+    // ratio columns are exactly the floor-rounded image of the counts
+    got.values.foreach { case (nc, nf, nt, p, r) =>
+      val exp = (num: Long, den: Long) =>
+        if (den == 0) 0.0 else math.floor(num.toDouble / den * 1e6 + 0.5) / 1e6
+      assert(p === exp(nf, nc) && r === exp(nf, nt))
+    }
+  }
+
   test("adversarial flood: a bucket of identical docs never reaches the banded pair joins") {
     // a boilerplate flood shares every band signature — uncapped, a
     // 10⁶-doc bucket is 5·10¹¹ candidate pairs that AQE can split but
