@@ -167,19 +167,25 @@ object Llm extends QueryModule {
 
   /** Library path for l02 over any (doc_id, text) frame: MinHash banded
     * candidates (bucket-capped) + exact shingle-Jaccard verify. */
+  /** THE production candidate stage — the banded self-join both l02 and
+    * the l56 eval score share (one body, so the eval can never silently
+    * drift from what l02 actually runs). */
+  private[llm] def bandedCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
+          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
   def minHashNearDupPairs(docs: DataFrame, jaccMin: Double = 0.4,
       bucketCap: Int = BandBucketCap): DataFrame = {
     // scoped cache: 5 consumers below; released before returning — the
     // (tiny) result is localCheckpoint-materialized so the returned plan
     // reads stored blocks, not the unpersisted shingle table
     val sh = shinglesOf(docs).cache()
-    val bands = capBuckets(bandSignatures(sh), Seq("band", "m0", "m1"), bucketCap)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
-          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val cand = bandedCandidatePairs(
+      capBuckets(bandSignatures(sh), Seq("band", "m0", "m1"), bucketCap))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
@@ -241,17 +247,19 @@ object Llm extends QueryModule {
     val truth = jaccardOf(common).filter(col("jaccard") >= 0.4)
       .select("a", "b").localCheckpoint()
     val bands0 = bandSignatures(sh)
-    def candidates(bands: DataFrame): DataFrame = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
-          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .filter(isProbe(col("a")) || isProbe(col("b")))
-      .distinct()
+    // the PRODUCTION candidate stage (shared body with l02 — the eval
+    // must score what l02 actually runs, not a replica that can drift),
+    // probe-restricted, materialized once per config (each is consumed
+    // by two aggregates below)
+    def candidates(bands: DataFrame): DataFrame =
+      bandedCandidatePairs(bands)
+        .filter(isProbe(col("a")) || isProbe(col("b")))
+        .localCheckpoint()
     def score(config: String, cand: DataFrame): DataFrame = {
-      val confirmed = jaccardOf(
-        cand.join(common, Seq("a", "b")))
-        .filter(col("jaccard") >= 0.4)
+      // truth IS the jaccard≥0.4 subset of the probe pairs, already
+      // materialized — confirmed = candidates ∩ truth, no re-join of the
+      // corpus-sized shingle frames (the oracle does the same)
+      val confirmed = cand.join(truth, Seq("a", "b"))
       val r6 = (c: org.apache.spark.sql.Column) =>
         floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
       cand.agg(count(lit(1)).as("n_candidates"))
@@ -266,13 +274,15 @@ object Llm extends QueryModule {
             .otherwise(r6(col("n_confirmed").cast("double") / col("n_truth")))
             .as("recall"))
     }
-    val out = score("capped", candidates(
-        capBuckets(bands0, Seq("band", "m0", "m1"), BandBucketCap)))
-      .unionByName(score("uncapped", candidates(bands0)))
+    val candC = candidates(
+      capBuckets(bands0, Seq("band", "m0", "m1"), BandBucketCap))
+    val candU = candidates(bands0)
+    val out = score("capped", candC)
+      .unionByName(score("uncapped", candU))
       .orderBy("config")
       .localCheckpoint()
     sh.unpersist(blocking = false)
-    graft.Fixpoint.release(truth)
+    Seq(truth, candC, candU).foreach(graft.Fixpoint.release)
     out
   }
 

@@ -706,10 +706,14 @@ object EventTime extends QueryModule {
     val wr = Window.partitionBy("user_id").orderBy("ts_ms")
       .rangeBetween(-weekMs, -1L)
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
-      .withColumn("ft", min(touch).over(wr))
-      .withColumn("lt", max(touch).over(wr))
-      .withColumn("n_touches", count(touch).over(wr))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"),
+        // one select, not three withColumns: Catalyst fuses same-spec
+        // window functions into ONE Window operator only when they land
+        // in the same projection — three withColumns compile to three
+        // frame-evaluation passes over the same sort
+        min(touch).over(wr).as("ft"),
+        max(touch).over(wr).as("lt"),
+        count(touch).over(wr).as("n_touches"))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"),
         col("ts_ms").as("conv_ts"), col("n_touches"),

@@ -263,25 +263,38 @@ object Graph extends QueryModule {
     * path counts explode combinatorially, min-distance does not). Fixed
     * 3 rounds keeps the result hash-gateable; the unbounded version is
     * g02's Fixpoint loop with a convergence observe(). */
-  def g07(spark: SparkSession, dir: String): DataFrame = {
-    // near-id substitution band: the dense co-occurrence projection is
-    // small-world (everything within 1-2 hops — no layering to test);
-    // restricting to near-id pairs keeps a long-diameter graph whose
-    // BFS layers actually exercise the iteration
+  def g07(spark: SparkSession, dir: String): DataFrame =
+    relaxRounds(spark, dir, lit(1L), "dist")
+
+  /** The shared 3-round frontier relaxation g07 (hop count) and g11
+    * (min-plus over the id-gap weight) both run — one body, so the band
+    * filter, seed rule, and round structure can never diverge between
+    * the two queries (or from their oracles, which unroll the same
+    * rounds). `step` is the per-edge cost: lit(1) = BFS layers,
+    * col("w") = weighted shortest path.
+    *
+    * near-id substitution band: the dense co-occurrence projection is
+    * small-world (everything within 1-2 hops — no layering to test);
+    * restricting to near-id pairs keeps a long-diameter graph whose
+    * relaxation rounds actually exercise the iteration. */
+  private def relaxRounds(spark: SparkSession, dir: String,
+      step: org.apache.spark.sql.Column, outCol: String): DataFrame = {
     val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
-    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"))
-      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst")))
+      .withColumn("w", col("p2") - col("p1"))
+    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
       .localCheckpoint()
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(50)) === 0)
-      .withColumn("dist", lit(0L))
+      .withColumn("d", lit(0L))
     for (_ <- 1 to 3) {
       val nxt = edges
         .join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionAll(nxt).groupBy("node").agg(min("dist").as("dist"))
+        .select(col("dst").as("node"), (col("d") + step).as("d"))
+      dist = dist.unionAll(nxt).groupBy("node").agg(min("d").as("d"))
     }
-    val out = dist.orderBy("node").localCheckpoint()
+    val out = dist.select(col("node"), col("d").as(outCol))
+      .orderBy("node").localCheckpoint()
     graft.Fixpoint.release(edges)
     out
   }
@@ -298,25 +311,8 @@ object Graph extends QueryModule {
     * partition shuffles, never one per path); fixed 3 rounds keeps it
     * hash-gateable, unbounded = the g02 Fixpoint loop with a
     * convergence observe(). */
-  def g11(spark: SparkSession, dir: String): DataFrame = {
-    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
-      .withColumn("w", col("p2") - col("p1"))
-    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
-      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
-      .localCheckpoint()
-    var dist = edges.select(col("src").as("node")).distinct()
-      .filter(pmod(col("node"), lit(50)) === 0)
-      .withColumn("cost", lit(0L))
-    for (_ <- 1 to 3) {
-      val relaxed = edges
-        .join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionAll(relaxed).groupBy("node").agg(min("cost").as("cost"))
-    }
-    val out = dist.orderBy("node").localCheckpoint()
-    graft.Fixpoint.release(edges)
-    out
-  }
+  def g11(spark: SparkSession, dir: String): DataFrame =
+    relaxRounds(spark, dir, col("w"), "cost")
 
   /** g08: onion-layer (k-core peel-round) decomposition, k = 5, three
     * synchronous rounds over g07's near-id band — the "how deep in the
