@@ -246,15 +246,28 @@ object Llm extends QueryModule {
     // already merged them (canonical a<b before the count)
     val truth = jaccardOf(common).filter(col("jaccard") >= 0.4)
       .select("a", "b").localCheckpoint()
+    // ONE band self-join for both configs: tag every bucket with its
+    // membership, join once, and derive the capped set from a per-pair
+    // flag — a capped candidate pair exists iff SOME shared bucket is
+    // within the cap, which is exactly capBuckets-then-join (DedupSpec's
+    // flood test pins the equivalence against exact expected counts).
+    // Probe-restricted, materialized once (consumed by two aggregates).
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "m0", "m1")
     val bands0 = bandSignatures(sh)
-    // the PRODUCTION candidate stage (shared body with l02 — the eval
-    // must score what l02 actually runs, not a replica that can drift),
-    // probe-restricted, materialized once per config (each is consumed
-    // by two aggregates below)
-    def candidates(bands: DataFrame): DataFrame =
-      bandedCandidatePairs(bands)
-        .filter(isProbe(col("a")) || isProbe(col("b")))
-        .localCheckpoint()
+      .withColumn("bsz", count(lit(1)).over(wB))
+    val allCand = bands0.as("x")
+      .join(bands0.as("y"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
+          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("x.bsz") <= BandBucketCap).as("ok"))
+      .filter(isProbe(col("a")) || isProbe(col("b")))
+      .groupBy("a", "b").agg(max("ok").as("capped_ok"))
+      .localCheckpoint()
+    def candidates(capped: Boolean): DataFrame =
+      if (capped) allCand.filter(col("capped_ok")).select("a", "b")
+      else allCand.select("a", "b")
     def score(config: String, cand: DataFrame): DataFrame = {
       // truth IS the jaccard≥0.4 subset of the probe pairs, already
       // materialized — confirmed = candidates ∩ truth, no re-join of the
@@ -274,15 +287,12 @@ object Llm extends QueryModule {
             .otherwise(r6(col("n_confirmed").cast("double") / col("n_truth")))
             .as("recall"))
     }
-    val candC = candidates(
-      capBuckets(bands0, Seq("band", "m0", "m1"), BandBucketCap))
-    val candU = candidates(bands0)
-    val out = score("capped", candC)
-      .unionByName(score("uncapped", candU))
+    val out = score("capped", candidates(capped = true))
+      .unionByName(score("uncapped", candidates(capped = false)))
       .orderBy("config")
       .localCheckpoint()
     sh.unpersist(blocking = false)
-    Seq(truth, candC, candU).foreach(graft.Fixpoint.release)
+    Seq(truth, allCand).foreach(graft.Fixpoint.release)
     out
   }
 
