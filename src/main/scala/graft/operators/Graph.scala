@@ -279,11 +279,7 @@ object Graph extends QueryModule {
     * relaxation rounds actually exercise the iteration. */
   private def relaxRounds(spark: SparkSession, dir: String,
       step: org.apache.spark.sql.Column, outCol: String): DataFrame = {
-    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
-      .withColumn("w", col("p2") - col("p1"))
-    val edges = pr.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
-      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
-      .localCheckpoint()
+    val edges = bandEdges(spark, dir)
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(50)) === 0)
       .withColumn("d", lit(0L))
@@ -297,6 +293,17 @@ object Graph extends QueryModule {
       .orderBy("node").localCheckpoint()
     graft.Fixpoint.release(edges)
     out
+  }
+
+  /** The weighted undirected near-id band edge list (w = id gap, 1–4) —
+    * shared by relaxRounds (g07/g11) and g12 so the band filter and
+    * weight rule can never diverge between the relaxation queries. */
+  private def bandEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pr = coocPairs(spark, dir).filter(col("p2") - col("p1") <= 4)
+      .withColumn("w", col("p2") - col("p1"))
+    pr.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(pr.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+      .localCheckpoint()
   }
 
   /** g11: WEIGHTED shortest paths (3 Bellman-Ford rounds) from g07's
@@ -313,6 +320,45 @@ object Graph extends QueryModule {
     * convergence observe(). */
   def g11(spark: SparkSession, dir: String): DataFrame =
     relaxRounds(spark, dir, col("w"), "cost")
+
+  /** g12: per-seed HARMONIC CLOSENESS within the 3-round relaxation
+    * horizon — "how central is each seed in its neighborhood", the
+    * bounded-radius image of closeness centrality (exact closeness is a
+    * full APSP; the fixed-horizon variant is the one that exists at
+    * 100 TB, and the horizon makes it hash-gateable).
+    *
+    * Frontier is (seed, node)-keyed: per round ONE edges⋈frontier equi
+    * join on src + a map-side-combinable min on (seed, node) — the g11
+    * min-plus semiring with the seed identity carried through. Seeds are
+    * 1/50th of the band's nodes and the band's 3-hop balls are bounded
+    * by the near-id filter, so the frontier stays ≈ |seeds|·ball, never
+    * nodes². Integer-exact: path costs d ∈ 1..12 (3 rounds × max gap 4)
+    * all divide 27720 = lcm(1..12), so the harmonic mass Σ 27720 div d
+    * is an exact BIGINT; the single closing division to double is the
+    * same IEEE op in both engines. */
+  def g12(spark: SparkSession, dir: String): DataFrame = {
+    val edges = bandEdges(spark, dir)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(50)) === 0)
+      .select(col("node").as("seed"), col("node"), lit(0L).as("d"))
+    for (_ <- 1 to 3) {
+      val nxt = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(nxt).groupBy("seed", "node").agg(min("d").as("d"))
+    }
+    // d > 0 drops each seed's own zero-distance row (min keeps 0 even if
+    // a cycle also reaches the seed, so the exclusion is exact)
+    val out = dist.filter(col("d") > 0)
+      .groupBy("seed").agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("27720 div d")).as("units"))
+      .select(col("seed"), col("n_reached"),
+        (col("units").cast("double") / 27720.0).as("harmonic"))
+      .orderBy("seed").localCheckpoint()
+    graft.Fixpoint.release(edges)
+    out
+  }
 
   /** g08: onion-layer (k-core peel-round) decomposition, k = 5, three
     * synchronous rounds over g07's near-id band — the "how deep in the
@@ -535,7 +581,8 @@ object Graph extends QueryModule {
     "g08_kcore" -> g08,
     "g09_cc_rounds" -> g09,
     "g10_hits" -> g10,
-    "g11_sssp_rounds" -> g11)
+    "g11_sssp_rounds" -> g11,
+    "g12_closeness" -> g12)
 
   val oracles: Map[String, String] = Map(
     // g11: g07's unrolled-round pattern with the id-gap weight carried
@@ -560,6 +607,30 @@ object Graph extends QueryModule {
          |         SELECT u.dst, d2.cost + u.w FROM und u JOIN d2 ON u.src = d2.node) t3
          |       GROUP BY node)
          |SELECT node, cost FROM d3 ORDER BY node""".stripMargin),
+    // g12: g11's unrolled min-plus rounds keyed by (seed, node); the
+    // harmonic sum runs in exact 27720-unit integers (lcm 1..12)
+    "g12_closeness" ->
+      (coocSqlCtes + """,
+         |band AS (SELECT p1, p2, p2 - p1 AS w FROM pr2 WHERE p2 - p1 <= 4),
+         |und AS (SELECT p1 AS src, p2 AS dst, w FROM band
+         |        UNION ALL SELECT p2, p1, w FROM band),
+         |d0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS d
+         |       FROM und WHERE src % 50 = 0),
+         |d1 AS (SELECT seed, node, MIN(d) AS d FROM (
+         |         SELECT seed, node, d FROM d0 UNION ALL
+         |         SELECT p.seed, u.dst, p.d + u.w FROM und u JOIN d0 p ON u.src = p.node) t1
+         |       GROUP BY seed, node),
+         |d2 AS (SELECT seed, node, MIN(d) AS d FROM (
+         |         SELECT seed, node, d FROM d1 UNION ALL
+         |         SELECT p.seed, u.dst, p.d + u.w FROM und u JOIN d1 p ON u.src = p.node) t2
+         |       GROUP BY seed, node),
+         |d3 AS (SELECT seed, node, MIN(d) AS d FROM (
+         |         SELECT seed, node, d FROM d2 UNION ALL
+         |         SELECT p.seed, u.dst, p.d + u.w FROM und u JOIN d2 p ON u.src = p.node) t3
+         |       GROUP BY seed, node)
+         |SELECT seed, COUNT(*) AS n_reached,
+         |       CAST(CAST(SUM(27720 // d) AS BIGINT) AS DOUBLE) / 27720.0 AS harmonic
+         |FROM d3 WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin),
     // g03's oracle pairs via self-join (DuckDB has no bounded-array
     // pairing); the CAP (rank-by-partkey ≤ 32 per supplier) is mirrored
     // exactly, so semantics match even though mechanics differ

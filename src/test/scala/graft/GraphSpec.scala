@@ -117,6 +117,37 @@ class GraphSpec extends SparkSuite {
     assert(got.values.toSet.size >= 3, s"costs seen: ${got.values.toSet}")
   }
 
+  test("g12: per-seed harmonic closeness matches a driver-side replay; seeds differ") {
+    // sf0.01: the band has 3 seeds (sf0.001 has 1 — no cross-seed signal)
+    val dir = "/root/testdata/sf0.01"
+    val pairs = operators.Graph.g03(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 - p._1 <= 4)
+    val wadj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .map { case (a, b) => (a, b, math.abs(b - a)) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(e => (e._2, e._3)) }
+    val expected = wadj.keys.filter(_ % 50 == 0).map { s =>
+      var cost: Map[Long, Long] = Map(s -> 0L)
+      for (_ <- 1 to 3) {
+        val relaxed = cost.toSeq.flatMap { case (n, c) =>
+          wadj(n).map { case (m, w) => m -> (c + w) } }
+        cost = (cost.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, cs) => n -> cs.map(_._2).min }
+      }
+      val reached = cost.filter(_._2 > 0)
+      s -> ((reached.size.toLong, reached.values.map(27720L / _).sum))
+    }.toMap
+    // units = harmonic · 27720 recovered exactly: units ≤ ~1e6 keeps the
+    // round-trip double error well under 0.5
+    val got = operators.Graph.g12(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), math.round(r.getDouble(2) * 27720.0)))).toMap
+    assert(got === expected)
+    assert(got.size >= 3, s"seeds seen: ${got.keySet}")
+    // the harmonic surface must separate seeds on this fixture
+    assert(got.values.map(_._2).toSet.size >= 2)
+  }
+
   test("g08: onion layers match a driver-side peel replay; peeling bites") {
     var pairs = operators.Graph.g03(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
