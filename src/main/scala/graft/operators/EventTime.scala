@@ -139,9 +139,12 @@ object EventTime extends QueryModule {
     * session is pinned by sorting (ts_ms, event_id, event_type) structs —
     * field order makes the array_sort total. Sessions are bounded by the
     * gap parameter, so collect_list is O(session), never O(user). */
-  def t09(spark: SparkSession, dir: String): DataFrame = {
+  /** The 30-min-gap sessionized event stream (user_id, event_id, ts_ms,
+    * event_type, sid) — t09's session assembly, shared with t27 so the
+    * gap rule and tie order can never diverge between the two. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    val sessions = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select("user_id", "event_id", "ts_ms", "event_type")
       .withColumn("prev", lag("ts_ms", 1).over(w))
       .withColumn("new_s",
@@ -149,14 +152,44 @@ object EventTime extends QueryModule {
           .otherwise(0))
       .withColumn("sid", sum("new_s")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessions.groupBy("user_id", "sid")
+  }
+
+  def t09(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir).groupBy("user_id", "sid")
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(ts_ms, event_id, event_type))), x -> x.event_type)"),
         ">").as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
       .orderBy(col("n_sessions").desc, col("path"))
-  }
+
+  /** t27: MATCH_RECOGNIZE-style session classification — each session's
+    * ordered event stream rendered as a character sequence (first letter
+    * of the type: v c p s e, unique across the 5 types) and classified
+    * by the first matching rule: a clean conversion (view → … → purchase
+    * with no error anywhere in the span), an error-interrupted
+    * conversion (same ordered pair but an error fired between), a bounce
+    * (single-event session), or merely engaged. Regex over the session
+    * string is the relational image of sequence-pattern matching: the
+    * alphabet is fixed, the string is session-bounded (never user- or
+    * corpus-sized), and both engines run the same search-semantics
+    * character-class pattern — no engine-specific MATCH_RECOGNIZE
+    * needed. Per-session work after the sessionize window is one
+    * groupBy(user, sid) + map-side classification + a ≤4-row rollup:
+    * nothing global. */
+  def t27(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir).groupBy("user_id", "sid")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts_ms, event_id, event_type))), x -> substring(x.event_type, 1, 1))"),
+        "").as("seq"))
+      .withColumn("pattern",
+        when(col("seq").rlike("v[^e]*p"), "clean_conversion")
+          .when(col("seq").rlike("v.*p"), "error_conversion")
+          .when(length(col("seq")) === 1, "bounce")
+          .otherwise("engaged"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+      .orderBy("pattern")
 
   /** t10: resample to a dense hourly grid + forward fill — the
     * sparse→dense conversion every time-series consumer needs (gaps in
@@ -739,6 +772,7 @@ object EventTime extends QueryModule {
     "t12_sliding_distinct" -> t12,
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
+    "t27_pattern_match" -> t27,
     "t10_resample_ffill" -> t10,
     "t15_resample_interp" -> t15,
     "t11_conversion_window" -> t11,
@@ -1144,6 +1178,35 @@ object EventTime extends QueryModule {
         |FROM grid LEFT JOIN hourly
         |  ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour
         |ORDER BY 1, 2""".stripMargin,
+    // t27: t09's session CTEs, the sequence as first-letter chars, the
+    // same search-semantics regexes (character classes only — identical
+    // in Java regex and DuckDB RE2)
+    "t27_pattern_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                 OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |seqs AS (
+        |  SELECT user_id, sid,
+        |         array_to_string(list(substr(event_type, 1, 1) ORDER BY ts_ms, event_id), '') AS seq
+        |  FROM sessions GROUP BY user_id, sid),
+        |cls AS (
+        |  SELECT user_id,
+        |         CASE WHEN regexp_matches(seq, 'v[^e]*p') THEN 'clean_conversion'
+        |              WHEN regexp_matches(seq, 'v.*p') THEN 'error_conversion'
+        |              WHEN len(seq) = 1 THEN 'bounce'
+        |              ELSE 'engaged' END AS pattern
+        |  FROM seqs)
+        |SELECT pattern, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        |FROM cls GROUP BY pattern ORDER BY pattern""".stripMargin,
     "t09_session_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms

@@ -440,6 +440,38 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.values.exists(_._2 == 0L), "no zero-touch conversion")
   }
 
+  test("t27: session pattern classes match a driver-side sessionize+regex replay") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val classes = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      // split on ≥30-min gaps, then one char per event (first letter)
+      val sessions = ordered.tail.foldLeft(Vector(Vector(ordered.head))) {
+        case (acc, e) =>
+          if (e._4 - acc.last.last._4 >= 1800000L) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.map { s =>
+        val seq = s.map(_._3.head).mkString
+        val cls =
+          if (java.util.regex.Pattern.compile("v[^e]*p").matcher(seq).find()) "clean_conversion"
+          else if (java.util.regex.Pattern.compile("v.*p").matcher(seq).find()) "error_conversion"
+          else if (seq.length == 1) "bounce"
+          else "engaged"
+        (u, cls)
+      }
+    }
+    val expected = classes.groupBy(_._2).map { case (c, ss) =>
+      c -> ((ss.size.toLong, ss.map(_._1).distinct.size.toLong)) }
+    val got = operators.EventTime.t27(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // fixture must exercise conversions AND non-conversions
+    assert(got.contains("clean_conversion"), s"classes: ${got.keySet}")
+    assert(got.size >= 3, s"classes: ${got.keySet}")
+  }
+
   test("t25: CUSUM matches an exact sequential replay; gate is live, not saturated") {
     val hourly = Tables.events(spark, sf)
       .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
