@@ -609,27 +609,29 @@ object EventTime extends QueryModule {
     * collapsed table (|distinct values|, not |events|); medians
     * broadcast back — at 100 TB the events table is scanned twice and
     * nothing else is event-sized. */
+  /** Median-low per event_type: first value whose cumulative weight
+    * crosses half the total — exact integers end-to-end (t23's body,
+    * shared with t28 so the median rule cannot diverge between them). */
+  private def medLowByType(df: DataFrame, vcol: String, out: String): DataFrame = {
+    val wCum = Window.partitionBy("event_type").orderBy(vcol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    df.groupBy(col("event_type"), col(vcol))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("cum", sum("w").over(wCum))
+      .withColumn("tot", sum("w").over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("event_type").agg(min(vcol).as(out))
+  }
+
   def t23(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").as("vm"))
-    // median-low per type: first row where cumulative weight crosses
-    // half the total (exact integers end-to-end)
-    def medLow(df: DataFrame, vcol: String, out: String): DataFrame = {
-      val wCum = Window.partitionBy("event_type").orderBy(vcol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("event_type")
-      df.groupBy(col("event_type"), col(vcol))
-        .agg(count(lit(1)).as("w"))
-        .withColumn("cum", sum("w").over(wCum))
-        .withColumn("tot", sum("w").over(wAll))
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("event_type").agg(min(vcol).as(out))
-    }
-    val med = medLow(e, "vm", "med")
+    val med = medLowByType(e, "vm", "med")
     val withDev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("vm") - col("med")))
-    val mad = medLow(withDev.select(col("event_type"), col("dev")), "dev", "mad")
+    val mad = medLowByType(withDev.select(col("event_type"), col("dev")), "dev", "mad")
     withDev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -673,6 +675,43 @@ object EventTime extends QueryModule {
         col("peak"),
         coalesce(col("n_hot"), lit(0L)).as("n_hot_hours"))
       .orderBy("event_type", "hod")
+  }
+
+  /** t28: SEASONAL ANOMALY DETECTION — hourly counts residualized
+    * against t24's hour-of-day baseline, then gated by a robust
+    * (median/MAD) threshold per series: the "traffic is weird for this
+    * hour of day" monitor, deseasonalized so a 3 a.m. spike isn't hidden
+    * by the daily cycle. Integer-exact end-to-end: the residual runs in
+    * milli-units (n·1000 − total·1000 div n_hours — floor division,
+    * identical in both engines), median/MAD via the shared exact
+    * median-low body (t23/t28 — one rule), doubles only at the surface.
+    * Scale: hourly rollup first (events never leave their partition
+    * un-aggregated), per-series medians via two window passes on the
+    * |series|·|hours| frame, parameter-sized broadcast joins for med/mad
+    * — nothing corpus-sized after the first aggregate. */
+  def t28(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val prof = hourly
+      .groupBy(col("event_type"), pmod(col("hr"), lit(24L)).as("hod"))
+      .agg(sum("n").as("total"), count(lit(1)).as("n_hours"))
+    val r = hourly.withColumn("hod", pmod(col("hr"), lit(24L)))
+      .join(broadcast(prof), Seq("event_type", "hod"))
+      .withColumn("rm", col("n") * lit(1000L) - expr("(total * 1000) div n_hours"))
+    val med = medLowByType(r.select(col("event_type"), col("rm")), "rm", "med")
+    val withDev = r.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("rm") - col("med")))
+    val mad = medLowByType(
+      withDev.select(col("event_type"), col("dev")), "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        (min("med").cast("double") / lit(1000.0)).as("median_resid"),
+        (min("mad").cast("double") / lit(1000.0)).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_anomalies"),
+        (max(abs(col("rm"))).cast("double") / lit(1000.0)).as("max_abs_resid"))
+      .orderBy("event_type")
   }
 
   /** t25: CUSUM drift/changepoint detection per series — the alerting
@@ -773,6 +812,7 @@ object EventTime extends QueryModule {
     "t07_funnel" -> t07,
     "t09_session_paths" -> t09,
     "t27_pattern_match" -> t27,
+    "t28_seasonal_anomaly" -> t28,
     "t10_resample_ffill" -> t10,
     "t15_resample_interp" -> t15,
     "t11_conversion_window" -> t11,
@@ -902,6 +942,47 @@ object EventTime extends QueryModule {
         |       p.peak, CAST(coalesce(a.n_hot, 0) AS BIGINT) AS n_hot_hours
         |FROM prof p LEFT JOIN anom a ON a.event_type = p.event_type AND a.hod = p.hod
         |ORDER BY 1, 2""".stripMargin,
+    // t28: t24's hourly/profile CTEs + t23's two windowed median-low
+    // passes over the milli-unit residual (floor division — exact and
+    // identical in both engines)
+    "t28_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000 // 3600000 AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, hr % 24 AS hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |         CAST(SUM(n) AS BIGINT) AS total
+        |  FROM hourly GROUP BY 1, 2),
+        |r AS (
+        |  SELECT h.event_type, h.hr, h.n,
+        |         h.n * 1000 - (p.total * 1000 // p.n_hours) AS rm
+        |  FROM hourly h JOIN prof p
+        |    ON p.event_type = h.event_type AND p.hod = h.hr % 24),
+        |g AS (SELECT event_type, rm, COUNT(*) AS w FROM r GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        SUM(w) OVER (PARTITION BY event_type ORDER BY rm
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(w) OVER (PARTITION BY event_type) AS tot FROM g),
+        |med AS (SELECT event_type, MIN(rm) AS med
+        |        FROM c WHERE cum * 2 >= tot GROUP BY 1),
+        |d AS (SELECT r.event_type, rm, med, abs(rm - med) AS dev
+        |      FROM r JOIN med USING (event_type)),
+        |g2 AS (SELECT event_type, dev, COUNT(*) AS w FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT *,
+        |         SUM(w) OVER (PARTITION BY event_type ORDER BY dev
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(w) OVER (PARTITION BY event_type) AS tot FROM g2),
+        |mad AS (SELECT event_type, MIN(dev) AS mad
+        |        FROM c2 WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       CAST(MIN(d.med) AS DOUBLE) / 1000.0 AS median_resid,
+        |       CAST(MIN(m.mad) AS DOUBLE) / 1000.0 AS mad,
+        |       CAST(SUM(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies,
+        |       CAST(MAX(abs(d.rm)) AS DOUBLE) / 1000.0 AS max_abs_resid
+        |FROM d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // picks, spelled as two windowed CTE passes
     "t23_mad_outliers" ->
       """WITH e AS (

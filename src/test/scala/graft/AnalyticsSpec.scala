@@ -472,6 +472,38 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.size >= 3, s"classes: ${got.keySet}")
   }
 
+  test("t28: deseasonalized residual anomalies match an exact driver replay") {
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_ms div 3600000 AS hr").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, hr), xs) => (t, hr, xs.size.toLong) }
+      .toSeq
+    def medLow(vs: Seq[Long]): Long = {
+      // first value whose cumulative weight crosses half (t23's rule)
+      val sorted = vs.sorted
+      sorted((vs.size - 1) / 2)
+    }
+    val expected = hourly.groupBy(_._1).map { case (t, rows) =>
+      val byHod = rows.groupBy(_._2 % 24)
+      val rm = rows.map { case (_, hr, n) =>
+        val hod = byHod(hr % 24)
+        n * 1000L - (hod.map(_._3).sum * 1000L) / hod.size
+      }
+      val med = medLow(rm)
+      val devs = rm.map(v => math.abs(v - med))
+      val mad = medLow(devs)
+      t -> ((rows.size.toLong, med / 1000.0, mad / 1000.0,
+        devs.count(_ > mad * 3).toLong, rm.map(math.abs).max / 1000.0))
+    }
+    val got = operators.EventTime.t28(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    // the gate must be live but not saturated on this fixture
+    assert(got.values.exists(_._4 > 0), "no anomalies flagged")
+    assert(got.values.forall(v => v._4 < v._1 / 2), "gate saturated")
+  }
+
   test("t25: CUSUM matches an exact sequential replay; gate is live, not saturated") {
     val hourly = Tables.events(spark, sf)
       .selectExpr("event_type", "(ts_ms div 3600000) * 3600000 AS hour_ms",
