@@ -819,7 +819,55 @@ object Pipeline extends QueryModule {
       .orderBy("source", "lang")
   }
 
+  /** l57: DOMAIN MIX UNDER A TOKEN BUDGET — the waterfilling allocator
+    * every pre-training mix needs: split a global token budget (80% of the
+    * corpus here — high enough that heavy domains exhaust and the
+    * redistribution path actually runs) across domains proportionally to their weights, cap
+    * each domain at what it actually has, and redistribute the stranded
+    * mass of exhausted domains to the still-open ones. Three fixed
+    * redistribution rounds keep it hash-gateable (the unbounded version
+    * is a Fixpoint loop on "no newly exhausted domain"); in practice the
+    * allocation is within one floor-division residue of the fixpoint
+    * after 2 rounds on any realistic weight spread. Integer-exact
+    * end-to-end: token masses in BIGINT, weights 1..5 from the md5 image
+    * of the domain name (portable across engines), every division a
+    * floor div — no float until the surfaced rate. Scale: ONE corpus
+    * pass (the per-source token sum); everything after runs on the
+    * parameter-sized domain frame with 1-row broadcast totals. */
+  def l57(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(expr("n_chars div 4")).as("avail"))
+      .withColumn("w",
+        expr("CAST(conv(substr(md5(source), 1, 15), 16, 10) AS BIGINT) % 5 + 1"))
+    val tot = d0.agg(sum("avail").as("tot_avail"), sum("w").as("tot_w"))
+    val r1 = d0.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot_avail * 4 div 5"))
+      .withColumn("asg", least(col("avail"), expr("budget * w div tot_w")))
+      .drop("tot_avail", "tot_w")
+    def redistribute(df: DataFrame): DataFrame = {
+      val s = df.agg(sum("asg").as("sum_asg"),
+        sum(when(col("asg") < col("avail"), col("w")).otherwise(lit(0L)))
+          .as("open_w"))
+      df.crossJoin(broadcast(s))
+        .withColumn("asg",
+          when(col("asg") < col("avail") && col("open_w") > 0,
+            least(col("avail"),
+              col("asg") + expr("(budget - sum_asg) * w div open_w")))
+            .otherwise(col("asg")))
+        .drop("sum_asg", "open_w")
+    }
+    val r3 = redistribute(redistribute(r1))
+    r3.select(col("source"), col("avail"), col("w").as("weight"),
+        col("asg").as("take_tokens"),
+        expr("CASE WHEN avail > 0 THEN asg * 1000000 div avail ELSE 0 END")
+          .as("rate_micro"),
+        (col("asg") === col("avail")).cast("long").as("exhausted"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l57_mix_budget" -> l57,
     "l51_mix_temperature" -> l51,
     "l50_sft_format" -> l50,
     "l37_ngram_lm" -> l37,
@@ -946,6 +994,38 @@ FROM enc JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
 
   val oracles: Map[String, String] = Map(
+    // l57: the three waterfilling rounds unrolled — every division a
+    // floor div on BIGINTs, the weight from the same md5 image
+    "l57_mix_budget" ->
+      """WITH d0 AS (
+        |  SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS avail,
+        |         CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 5 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+        |               CAST(SUM(w) AS BIGINT) AS tot_w FROM d0),
+        |r1 AS (SELECT d0.source, d0.avail, d0.w, tot_avail * 4 // 5 AS budget,
+        |              least(avail, (tot_avail * 4 // 5) * w // tot_w) AS asg
+        |       FROM d0, tot),
+        |s1 AS (SELECT CAST(SUM(asg) AS BIGINT) AS sum_asg,
+        |              CAST(SUM(CASE WHEN asg < avail THEN w ELSE 0 END) AS BIGINT) AS open_w
+        |       FROM r1),
+        |r2 AS (SELECT source, avail, w, budget,
+        |              CASE WHEN asg < avail AND open_w > 0
+        |                   THEN least(avail, asg + (budget - sum_asg) * w // open_w)
+        |                   ELSE asg END AS asg
+        |       FROM r1, s1),
+        |s2 AS (SELECT CAST(SUM(asg) AS BIGINT) AS sum_asg,
+        |              CAST(SUM(CASE WHEN asg < avail THEN w ELSE 0 END) AS BIGINT) AS open_w
+        |       FROM r2),
+        |r3 AS (SELECT source, avail, w, budget,
+        |              CASE WHEN asg < avail AND open_w > 0
+        |                   THEN least(avail, asg + (budget - sum_asg) * w // open_w)
+        |                   ELSE asg END AS asg
+        |       FROM r2, s2)
+        |SELECT source, avail, w AS weight, asg AS take_tokens,
+        |       CASE WHEN avail > 0 THEN asg * 1000000 // avail ELSE 0 END AS rate_micro,
+        |       CAST(asg = avail AS BIGINT) AS exhausted
+        |FROM r3 ORDER BY source""".stripMargin,
     "l43_bpe_train" -> l43OracleSql,
     "l45_bpe_encode" -> l45OracleSql,
     "l48_tokenizer_fertility" -> l48OracleSql,

@@ -314,4 +314,45 @@ class PipelineSpec extends SparkSuite {
     assert(l53Shared === llm.Pipeline.l53(spark, sf).collect().map(_.toSeq).toSet)
     Fixpoint.release(labels)
   }
+
+  test("l57: waterfilling allocation matches an exact driver replay; caps bind") {
+    val avail = Tables.documents(spark, sf)
+      .selectExpr("source", "n_chars div 4 AS t").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    def weight(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 5 + 1
+    }
+    val w = avail.keys.map(s => s -> weight(s)).toMap
+    val budget = avail.values.sum * 4 / 5
+    val totW = w.values.sum
+    var asg = avail.map { case (s, a) => s -> math.min(a, budget * w(s) / totW) }
+    for (_ <- 1 to 2) {
+      val leftover = budget - asg.values.sum
+      val openW = asg.collect { case (s, v) if v < avail(s) => w(s) }.sum
+      if (openW > 0)
+        asg = asg.map { case (s, v) =>
+          s -> (if (v < avail(s)) math.min(avail(s), v + leftover * w(s) / openW)
+                else v) }
+    }
+    val got = llm.Pipeline.l57(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val expected = avail.map { case (s, a) =>
+      s -> ((a, w(s), asg(s),
+        if (a > 0) asg(s) * 1000000L / a else 0L,
+        if (asg(s) == a) 1L else 0L))
+    }
+    assert(got === expected)
+    // the fixture must exercise BOTH sides of the cap, or the
+    // redistribution path is dead code at test time
+    assert(got.values.exists(_._5 == 1L), "no domain exhausted")
+    assert(got.values.exists(_._5 == 0L), "every domain exhausted")
+    // allocation never exceeds the budget, and lands within a floor
+    // residue of it (one unit per open domain per round)
+    val take = got.values.map(_._3).sum
+    assert(take <= budget && budget - take <= 3L * avail.size)
+  }
 }
