@@ -222,6 +222,41 @@ object Scans extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** s19: ZONE-MAP MANIFEST SINK — write the fact table partitioned by a
+    * derived key with a one-file-per-partition layout, then derive the
+    * per-FILE min/max/count manifest from the written files themselves
+    * (the `_metadata` hidden column — Spark's own file identity, no path
+    * parsing). This is the data-skipping contract every 100 TB table
+    * needs: a reader that consults the manifest (or just the partition
+    * key) touches ONE file per month instead of the whole table, and the
+    * manifest doubles as the table's stats surface (Iceberg/Delta keep
+    * exactly this per-file min/max in their manifests). The layout
+    * invariant file == partition is part of the operator's contract —
+    * repartition on the partition key routes every month to exactly one
+    * task, so n_files is deterministically 1 and the per-file stats are
+    * engine-portable (the oracle pins them as per-key stats). LayoutSpec
+    * pins the skipping itself: a key-filtered read plans only that
+    * partition's file. */
+  def s19(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Tables.scratchPath("s19_manifest", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .repartition(col("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+    spark.read.parquet(tmp)
+      .select(col("ship_month"), col("_metadata.file_name").as("file_name"),
+        col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .groupBy("ship_month")
+      .agg(countDistinct("file_name").as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min("l_shipdate").as("min_shipdate"),
+        max("l_shipdate").as("max_shipdate"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("ship_month")
+  }
+
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
     * training-data interchange. Write documents as JSONL, read back under
     * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
@@ -440,6 +475,7 @@ object Scans extends QueryModule {
     "s13_source_jsonl" -> s13,
     "s15_sink_compact" -> s15,
     "s18_source_evolved" -> s18,
+    "s19_sink_manifest" -> s19,
     "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
@@ -511,6 +547,17 @@ object Scans extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // s18: the evolved-directory read restated against the source table —
     // gen-1 rows surface the later column as NULL
+    // s19: per-key stats from the source table; n_files pinned to the
+    // layout invariant (file == partition) the operator guarantees
+    "s19_sink_manifest" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       COUNT(*) AS n_rows,
+        |       MIN(l_shipdate) AS min_shipdate,
+        |       MAX(l_shipdate) AS max_shipdate,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "s18_source_evolved" ->
       """SELECT o_orderkey, o_totalprice,
         |       CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS gen

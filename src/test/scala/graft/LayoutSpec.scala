@@ -151,6 +151,35 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("s19: the manifest layout skips to one file on a key-filtered read") {
+    // one s19 run: rerunning it would overwrite the layout (new file
+    // names) under any DataFrame still reading the first generation
+    val manifest = operators.Scans.s19(spark, sf).collect()
+    val tmp = Tables.scratchPath("s19_manifest", sf)
+    val all = spark.read.parquet(tmp)
+    val totalFiles = all.inputFiles.length
+    assert(totalFiles >= 10, s"fixture too small to prove skipping: $totalFiles files")
+    // partition pruning must reduce the scan to exactly the one file the
+    // filtered month lives in — the data-skipping contract. Two halves:
+    // the plan carries the partition filter (pruning is PLANNED, not a
+    // post-scan filter), and every surviving row comes from one file
+    // (inputFiles/scan metrics are unreliable under AQE plan reuse).
+    val pruned = all.filter(col("ship_month") === "1997-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_month"),
+      s"expected a ship_month partition filter, got:\n$plan")
+    val files = pruned.select(col("_metadata.file_path")).distinct().collect()
+    assert(files.length === 1, s"expected rows from 1 file, got ${files.length}")
+    assert(pruned.count() > 0)
+    // and the manifest's zone map brackets every row of its partition
+    val m = manifest.find(_.getAs[String]("ship_month") == "1997-03").get
+    val (lo, hi) = (m.getAs[java.time.LocalDateTime]("min_shipdate"),
+      m.getAs[java.time.LocalDateTime]("max_shipdate"))
+    val out = pruned.agg(min("l_shipdate"), max("l_shipdate")).collect().head
+    assert(out.getAs[java.time.LocalDateTime](0) == lo
+      && out.getAs[java.time.LocalDateTime](1) == hi)
+  }
+
   test("a16: median/MAD/outlier profile matches a local recompute") {
     val got = operators.Aggregates.a16(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
