@@ -410,7 +410,33 @@ object Aggregates extends QueryModule {
       .orderBy("event_type", "bucket")
   }
 
+  /** a23: EXACT MODE — the most frequent value per group, an aggregate
+    * Spark does not ship (and whose tie-break DuckDB's own mode() leaves
+    * unspecified), so both engines run the same explicit plan: collapse
+    * to a (group, value) count table, then one argmax window with a
+    * TOTAL tie rule (count DESC, value ASC). The collapse is the scale
+    * story: the count table is map-side-combinable and bounded by
+    * group × domain cardinality, not the row count — the window ranks
+    * at most |event types| rows per user. Also surfaces n_distinct and
+    * the modal share in integer micro-units (no float division drift). */
+  def a23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tot", sum("n").over(Window.partitionBy("user_id")))
+      .withColumn("n_distinct",
+        count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event_type"),
+        col("n").as("mode_n"), col("n_distinct"),
+        expr("n * 1000000 div tot").as("share_micro"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_mode" -> a23,
     "a22_equidepth_hist" -> a22,
     "a21_weighted_median" -> a21,
     "a20_bitmap_distinct" -> a20,
@@ -431,6 +457,20 @@ object Aggregates extends QueryModule {
     "a17_entropy" -> a17)
 
   val oracles: Map[String, String] = Map(
+    // a23: same collapsed count table, same total tie rule; the share is
+    // a BIGINT floor division so no engine rounds
+    "a23_mode" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY n DESC, event_type) AS rn,
+        |        CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_distinct
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_event_type, n AS mode_n,
+        |       n_distinct, n * 1000000 // tot AS share_micro
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // a22: same quantize → collapse → strictly-below cumulative →
     // BIGINT bucket assignment — every step integer-exact
     "a22_equidepth_hist" ->

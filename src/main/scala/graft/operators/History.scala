@@ -270,6 +270,50 @@ object History extends QueryModule {
       .orderBy("user_id", "fact_ts_ms", "fact_id")
   }
 
+  /** h12: LATE-ARRIVING DIMENSION — h08's point-in-time join with the
+    * Kimball retro-activation fix. A fact that precedes its user's FIRST
+    * dimension version (the dimension row arrived late, after facts had
+    * already referenced the key) binds to that earliest version instead
+    * of surfacing NULL state, and carries a `retro` flag so downstream
+    * can audit every inferred attribution. Facts of users with no
+    * dimension rows at all stay NULL (there is nothing to retro-bind).
+    *
+    * Scale shape: the interval join is h08's one user-key equi shuffle
+    * with a residual time filter (a user's intervals partition time — no
+    * fan-out); the earliest-version frame is USER-sized and joins on the
+    * same key, so the fix rides the existing exchange, adding no
+    * data-sized work. */
+  def h12(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val dim = e.filter(col("event_type").isin("signup", "purchase", "error"))
+    val scd = dim.withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id").as("s_user_id"),
+        col("event_id").as("state_event_id"),
+        col("value").as("state_value"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"))
+    val first = dim.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("f_user_id"),
+        col("event_id").as("first_event_id"),
+        col("value").as("first_value"))
+    val facts = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        col("ts_ms").as("fact_ts_ms"))
+    facts.join(scd,
+        facts("user_id") === col("s_user_id") &&
+          col("valid_from_ms") <= col("fact_ts_ms") &&
+          (col("valid_to_ms").isNull || col("fact_ts_ms") < col("valid_to_ms")),
+        "left")
+      .join(first, facts("user_id") === col("f_user_id"), "left")
+      .select(col("user_id"), col("fact_id"), col("fact_ts_ms"),
+        coalesce(col("state_event_id"), col("first_event_id")).as("dim_event_id"),
+        coalesce(col("state_value"), col("first_value")).as("dim_value"),
+        (col("state_event_id").isNull && col("first_event_id").isNotNull)
+          .cast("int").as("retro"))
+      .orderBy("user_id", "fact_ts_ms", "fact_id")
+  }
+
   /** h09: materialized-view rewrite — the aggregate-navigation feature:
     * a summary pre-aggregated at (event_type, user_id) with row counts
     * and decimal partial sums answers the coarser per-event_type query
@@ -384,6 +428,7 @@ object History extends QueryModule {
     "h10_bitemporal" -> h10,
     "h09_mv_rewrite" -> h09,
     "h08_pit_join" -> h08,
+    "h12_late_dim" -> h12,
     "h06_view_maintain" -> h06,
     "h07_view_retract" -> h07,
     "h01_scd2" -> h01,
@@ -453,6 +498,35 @@ object History extends QueryModule {
     // h08: zero-width intervals (two state events at the same ts) match
     // nothing (from <= t < to is empty), and a fact AT a state's
     // timestamp sees the NEW state — both sides encode the same rule
+    // h12: h08's interval join + the rank-1 version as the retro
+    // fallback; the flag is the same NULL algebra in both engines
+    "h12_late_dim" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |scd AS (
+        |  SELECT user_id, event_id AS state_event_id, value AS state_value,
+        |         ts_ms AS valid_from_ms,
+        |         lead(ts_ms) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_ms, event_id) AS valid_to_ms,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms, event_id) AS rn
+        |  FROM e WHERE event_type IN ('signup', 'purchase', 'error')),
+        |fst AS (SELECT user_id, state_event_id AS first_event_id,
+        |               state_value AS first_value
+        |        FROM scd WHERE rn = 1),
+        |f AS (SELECT user_id, event_id AS fact_id, ts_ms AS fact_ts_ms
+        |      FROM e WHERE event_type IN ('click', 'view'))
+        |SELECT f.user_id, fact_id, fact_ts_ms,
+        |       COALESCE(state_event_id, first_event_id) AS dim_event_id,
+        |       COALESCE(state_value, first_value) AS dim_value,
+        |       CAST(state_event_id IS NULL AND first_event_id IS NOT NULL
+        |            AS INT) AS retro
+        |FROM f LEFT JOIN scd ON f.user_id = scd.user_id
+        |  AND valid_from_ms <= fact_ts_ms
+        |  AND (valid_to_ms IS NULL OR fact_ts_ms < valid_to_ms)
+        |LEFT JOIN fst ON f.user_id = fst.user_id
+        |ORDER BY f.user_id, fact_ts_ms, fact_id""".stripMargin,
     "h08_pit_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -91,6 +91,32 @@ class AggregateSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("a23: exact mode matches a driver replay; the tie rule is total") {
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val counts = es.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+      val (mt, mn) = counts.toSeq.minBy { case (t, n) => (-n, t) }
+      val tot = counts.values.sum
+      u -> ((mt, mn, counts.size.toLong, mn * 1000000L / tot))
+    }
+    val got = operators.Aggregates.a23(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === expected)
+    // the tie rule must actually fire somewhere, or it is dead code
+    val tied = rows.groupBy(_._1).values.exists { es =>
+      val cs = es.groupBy(_._2).values.map(_.length)
+      cs.count(_ == cs.max) >= 2
+    }
+    assert(tied, "no user has a tied mode — the tie-break is untested")
+    // the mode's share can never be below a fair split
+    got.values.foreach { case (_, _, k, share) =>
+      assert(share >= 1000000L / k)
+    }
+  }
+
   test("a22: equi-depth histogram matches a driver-side replay; buckets partition the axis") {
     val rows = Tables.events(spark, sf)
       .select("event_type", "value").collect()

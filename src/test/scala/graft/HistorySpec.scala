@@ -62,6 +62,74 @@ class HistorySpec extends SparkSuite {
     }
   }
 
+  test("h12: late-arriving dimension agrees with h08 where state exists; retro rows bind the first version") {
+    val h08Rows = operators.History.h08(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toMap
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val firstState = events.filter(e => Set("signup", "purchase", "error")(e._3))
+      .groupBy(_._2).map { case (u, es) =>
+        u -> es.minBy(e => (e._5, e._1))
+      }
+    val got = operators.History.h12(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getInt(5))
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (u, fid, fts, dimId, dimV, retro) =>
+      h08Rows((u, fid)) match {
+        case Some(sid) => // state existed at fact time: identical binding
+          assert(retro === 0 && dimId.contains(sid), s"fact $fid diverged from h08")
+        case None =>
+          firstState.get(u) match {
+            case Some(fs) => // late dimension: retro-bound to version 1
+              assert(retro === 1, s"fact $fid not flagged retro")
+              assert(dimId.contains(fs._1) && dimV.contains(fs._4))
+              assert(fts < fs._5, s"fact $fid retro-bound but not before first version")
+            case None => // user has no dimension at all: stays NULL
+              assert(retro === 0 && dimId.isEmpty && dimV.isEmpty)
+          }
+      }
+    }
+    // the real corpus must exercise the retro path
+    assert(got.exists(_._6 == 1), "no retro-bound fact in the fixture")
+  }
+
+  test("h12: synthetic fixture pins all three binding paths deterministically") {
+    // at small SFs every fact user happens to own a dimension event, so
+    // the all-NULL path needs a constructed corpus: user 1 = normal
+    // (state precedes facts), user 2 = late dimension (facts precede the
+    // first state), user 3 = facts with no dimension rows at all
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_h12").toString
+    Seq(
+      (10L, 1L, "signup", 1.0, 1000L), (11L, 1L, "click", 0.0, 2000L),
+      (20L, 2L, "click", 0.0, 1000L), (21L, 2L, "purchase", 2.0, 5000L),
+      (22L, 2L, "view", 0.0, 6000L),
+      (30L, 3L, "click", 0.0, 1000L), (31L, 3L, "view", 0.0, 2000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      .withColumn("ts", col("ts_ms") * 1000000L).drop("ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.History.h12(spark, dir).collect().map { r =>
+      (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(5))
+    }.toList
+    // user 1: in-interval binding, not retro
+    assert(rows.contains((11L, Some(10L), 0)), s"normal path: $rows")
+    // user 2: fact 20 precedes version 1 -> retro-bound to it; fact 22
+    // lands inside version 1's open interval -> normal
+    assert(rows.contains((20L, Some(21L), 1)), s"retro path: $rows")
+    assert(rows.contains((22L, Some(21L), 0)), s"post-arrival path: $rows")
+    // user 3: no dimension rows at all -> NULL, never retro
+    assert(rows.contains((30L, None, 0)) && rows.contains((31L, None, 0)),
+      s"no-dim path: $rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("h07: retraction maintenance equals full recompute over random insert/delete interleavings") {
     import spark.implicits._
     // seeded random changelogs: users collide, deletes interleave with
