@@ -33,12 +33,17 @@ object Pipeline extends QueryModule {
     * longs before the join keeps the shuffled/broadcast payload at 8
     * bytes per gram instead of the full gram text. */
   private def gram8(spark: SparkSession, dir: String): DataFrame =
+    gramsBy(spark, dir, "doc_id")
+
+  /** Distinct word-8-gram hashes per `key` (doc_id for the per-document
+    * operators, source for the corpus-level overlap matrix). */
+  private def gramsBy(spark: SparkSession, dir: String, key: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col(key), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 8) // sequence(1, size-7) turns descending below 8 words
-      .select(col("doc_id"), explode(expr(
+      .select(col(key), explode(expr(
         "transform(sequence(1, size(w)-7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
-      .select(col("doc_id"),
+      .select(col(key),
         expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
       .distinct()
 
@@ -866,7 +871,70 @@ object Pipeline extends QueryModule {
       .orderBy("source")
   }
 
+  /** l58: N-GRAM NOVELTY — per-document fraction of its distinct word
+    * 8-grams that occur in NO other document (corpus-wide document
+    * frequency 1). The memorization-risk / boilerplate dial: low novelty
+    * means the document is assembled from text the corpus already has
+    * (template spam, licence headers); high novelty marks genuinely new
+    * text worth its tokens.
+    *
+    * Scale shape: NO gram-level join-back. The gram table (l14's shared
+    * gram8: distinct 60-bit hashes per doc) aggregates twice — once by
+    * doc for the denominator, once by gram hash where df==1 grams keep
+    * their unique owner via min(doc_id), so the novel count per doc is a
+    * second small aggregation over the df==1 subset. Both passes are
+    * map-side-combinable; the final join is doc-sized × doc-sized. */
+  def l58(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gram8(spark, dir)
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("gh")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        r6(col("n_novel").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** l59: SOURCE-OVERLAP MATRIX — for every pair of sources, how many
+    * distinct word-8-grams they share and the Jaccard of their gram
+    * sets. The cross-corpus contamination dashboard: a crawl slice that
+    * heavily overlaps a curated source is double-counting the same text
+    * mass (l14/l24 answer "is THIS doc contaminated"; this answers
+    * "which SOURCES duplicate each other, and how much").
+    *
+    * Scale shape: no gram-level self-join. The (source, gram) table
+    * collapses per gram to its sorted source SET — bounded by the
+    * source COUNT (a catalog-sized number), never corpus-sized — and
+    * pairs explode inside that tiny array, then one map-side-combinable
+    * count per pair. Per-source set sizes broadcast back for the
+    * Jaccard denominator. Output = overlapping pairs only. */
+  def l59(spark: SparkSession, dir: String): DataFrame = {
+    val sg = gramsBy(spark, dir, "source")
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    sg.groupBy("gh").agg(sort_array(collect_set("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), b -> struct(a AS s1, b AS s2))))"))
+        .as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .withColumn("jaccard", r6(col("n_shared").cast("double") /
+        (col("n1") + col("n2") - col("n_shared"))))
+      .select(col("s1"), col("s2"), col("n_shared"), col("n1"), col("n2"),
+        col("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l59_source_overlap" -> l59,
+    "l58_ngram_novelty" -> l58,
     "l57_mix_budget" -> l57,
     "l51_mix_temperature" -> l51,
     "l50_sft_format" -> l50,
@@ -994,6 +1062,48 @@ FROM enc JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
 
   val oracles: Map[String, String] = Map(
+    // l59: the oracle takes the direct self-join route (DuckDB corpus is
+    // small) — equality with the set-collapse plan proves the pair
+    // explosion enumerated exactly the s1 < s2 combinations
+    "l59_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        unnest(list_transform(range(1, len(w)-6),
+        |          i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(w) >= 8),
+        |gh AS (SELECT source,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |sz AS (SELECT source, COUNT(*) AS n FROM gh GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+        |      FROM gh a JOIN gh b ON a.gh = b.gh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, n_shared, sa.n AS n1, sb.n AS n2,
+        |       floor(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+        |             * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM p JOIN sz sa ON p.s1 = sa.source JOIN sz sb ON p.s2 = sb.source
+        |ORDER BY s1, s2""".stripMargin,
+    // l58: same gram8 hash image, same agg-twice shape (df + unique
+    // owner), shared floor(x*1e6+0.5)/1e6 rounding on a small-integer
+    // ratio
+    "l58_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(w)-6),
+        |          i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(w) >= 8),
+        |gh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM gh GROUP BY doc_id),
+        |df AS (SELECT gh, COUNT(*) AS df, MIN(doc_id) AS doc_id
+        |       FROM gh GROUP BY gh),
+        |nv AS (SELECT doc_id, COUNT(*) AS n_novel FROM df
+        |       WHERE df = 1 GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_grams,
+        |       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |       floor(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / pd.n_grams
+        |             * 1000000 + 0.5) / 1000000 AS novelty
+        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     // l57: the three waterfilling rounds unrolled — every division a
     // floor div on BIGINTs, the weight from the same md5 image
     "l57_mix_budget" ->

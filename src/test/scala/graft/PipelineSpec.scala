@@ -315,6 +315,65 @@ class PipelineSpec extends SparkSuite {
     Fixpoint.release(labels)
   }
 
+  test("l59: source-overlap matrix matches a driver-side set replay") {
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.split(" ", -1))
+      .filter(_._2.length >= 8)
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap(_._2.sliding(8).map(_.mkString(" "))).toSet
+      }
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      inter = (bySource(srcs(i)) & bySource(srcs(j))).size.toLong
+      if inter > 0
+      n1 = bySource(srcs(i)).size.toLong
+      n2 = bySource(srcs(j)).size.toLong
+    } yield (srcs(i), srcs(j)) -> ((inter, n1, n2,
+      math.floor(inter.toDouble / (n1 + n2 - inter) * 1e6 + 0.5) / 1e6))).toMap
+    val got = llm.Pipeline.l59(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "no overlapping source pair — the matrix is vacuous")
+    got.foreach { case ((s1, s2), (inter, n1, n2, j)) =>
+      assert(s1 < s2, "pair not canonically ordered")
+      assert(inter <= math.min(n1, n2) && j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("l58: n-gram novelty matches an exact driver replay") {
+    def gh(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // split(" ", -1) — Spark's split keeps trailing empty tokens
+    val docGrams = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+      .filter(_._2.length >= 8)
+      .map { case (id, w) =>
+        id -> w.sliding(8).map(g => gh(g.mkString(" "))).toSet
+      }
+    val df = docGrams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expected = docGrams.map { case (id, gs) =>
+      val novel = gs.count(g => df(g) == 1).toLong
+      id -> ((gs.size.toLong, novel,
+        math.floor(novel.toDouble / gs.size * 1e6 + 0.5) / 1e6))
+    }.toMap
+    val got = llm.Pipeline.l58(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    // the corpus must exercise both shared and unique grams, or the
+    // df==1 filter proves nothing
+    assert(got.values.exists(v => v._2 < v._1), "no shared grams anywhere")
+    assert(got.values.exists(_._2 > 0), "no novel grams anywhere")
+  }
+
   test("l57: waterfilling allocation matches an exact driver replay; caps bind") {
     val avail = Tables.documents(spark, sf)
       .selectExpr("source", "n_chars div 4 AS t").collect()
