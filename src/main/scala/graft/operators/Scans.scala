@@ -257,6 +257,42 @@ object Scans extends QueryModule {
       .orderBy("ship_month")
   }
 
+  /** s20: MANIFEST UPSERT — incremental maintenance of s19's zone-map
+    * manifest when a late batch lands. Batch 1 (90% of rows) commits a
+    * per-month stats manifest to parquet; batch 2 (the l_orderkey%10==0
+    * stragglers, touching every month) arrives later, and the manifest
+    * is brought current by a MONOID MERGE: union the persisted v1 rows
+    * with the delta batch's stats and re-reduce (counts add, min/max
+    * combine). This is the Iceberg/Delta commit discipline at 100 TB —
+    * the old batch's FILES are never rescanned; the merge reads the
+    * manifest (months × batches rows, KBs) plus only the new data. The
+    * oracle recomputes every stat from the full table in one pass, so
+    * equality proves incremental == from-scratch. */
+  def s20(spark: SparkSession, dir: String): DataFrame = {
+    val mpath = Tables.scratchPath("s20_manifest", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    def stats(rows: DataFrame): DataFrame = rows.groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_shipdate").as("min_shipdate"),
+        max("l_shipdate").as("max_shipdate"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+    stats(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+      .write.mode("overwrite").parquet(mpath)
+    val delta = stats(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    spark.read.parquet(mpath).unionByName(delta)
+      .groupBy("ship_month")
+      .agg(sum("n_rows").as("n_rows"),
+        min("min_shipdate").as("min_shipdate"),
+        max("max_shipdate").as("max_shipdate"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"),
+        count(lit(1)).as("n_batches"))
+      .orderBy("ship_month")
+  }
+
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
     * training-data interchange. Write documents as JSONL, read back under
     * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
@@ -476,6 +512,7 @@ object Scans extends QueryModule {
     "s15_sink_compact" -> s15,
     "s18_source_evolved" -> s18,
     "s19_sink_manifest" -> s19,
+    "s20_manifest_upsert" -> s20,
     "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
@@ -549,6 +586,20 @@ object Scans extends QueryModule {
     // gen-1 rows surface the later column as NULL
     // s19: per-key stats from the source table; n_files pinned to the
     // layout invariant (file == partition) the operator guarantees
+    // s20: from-scratch recompute of the incrementally merged manifest —
+    // counts add and min/max combine associatively, so the monoid merge
+    // must equal the single-pass stats; n_batches is the distinct batch
+    // membership of the month's rows
+    "s20_manifest_upsert" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       COUNT(*) AS n_rows,
+        |       MIN(l_shipdate) AS min_shipdate,
+        |       MAX(l_shipdate) AS max_shipdate,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price,
+        |       CAST(COUNT(DISTINCT CASE WHEN l_orderkey % 10 = 0
+        |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_batches
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "s19_sink_manifest" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       CAST(1 AS BIGINT) AS n_files,

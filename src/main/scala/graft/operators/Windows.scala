@@ -221,7 +221,31 @@ object Windows extends QueryModule {
       .orderBy("user_id", "ts_ms", "event_id")
   }
 
+  /** w08: PERIOD-OVER-PERIOD GROWTH — monthly revenue per order priority
+    * with the previous period and month-over-month growth rate from one
+    * lag window. The classic BI drumbeat metric, shaped for scale: the
+    * fact table collapses to (priority × month) rows in a partial-agg
+    * groupBy BEFORE any window runs, so the window exchange moves a few
+    * hundred rows regardless of table size. Revenue accumulates
+    * DECIMAL(38,4) and surfaces as DOUBLE (the cross-engine contract);
+    * the growth ratio is then a pure function of two identical doubles,
+    * rounded with the shared half-up micro rule. */
+  def w08(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_growth",
+        floor((col("revenue") - col("prev_revenue")) / col("prev_revenue")
+          * 1000000.0 + 0.5) / 1000000.0)
+      .orderBy("o_orderpriority", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w08_mom_growth" -> w08,
     "o08_weighted_sample" -> o08,
     "w07_win_fill" -> w07,
     "w01_win_rank" -> w01,
@@ -244,6 +268,21 @@ object Windows extends QueryModule {
     "u07_union_evolve" -> u07)
 
   val oracles: Map[String, String] = Map(
+    // w08: identical monthly rollup (DECIMAL accumulate, DOUBLE surface),
+    // identical lag window, shared floor(x*1e6+0.5)/1e6 rounding; the
+    // first month of each priority has no predecessor → NULL both sides
+    "w08_mom_growth" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, revenue,
+        |       lag(revenue) OVER w AS prev_revenue,
+        |       floor((revenue - lag(revenue) OVER w) / (lag(revenue) OVER w)
+        |             * 1000000 + 0.5) / 1000000 AS mom_growth
+        |FROM m
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+        |ORDER BY o_orderpriority, month""".stripMargin,
     // w07: same one-sided ignore-nulls frames; value passes through
     // unaggregated so the parquet doubles surface identically
     "w07_win_fill" ->

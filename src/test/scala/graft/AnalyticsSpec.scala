@@ -538,6 +538,34 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("w08: month-over-month growth matches an exact driver replay") {
+    val monthly = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "date_format(o_orderdate, 'yyyy-MM') AS m",
+        "CAST(o_totalprice AS DECIMAL(38,4)) AS p").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDecimal(2)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(x => BigDecimal(x._2)).sum.toDouble
+      }
+    val expected = monthly.groupBy(_._1._1).flatMap { case (_, ms) =>
+      val ord = ms.toSeq.sortBy(_._1._2)
+      ord.indices.map { i =>
+        val prev = if (i == 0) None else Some(ord(i - 1)._2)
+        val growth = prev.map(p => math.floor((ord(i)._2 - p) / p * 1e6 + 0.5) / 1e6)
+        ord(i)._1 -> ((ord(i)._2, prev, growth))
+      }
+    }
+    val got = operators.Windows.w08(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getString(0), r.getString(1)) -> ((r.getDouble(2), opt(3), opt(4)))
+    }.toMap
+    assert(got === expected)
+    // exactly one no-predecessor row per priority, and the fixture must
+    // exercise both directions of the growth sign
+    assert(got.count(_._2._2.isEmpty) === got.keys.map(_._1).toSet.size)
+    assert(got.values.flatMap(_._3).exists(_ > 0) &&
+      got.values.flatMap(_._3).exists(_ < 0), "growth never changed sign")
+  }
+
   test("w07: ignore-nulls fill matches a driver-side scan in both directions") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "ts_ms", "value").collect()

@@ -180,6 +180,32 @@ class LayoutSpec extends SparkSuite {
       && out.getAs[java.time.LocalDateTime](1) == hi)
   }
 
+  test("s20: incrementally merged manifest equals a from-scratch recompute") {
+    val got = operators.Scans.s20(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    }.toMap
+    // from-scratch single-pass stats over the full table — if the monoid
+    // merge dropped a batch, double-counted, or mixed months, some stat
+    // diverges here
+    val full = Tables.lineitem(spark, sf)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)), min("l_shipdate"), max("l_shipdate"),
+        min("l_extendedprice"), max("l_extendedprice"))
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3),
+          r.getDouble(4), r.getDouble(5)))
+      }.toMap
+    assert(got.keySet === full.keySet)
+    got.foreach { case (m, (n, lo, hi, plo, phi, batches)) =>
+      assert((n, lo, hi, plo, phi) === full(m), s"month $m diverged")
+      assert(batches >= 1L && batches <= 2L)
+    }
+    // the late batch must actually touch months the base batch owns, or
+    // the merge path is never exercised
+    assert(got.values.exists(_._6 == 2L), "no month saw both batches")
+  }
+
   test("a16: median/MAD/outlier profile matches a local recompute") {
     val got = operators.Aggregates.a16(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
