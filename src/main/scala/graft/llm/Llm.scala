@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings
@@ -595,6 +596,41 @@ object Llm extends QueryModule {
           + lit(0.3) * least(col("stop_raw") * 5.0, lit(1.0))).as("quality"))
       .orderBy("doc_id")
 
+  /** l60: CROSS-SOURCE QUALITY CALIBRATION — each document's quality
+    * mapped to its percentile WITHIN ITS OWN SOURCE, plus the calibrated
+    * top-75% keep gate. The cross-corpus gating problem an absolute
+    * threshold (l18) gets wrong: raw score distributions drift per
+    * source (a crawl slice scores systematically lower than curated
+    * text), so one absolute cut keeps 95% of one source and 20% of
+    * another. Percentile-calibrating per source makes the gate keep the
+    * same fraction everywhere — mix ratios survive the gate.
+    *
+    * Scale shape: a22's collapsed-histogram trick. Percentile needs the
+    * per-source score distribution, not a per-document rank: collapse to
+    * a (source, quality_u) count table (bounded by source × quantized
+    * score domain, never corpus-sized), run the strictly-below
+    * cumulative window on THAT frame, then one equi join back on
+    * (source, quality_u) — broadcastable at any corpus size. Never a
+    * per-source global-rank window over the documents themselves.
+    * Percentile = rows-strictly-below · 1e6 ÷ n in BIGINT (exact). */
+  def l60(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val dq = qualityU(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val hist = dq.groupBy("source", "quality_u").agg(count(lit(1)).as("cnt"))
+    val wBelow = Window.partitionBy("source").orderBy("quality_u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cal = hist
+      .withColumn("below", coalesce(sum("cnt").over(wBelow), lit(0L)))
+      .withColumn("n_src", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("pct_micro", expr("below * 1000000 div n_src"))
+      .select("source", "quality_u", "pct_micro")
+    dq.join(broadcast(cal), Seq("source", "quality_u"))
+      .withColumn("keep", (col("pct_micro") >= 250000L).cast("int"))
+      .select("doc_id", "source", "quality_u", "pct_micro", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace vs a BPE-ish regex segmentation. */
   def l08(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -880,6 +916,7 @@ object Llm extends QueryModule {
     "l05_multimodal_cols" -> l05,
     "l06_langid" -> l06,
     "l07_quality_score" -> l07,
+    "l60_quality_calibrate" -> l60,
     "l08_token_count" -> l08,
     "l09_fingerprint" -> l09,
     "l10_seeded_shuffle" -> l10,
@@ -1247,10 +1284,29 @@ object Llm extends QueryModule {
         |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
         |            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    // l60: the same qualityU CTE + the same collapsed-histogram window;
+    // percentile and gate are BIGINT floor arithmetic in both engines
+    "l60_quality_calibrate" ->
+      s"""WITH q AS ($qualityUSql),
+        |dq AS (SELECT d.doc_id, d.source, q.quality_u
+        |       FROM documents d JOIN q USING (doc_id)),
+        |h AS (SELECT source, quality_u, COUNT(*) AS cnt FROM dq GROUP BY 1, 2),
+        |c AS (SELECT source, quality_u,
+        |        CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source
+        |          ORDER BY quality_u
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS below,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |      FROM h)
+        |SELECT dq.doc_id, dq.source, dq.quality_u,
+        |       below * 1000000 // n_src AS pct_micro,
+        |       CAST(below * 1000000 // n_src >= 250000 AS INT) AS keep
+        |FROM dq JOIN c USING (source, quality_u)
+        |ORDER BY dq.doc_id""".stripMargin,
     "l07_quality_score" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |r AS (SELECT doc_id,
-        |   len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','for'))) / CAST(len(toks) AS DOUBLE) AS stop_raw,
+        |   len(list_filter(toks, t -> ${stopHits(enStops)})) / CAST(len(toks) AS DOUBLE) AS stop_raw,
         |   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_raw,
         |   least(len(toks) / CAST(100.0 AS DOUBLE), 1.0) AS len_raw
         | FROM t)

@@ -208,6 +208,48 @@ object Joins extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** j22: TOLERANCE as-of join — j10's backward as-of with a MAX-STALENESS
+    * bound, the feature-store freshness rule: a serving row must not bind
+    * state older than the feature's freshness SLA, but the staleness it
+    * WOULD have bound is exactly what the SLA dashboard needs. Each click
+    * finds the latest purchase state at-or-before its timestamp; the
+    * binding is withheld when that state is older than 2 days
+    * (state_id NULL, fresh 0) while staleness_ms still surfaces for
+    * audit. Probes with no prior state at all: staleness NULL, fresh 0.
+    *
+    * Scale shape: j19's one-union/one-uid-shuffle window form — the
+    * backward candidate is max(struct(t, id)) over the preceding frame
+    * (equal-ts states sort before probes → at-or-before; struct max
+    * makes equal-ts ties deterministic); the tolerance is a map-side
+    * post-filter on the window result, costing nothing. Never a per-row
+    * subquery or an events×states theta join. */
+  def j22(spark: SparkSession, dir: String): DataFrame = {
+    val tolMs = 2L * 86400000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id").as("uid"), col("ts_ms").as("t"),
+        col("event_id"), col("event_type"))
+    val states = e.filter(col("event_type") === "purchase")
+      .groupBy("uid", "t").agg(max("event_id").as("sid"))
+      .select(col("uid"), col("t"), lit(0).as("src"), col("sid"),
+        lit(null).cast("long").as("event_id"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("uid"), col("t"), lit(1).as("src"),
+        lit(null).cast("long").as("sid"), col("event_id"))
+    val w = Window.partitionBy("uid").orderBy(col("t"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = when(col("src") === 0, struct(col("t").as("st_t"), col("sid").as("st_id")))
+    states.unionByName(probes)
+      .withColumn("back", max(cand).over(w))
+      .filter(col("src") === 1)
+      .withColumn("staleness_ms", col("t") - col("back.st_t"))
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts_ms"),
+        when(col("staleness_ms") <= tolMs, col("back.st_id")).as("state_id"),
+        col("staleness_ms"),
+        (col("back").isNotNull && col("staleness_ms") <= tolMs)
+          .cast("int").as("fresh"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: lines of an order shipped within [orderdate, +30d). */
   def j11(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -443,7 +485,8 @@ object Joins extends QueryModule {
     "j12_self_join" -> j12,
     "j14_join_range_binned" -> j14,
     "j18_join_asof_fwd" -> j18,
-    "j19_join_asof_nearest" -> j19)
+    "j19_join_asof_nearest" -> j19,
+    "j22_join_asof_tolerance" -> j22)
 
   private val revenue = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)"
 
@@ -535,6 +578,23 @@ object Joins extends QueryModule {
     // the backward side, min id forward — the image of struct max/min)
     // and applies the same tie-to-backward CASE; mechanics differ from
     // the one-pass union+window but semantics are identical
+    // j22: ASOF restatement of the same backward candidate; the tolerance
+    // gate and the NULL algebra (no candidate -> staleness NULL, fresh 0;
+    // stale candidate -> staleness surfaced, binding withheld) are the
+    // same CASE expressions in both engines
+    "j22_join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id AS uid, epoch_ns(ts)//1000000 AS t,
+        |                  event_type
+        |           FROM events),
+        |st AS (SELECT uid, t, max(event_id) AS sid FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT event_id, uid, t FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.uid AS user_id, p.t AS ts_ms,
+        |       CASE WHEN p.t - s.t <= 172800000 THEN s.sid END AS state_id,
+        |       p.t - s.t AS staleness_ms,
+        |       CAST(s.sid IS NOT NULL AND p.t - s.t <= 172800000 AS INT) AS fresh
+        |FROM p ASOF LEFT JOIN st s ON p.uid = s.uid AND p.t >= s.t
+        |ORDER BY p.event_id""".stripMargin,
     "j19_join_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id AS uid, epoch_ns(ts)//1000000 AS t,
         |                  event_type

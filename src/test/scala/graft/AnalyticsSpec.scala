@@ -5,6 +5,70 @@ import org.apache.spark.sql.functions._
 /** t07 funnel chain and l26 k-means update step. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("w09: cumulative distinct equals a full per-day distinct recount; growth is monotone") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "user_id", "ts_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / 86400000L))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (t, es) =>
+      val days = es.map(_._3).distinct.sorted
+      days.map { d =>
+        // the brute-force recount the scalable plan must equal: distinct
+        // users over the full prefix, per day
+        val active = es.filter(_._3 == d).map(_._2).distinct.length.toLong
+        val cum = es.filter(_._3 <= d).map(_._2).distinct.length.toLong
+        val prev = es.filter(_._3 < d).map(_._2).distinct.length.toLong
+        (t, d) -> ((active, cum - prev, cum))
+      }
+    }.toMap
+    val got = operators.Windows.w09(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === expected)
+    // growth accounting: cumulative monotone, new ⊆ active, and the last
+    // day's cumulative equals the type's total distinct population
+    got.groupBy(_._1._1).foreach { case (t, rows) =>
+      val ord = rows.toSeq.sortBy(_._1._2).map(_._2)
+      assert(ord.map(_._3) === ord.map(_._3).sorted, s"$t cum not monotone")
+      ord.foreach { case (active, nNew, _) => assert(nNew <= active) }
+      val total = events.filter(_._1 == t).map(_._2).distinct.length.toLong
+      assert(ord.last._3 === total, s"$t final cum != population")
+    }
+  }
+
+  test("j22: tolerance as-of matches a per-event driver replay; all three freshness paths fire") {
+    val TolMs = 2L * 86400000L
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts_ms", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val states = events.filter(_._4 == "purchase")
+      .groupBy(e => (e._2, e._3)).map { case ((uid, t), es) => (uid, t, es.map(_._1).max) }
+      .groupBy(_._1)
+    val expect = events.filter(_._4 == "click").map { case (eid, uid, ts, _) =>
+      val back = states.getOrElse(uid, Iterable.empty)
+        .filter(_._2 <= ts).map(s => (s._2, s._3)).toSeq.sorted.lastOption
+      eid -> (back match {
+        case Some((st, sid)) =>
+          val stale = ts - st
+          (if (stale <= TolMs) Some(sid) else None, Some(stale),
+            if (stale <= TolMs) 1 else 0)
+        case None => (None, None, 0)
+      })
+    }.toMap
+    val got = operators.Joins.j22(spark, sf).collect().map { r =>
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> ((optL(3), optL(4), r.getInt(5)))
+    }.toMap
+    assert(got === expect)
+    // the fixture must exercise fresh, stale-candidate, and no-candidate
+    assert(got.values.exists(v => v._3 == 1), "no fresh binding")
+    assert(got.values.exists(v => v._3 == 0 && v._2.isDefined),
+      "no stale candidate — the tolerance gate never fires")
+    assert(got.values.exists(v => v._2.isEmpty), "no probe without prior state")
+    // a withheld binding still surfaces its staleness, and it exceeds the SLA
+    got.values.filter(v => v._3 == 0 && v._2.isDefined)
+      .foreach(v => assert(v._1.isEmpty && v._2.get > TolMs))
+  }
+
   test("j19: nearest as-of matches a per-event driver replay (ties go backward)") {
     val events = Tables.events(spark, sf)
       .select("event_id", "user_id", "ts_ms", "event_type").collect()

@@ -275,6 +275,41 @@ class PipelineSpec extends SparkSuite {
     assert(rows.exists(_._7 > 1.0), "some small slice must upweight")
   }
 
+  test("l60: per-source percentile calibration matches a driver replay; the gate keeps the same fraction everywhere") {
+    val q = llm.Llm.qualityU(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = src.groupBy(_._2).flatMap { case (_, ds) =>
+      val qs = ds.keys.toSeq.map(q) // toSeq FIRST: a set of ids mapped to quality collapses duplicate scores
+      val n = qs.size.toLong
+      ds.keys.map { id =>
+        val below = qs.count(_ < q(id)).toLong
+        val pct = below * 1000000L / n
+        id -> ((src(id), q(id), pct, if (pct >= 250000L) 1 else 0))
+      }
+    }
+    val got = llm.Llm.l60(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    }.toMap
+    assert(got === expected)
+    // calibrated gate: every source keeps ~75%, within the quantization
+    // slack of its own size (the strictly-below rule rounds the cut DOWN
+    // one whole value step, so the band is one-sided plus tie mass)
+    val bySource = got.values.groupBy(_._1)
+    bySource.foreach { case (s, rows) =>
+      val frac = rows.count(_._4 == 1).toDouble / rows.size
+      val slack = 0.05 + 2.0 / rows.size
+      assert(frac <= 0.75 + slack && frac >= 0.75 - slack, s"source $s kept $frac")
+    }
+    // and it is NOT an absolute threshold in disguise: the raw-score cut
+    // the gate lands on differs across sources
+    val cuts = bySource.map { case (_, rows) =>
+      rows.filter(_._4 == 1).map(_._2).min
+    }.toSet
+    assert(cuts.size >= 2, "every source gated at the same raw score")
+  }
+
   test("l53: keep-best replay — union-find clusters, quality argmax keeper") {
     val pairs = llm.Llm.l02(spark, sf).select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
