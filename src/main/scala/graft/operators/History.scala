@@ -314,6 +314,40 @@ object History extends QueryModule {
       .orderBy("user_id", "fact_ts_ms", "fact_id")
   }
 
+  /** h13: TIME-WEIGHTED AVERAGE (TWAP) over the SCD2 state chain — the
+    * mean of a user's state value weighted by HOW LONG each state held.
+    * A plain AVG over state-change events is wrong whenever change rates
+    * vary: a value that held a month counts once, a flapping value
+    * counts hourly. The finance-TWAP / sensor time-average primitive.
+    *
+    * Semantics: h01's interval chain over the state events; each CLOSED
+    * interval contributes value × duration; the final (open) state has
+    * no duration — excluded from the mean, still counted in n_states;
+    * a single-state user surfaces NULL twap. Integer-exact end to end:
+    * value in milli-units (t23's quantize rule), weighted mass
+    * Σ vm·dur_ms accumulated DECIMAL(38,0), twap_milli = mass div span
+    * (BIGINT floor; every input non-negative so floor == truncate in
+    * both engines) — doubles never enter.
+    *
+    * Scale shape: ONE user-key exchange drives both the lead() window
+    * and the map-side-combinable groupBy riding it; nothing else
+    * event-sized. */
+  def h13(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .withColumn("vm", expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)"))
+      .withColumn("dur_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_states"),
+        coalesce(sum("dur_ms"), lit(0L)).as("span_ms"),
+        sum(expr("CAST(vm * dur_ms AS DECIMAL(38,0))")).as("wsum"))
+      .select(col("user_id"), col("n_states"), col("span_ms"),
+        expr("CASE WHEN span_ms > 0 THEN CAST(wsum div span_ms AS BIGINT) END")
+          .as("twap_milli"))
+      .orderBy("user_id")
+  }
+
   /** h09: materialized-view rewrite — the aggregate-navigation feature:
     * a summary pre-aggregated at (event_type, user_id) with row counts
     * and decimal partial sums answers the coarser per-event_type query
@@ -429,6 +463,7 @@ object History extends QueryModule {
     "h09_mv_rewrite" -> h09,
     "h08_pit_join" -> h08,
     "h12_late_dim" -> h12,
+    "h13_twap" -> h13,
     "h06_view_maintain" -> h06,
     "h07_view_retract" -> h07,
     "h01_scd2" -> h01,
@@ -498,6 +533,23 @@ object History extends QueryModule {
     // h08: zero-width intervals (two state events at the same ts) match
     // nothing (from <= t < to is empty), and a fact AT a state's
     // timestamp sees the NEW state — both sides encode the same rule
+    // h13: same chain, same quantize, HUGEINT mass mirrors DECIMAL(38,0);
+    // all inputs non-negative so // == div
+    "h13_twap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms,
+        |                  CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+        |           FROM events
+        |           WHERE event_type IN ('signup', 'purchase', 'error')),
+        |s AS (SELECT user_id, vm,
+        |        lead(ts_ms) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_ms, event_id) - ts_ms AS dur_ms
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_states,
+        |       CAST(COALESCE(SUM(dur_ms), 0) AS BIGINT) AS span_ms,
+        |       CASE WHEN COALESCE(SUM(dur_ms), 0) > 0
+        |            THEN CAST(SUM(CAST(vm AS HUGEINT) * dur_ms)
+        |                      // SUM(dur_ms) AS BIGINT) END AS twap_milli
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // h12: h08's interval join + the rank-1 version as the retro
     // fallback; the flag is the same NULL algebra in both engines
     "h12_late_dim" ->

@@ -244,7 +244,36 @@ object Windows extends QueryModule {
       .orderBy("o_orderpriority", "month")
   }
 
+  /** w09: CUMULATIVE DISTINCT USERS — per event type and day: active
+    * users, NEW users (first ever seen that day), and the running total
+    * of distinct users to date. The growth-accounting drumbeat every
+    * product dashboard opens with, and the query naive SQL gets
+    * catastrophically wrong at scale: COUNT(DISTINCT) OVER a cumulative
+    * frame re-counts the full user set per day (quadratic, and Spark
+    * refuses it outright). The scalable identity: cumulative distinct ==
+    * running SUM of first-seen counts — one (type, user) min-day
+    * aggregate, one (type, day) rollup, then a window over the
+    * days × types frame (hundreds of rows at any corpus size). Active
+    * counts collapse (type, day, user) first — every aggregate
+    * map-side-combinable, nothing event-sized past the first pass. */
+  def w09(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_ms div 86400000").as("day_idx"))
+    val active = e.groupBy("event_type", "day_idx", "user_id").agg(count(lit(1)).as("_n"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_active"))
+    val firstSeen = e.groupBy("event_type", "user_id").agg(min("day_idx").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("event_type", "day_idx"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .orderBy("event_type", "day_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w09_cumulative_distinct" -> w09,
     "w08_mom_growth" -> w08,
     "o08_weighted_sample" -> o08,
     "w07_win_fill" -> w07,
@@ -268,6 +297,23 @@ object Windows extends QueryModule {
     "u07_union_evolve" -> u07)
 
   val oracles: Map[String, String] = Map(
+    // w09: DuckDB takes the direct COUNT(DISTINCT) per day for actives;
+    // cumulative distinct restated as the same running sum of first-seen
+    // counts (equality proves the identity the scalable plan relies on)
+    "w09_cumulative_distinct" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |                  epoch_ns(ts)//1000000//86400000 AS day_idx FROM events),
+        |a AS (SELECT event_type, day_idx, COUNT(DISTINCT user_id) AS n_active
+        |      FROM e GROUP BY 1, 2),
+        |fs AS (SELECT event_type, user_id, MIN(day_idx) AS day_idx
+        |       FROM e GROUP BY 1, 2),
+        |nn AS (SELECT event_type, day_idx, COUNT(*) AS n_new FROM fs GROUP BY 1, 2)
+        |SELECT a.event_type, a.day_idx, a.n_active,
+        |       CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(SUM(COALESCE(nn.n_new, 0)) OVER (PARTITION BY a.event_type
+        |              ORDER BY a.day_idx) AS BIGINT) AS cum_users
+        |FROM a LEFT JOIN nn USING (event_type, day_idx)
+        |ORDER BY event_type, day_idx""".stripMargin,
     // w08: identical monthly rollup (DECIMAL accumulate, DOUBLE surface),
     // identical lag window, shared floor(x*1e6+0.5)/1e6 rounding; the
     // first month of each priority has no predecessor → NULL both sides

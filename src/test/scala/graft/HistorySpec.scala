@@ -62,6 +62,57 @@ class HistorySpec extends SparkSuite {
     }
   }
 
+  test("h13: time-weighted average matches an exact BigInt driver replay; bounded by the state extremes") {
+    val states = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_ms").collect()
+      .filter(r => Set("signup", "purchase", "error")(r.getString(2)))
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(3), r.getLong(4)))
+    val expected = states.groupBy(_._1).map { case (u, es) =>
+      val ord = es.sortBy(e => (e._4, e._2))
+      val vm = ord.map(e => math.floor(e._3 * 1000.0 + 0.5).toLong)
+      val dur = ord.indices.dropRight(1).map(i => ord(i + 1)._4 - ord(i)._4)
+      val span = dur.sum
+      val wsum = ord.indices.dropRight(1)
+        .map(i => BigInt(vm(i)) * dur(i)).foldLeft(BigInt(0))(_ + _)
+      u -> ((ord.size.toLong, span,
+        if (span > 0) Some((wsum / span).toLong) else None))
+    }
+    val got = operators.History.h13(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got === expected)
+    // a weighted mean can never leave [min, max] of the closed states
+    expected.foreach { case (u, (_, _, twap)) =>
+      twap.foreach { t =>
+        val vm = states.filter(_._1 == u).map(e => math.floor(e._3 * 1000.0 + 0.5).toLong)
+        assert(t >= vm.min && t <= vm.max, s"user $u twap outside extremes")
+      }
+    }
+  }
+
+  test("h13: synthetic fixture — duration weighting beats plain AVG; single-state users stay NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_h13").toString
+    // user 1: value 100 holds 9 s, value 0 holds 1 s -> twap 90000 milli
+    // (a plain AVG over the change events would say 50000); user 2 has a
+    // single state (no closed interval) -> NULL
+    Seq(
+      (1L, 1L, "purchase", 100.0, 0L), (2L, 1L, "purchase", 0.0, 9000L),
+      (3L, 1L, "purchase", 50.0, 10000L),
+      (4L, 2L, "signup", 7.0, 500L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      .withColumn("ts", col("ts_ms") * 1000000L).drop("ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.History.h13(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(rows(1L) === ((3L, 10000L, Some(90000L))), s"weighting wrong: $rows")
+    assert(rows(2L) === ((1L, 0L, None)), s"single state must stay NULL: $rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("h12: late-arriving dimension agrees with h08 where state exists; retro rows bind the first version") {
     val h08Rows = operators.History.h08(spark, sf).collect().map { r =>
       (r.getLong(0), r.getLong(1)) ->
