@@ -234,6 +234,56 @@ object Pipeline extends QueryModule {
       .orderBy("lang", "split")
   }
 
+  /** l61: CURATION PROVENANCE — the per-document audit of l19's pipeline:
+    * which gate dropped each doc (eval-holdout, quality, exact-dup,
+    * contamination), the first stage that failed, and the final keep
+    * decision. l19 answers "what survived"; this answers "why did MY doc
+    * disappear" — the debugging surface every curation run ships next to
+    * its output, and the input to gate-attrition dashboards (sum each
+    * flag = stage attrition).
+    *
+    * Stage contract: a flag is evaluated only for docs that REACH that
+    * stage (NULL below), exactly mirroring l19's filter order — so
+    * `kept == 1` rows are precisely l19's surviving population
+    * (spec-pinned against l19's own counts).
+    *
+    * Scale shape: the gates are map-only expressions; the dup stage is
+    * ONE window over the text-hash key (the md5 collapses before any
+    * exchange — the shuffle carries 16-byte keys); contamination reuses
+    * l14's broadcast probe. Nothing corpus-sized beyond those two
+    * exchanges. */
+  def l61(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val meanW = length(regexp_replace(col("text"), " ", "")) / words
+    val digR = regexp_count(col("text"), lit("[0-9]")) / length(col("text"))
+    val symR = regexp_count(col("text"), lit("[#<>{}|~]")) / length(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("f_eval", (col("doc_id") % 97 === 0).cast("int"))
+      .withColumn("f_quality",
+        when(col("f_eval") === 1, lit(null).cast("int"))
+          .otherwise((!(words.between(5L, 5000L) && meanW.between(2.0, 12.0)
+            && digR <= 0.2 && symR <= 0.05)).cast("int")))
+    val dup = docs.filter(col("f_eval") === 0 && col("f_quality") === 0)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).cast("int").as("f_dup"))
+    val contam = l14(spark, dir).select(col("doc_id"), col("contaminated"))
+    docs.select("doc_id", "f_eval", "f_quality")
+      .join(dup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("f_contam",
+        when(col("f_dup") === 0, coalesce(col("contaminated"), lit(0))))
+      .select(col("doc_id"), col("f_eval"), col("f_quality"), col("f_dup"),
+        col("f_contam"),
+        when(col("f_eval") === 1, "eval_holdout")
+          .when(col("f_quality") === 1, "quality")
+          .when(col("f_dup") === 1, "exact_dup")
+          .when(col("f_contam") === 1, "contaminated").as("first_failed"),
+        (col("f_eval") === 0 && col("f_quality") === 0 && col("f_dup") === 0
+          && col("f_contam") === 0).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** l20: TF-IDF top-3 terms per document. Two linear aggregations (term
     * frequency per doc, document frequency per term) + an in-plan corpus
     * count (1-row broadcast — no driver-side .count()), then a doc-
@@ -953,6 +1003,7 @@ object Pipeline extends QueryModule {
     "l17_mix_weighted" -> l17,
     "l18_quality_gate" -> l18,
     "l19_curation_e2e" -> l19,
+    "l61_curation_provenance" -> l61,
     "l20_tfidf" -> l20,
     "l21_dedup_clusters" -> l21,
     "l53_dedup_keep_best" -> l53,
@@ -1383,6 +1434,50 @@ GROUP BY d.lang ORDER BY d.lang"""
         |       CAST(n_words >= 5 AND n_words <= 5000 AND mean_wlen >= 2.0 AND mean_wlen <= 12.0
         |            AND digit_ratio <= 0.2 AND sym_ratio <= 0.05 AS INT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // l61: l19's gate CTEs restated per-doc; stage flags NULL below the
+    // first failure (the reach contract), kept == l19's population
+    "l61_curation_provenance" ->
+      """WITH w AS (
+        |  SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |m AS (
+        |  SELECT *, length(replace(text, ' ', '')) / n_words AS mean_wlen,
+        |         len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE) AS dig,
+        |         len(regexp_extract_all(text, '[#<>{}|~]')) / CAST(length(text) AS DOUBLE) AS sym
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, text, CAST(doc_id % 97 = 0 AS INT) AS f_eval,
+        |         CASE WHEN doc_id % 97 = 0 THEN NULL
+        |              ELSE CAST(NOT (n_words BETWEEN 5 AND 5000
+        |                AND mean_wlen BETWEEN 2.0 AND 12.0
+        |                AND dig <= 0.2 AND sym <= 0.05) AS INT) END AS f_quality
+        |  FROM m),
+        |dup AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS f_dup
+        |  FROM q WHERE f_eval = 0 AND f_quality = 0),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(wl)-6),
+        |          i -> array_to_string(list_slice(wl, i, i + 7), ' '))) AS gtext
+        |      FROM t WHERE len(wl) >= 8),
+        |gh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gtext), 1, 15)) AS BIGINT) AS gh FROM g),
+        |e AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT tr.doc_id FROM gh tr JOIN e ON tr.gh = e.gh
+        |  WHERE tr.doc_id % 97 <> 0)
+        |SELECT q.doc_id, q.f_eval, q.f_quality, d.f_dup,
+        |       CASE WHEN d.f_dup = 0
+        |            THEN CAST(c.doc_id IS NOT NULL AS INT) END AS f_contam,
+        |       CASE WHEN q.f_eval = 1 THEN 'eval_holdout'
+        |            WHEN q.f_quality = 1 THEN 'quality'
+        |            WHEN d.f_dup = 1 THEN 'exact_dup'
+        |            WHEN d.f_dup = 0 AND c.doc_id IS NOT NULL
+        |            THEN 'contaminated' END AS first_failed,
+        |       CAST(q.f_eval = 0 AND q.f_quality = 0 AND d.f_dup = 0
+        |            AND c.doc_id IS NULL AS INT) AS kept
+        |FROM q LEFT JOIN dup d USING (doc_id) LEFT JOIN contam c USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin,
     "l19_curation_e2e" ->
       """WITH w AS (
         |  SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),

@@ -275,6 +275,60 @@ class PipelineSpec extends SparkSuite {
     assert(rows.exists(_._7 > 1.0), "some small slice must upweight")
   }
 
+  test("l61: provenance kept-population equals l19's surviving counts; reach contract holds") {
+    val rows = llm.Pipeline.l61(spark, sf).collect().map { r =>
+      def f(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+      (r.getLong(0), f(1).get, f(2), f(3), f(4),
+        if (r.isNullAt(5)) None else Some(r.getString(5)), r.getInt(6))
+    }
+    // the audit must account for every document exactly once
+    assert(rows.length === Tables.documents(spark, sf).count().toInt)
+    // kept == l19's surviving population (the flags reproduce the pipeline)
+    val l19Total = llm.Pipeline.l19(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(rows.count(_._7 == 1).toLong === l19Total)
+    rows.foreach { case (id, fe, fq, fd, fc, failed, kept) =>
+      // reach contract: each flag NULL iff an earlier stage failed
+      assert((fq.isEmpty) === (fe == 1), s"$id quality reach")
+      assert((fd.isEmpty) === (fe == 1 || fq.contains(1)), s"$id dup reach")
+      assert((fc.isEmpty) === (fd.forall(_ != 0)), s"$id contam reach")
+      // first_failed names the first 1-flag; kept iff none failed
+      val expectFailed =
+        if (fe == 1) Some("eval_holdout")
+        else if (fq.contains(1)) Some("quality")
+        else if (fd.contains(1)) Some("exact_dup")
+        else if (fc.contains(1)) Some("contaminated")
+        else None
+      assert(failed === expectFailed, s"$id first_failed")
+      assert((kept == 1) === expectFailed.isEmpty, s"$id kept")
+    }
+  }
+
+  test("l61: synthetic fixture fires every gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_l61").toString
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (0L, eight + " benchmark", "en", "s"),          // doc_id%97==0: eval holdout
+      (1L, "tiny", "en", "s"),                        // <5 words: quality
+      (2L, "copy body one small two small three small", "en", "s"), // dup pair, min id keeps
+      (3L, "copy body one small two small three small", "en", "s"), //   -> exact_dup
+      (4L, eight + " tail", "en", "s"),               // shares an 8-gram with doc 0
+      (5L, "clean unique words nine ten eleven twelve thirteen", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = llm.Pipeline.l61(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(5)) None else Some(r.getString(5))), r.getInt(6))
+    }.toMap
+    assert(got(0L) === ((Some("eval_holdout"), 0)))
+    assert(got(1L) === ((Some("quality"), 0)))
+    assert(got(2L) === ((None, 1)), s"keeper of the dup pair must survive: $got")
+    assert(got(3L) === ((Some("exact_dup"), 0)))
+    assert(got(4L) === ((Some("contaminated"), 0)))
+    assert(got(5L) === ((None, 1)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("l60: per-source percentile calibration matches a driver replay; the gate keeps the same fraction everywhere") {
     val q = llm.Llm.qualityU(Tables.documents(spark, sf)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
