@@ -276,7 +276,56 @@ object Semantic extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** l62: SOURCE CENTROID SIMILARITY — the embedding-space answer to
+    * l59's lexical source-overlap matrix: per-source mean-embedding
+    * DIRECTION and the pairwise cosine between sources. Two sources can
+    * share almost no literal 8-grams yet sit on top of each other
+    * semantically (a paraphrase mill, a translation pair) — this is the
+    * dashboard that catches it, and the standard input to source-level
+    * mixing/dedup decisions.
+    *
+    * Engine-exactness: components quantize to integer micro-units (the
+    * l39 rule), the centroid NUMERATOR (per-dim component sum) stays a
+    * BIGINT vector, and cosine is scale-invariant so the 1/n division
+    * never happens — no float accumulation, no negative-floor-division
+    * divergence; dot/norms accumulate DECIMAL(38,0) (HUGEINT in the
+    * oracle), one double division + sqrt at the surface, floor-rounded.
+    *
+    * Scale shape: one pass over the embeddings (map-side-combinable
+    * (source, dim) sums after the doc-key join); everything after runs
+    * on the sources × 64 centroid frame — the pairwise join is
+    * catalog-sized at any corpus size. */
+  def l62(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    // n_docs counts EMBEDDED docs per source (the centroid's population —
+    // the embeddings table can be a subset of the corpus)
+    val sv = Tables.embeddings(spark, dir).join(src, Seq("vec_id"))
+    val cent = sv
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xu", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("source", "dim").agg(sum("xu").as("sx"))
+    val nrm = cent.groupBy("source")
+      .agg(sum(expr("CAST(sx AS DECIMAL(38,0)) * sx")).as("n2"))
+    val docs = sv.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    cent.select(col("source").as("s1"), col("dim"), col("sx").as("sxa"))
+      .join(cent.select(col("source").as("s2"), col("dim"), col("sx").as("sxb")),
+        Seq("dim"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum(expr("CAST(sxa AS DECIMAL(38,0)) * sxb")).as("dot"))
+      .join(broadcast(nrm.select(col("source").as("s1"), col("n2").as("n2a"))), Seq("s1"))
+      .join(broadcast(nrm.select(col("source").as("s2"), col("n2").as("n2b"))), Seq("s2"))
+      .join(broadcast(docs.select(col("source").as("s1"), col("n_docs").as("n1"))), Seq("s1"))
+      .join(broadcast(docs.select(col("source").as("s2"), col("n_docs").as("n2"))), Seq("s2"))
+      .withColumn("cos_sim", expr(
+        "floor(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0"))
+      .select("s1", "s2", "n1", "n2", "cos_sim")
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l62_source_centroid_sim" -> l62,
     "l46_dsir" -> l46,
     "l27_semdedup" -> l27,
     "l28_chunk_cdc" -> l28,
@@ -289,6 +338,31 @@ object Semantic extends QueryModule {
        |    * sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // l62: same micro-quantize, same BIGINT sums (HUGEINT mass), same
+    // one-division floor-rounded cosine
+    "l62_source_centroid_sim" ->
+      """WITH sv AS (SELECT d.source, e.embedding
+        |            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |comp AS (SELECT source, unnest(embedding) AS x,
+        |                generate_subscripts(embedding, 1) AS dim FROM sv),
+        |cent AS (SELECT source, dim,
+        |           CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |                         AS BIGINT)) AS BIGINT) AS sx
+        |         FROM comp GROUP BY 1, 2),
+        |nrm AS (SELECT source, SUM(CAST(sx AS HUGEINT) * sx) AS n2
+        |        FROM cent GROUP BY 1),
+        |dc AS (SELECT source, COUNT(*) AS n_docs FROM sv GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2,
+        |             SUM(CAST(a.sx AS HUGEINT) * b.sx) AS dot
+        |      FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, da.n_docs AS n1, db.n_docs AS n2,
+        |       floor(CAST(dot AS DOUBLE)
+        |             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        |FROM p JOIN nrm na ON p.s1 = na.source JOIN nrm nb ON p.s2 = nb.source
+        |     JOIN dc da ON p.s1 = da.source JOIN dc db ON p.s2 = db.source
+        |ORDER BY s1, s2""".stripMargin,
     // l46: identical hashed-bucket distributions + sorted-term summation
     "l46_dsir" ->
       """WITH tok AS (

@@ -794,7 +794,58 @@ object EventTime extends QueryModule {
       .orderBy("user_id", "conv_id")
   }
 
+  /** t29: DISTRIBUTION-DRIFT MONITOR (PSI) — day-over-day population
+    * stability index of the value distribution per event type, the
+    * standard "did the feed change shape" gate a training-data pipeline
+    * runs before trusting a new day (mean/variance monitors miss shape
+    * changes that preserve both; PSI ≥ 0.2 is the industry alert line).
+    *
+    * PSI = Σ_buckets (p−q)·ln(p/q) over 10-unit value buckets, Laplace-
+    * smoothed (+1 per bucket over a fixed 64-bucket universe) so a bucket
+    * empty on one day contributes finitely. Consecutive days only (a gap
+    * day has no predecessor to drift FROM).
+    *
+    * Engine-exactness: counts are integers; p and q are the same double
+    * expression from those integers in both engines, and each bucket's
+    * term is floor-rounded to INTEGER NANO-UNITS before the sum — float
+    * summation order can never reorder-drift the total (the l40
+    * per-term-rounding rule). Scale shape: ONE event-sized map-side-
+    * combinable (type, day, bucket) rollup; everything after runs on the
+    * bucket frame (types × days × ≤64 rows); the day-pair alignment is a
+    * full-outer self-join of THAT frame plus a broadcast of per-day
+    * totals. */
+  def t29(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64 // smoothing universe: value range tops out under 640
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ms div 86400000").as("day_idx"),
+        expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT) div 10000").as("bucket"))
+      .groupBy("event_type", "day_idx", "bucket").agg(count(lit(1)).as("n"))
+    val totals = c.groupBy("event_type", "day_idx").agg(sum("n").as("tot"))
+    val pairs = totals.select(col("event_type"), col("day_idx"), col("tot"))
+      .join(totals.select(col("event_type"),
+        (col("day_idx") + 1).as("day_idx"), col("tot").as("tot_prev")),
+        Seq("event_type", "day_idx"))
+    val curr = c.select(col("event_type"), col("day_idx"), col("bucket"), col("n"))
+    val prev = c.select(col("event_type"), (col("day_idx") + 1).as("day_idx"),
+      col("bucket"), col("n").as("n_prev"))
+    curr.join(prev, Seq("event_type", "day_idx", "bucket"), "full_outer")
+      .join(pairs, Seq("event_type", "day_idx")) // keeps consecutive-day rows only
+      .withColumn("p", (coalesce(col("n"), lit(0L)) + 1).cast("double")
+        / (col("tot") + B).cast("double"))
+      .withColumn("q", (coalesce(col("n_prev"), lit(0L)) + 1).cast("double")
+        / (col("tot_prev") + B).cast("double"))
+      .withColumn("term_nano",
+        expr("CAST(floor((p - q) * ln(p / q) * 1000000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("event_type", "day_idx")
+      .agg(max("tot").as("n_curr"), max("tot_prev").as("n_prev"),
+        sum("term_nano").as("psi_nano"))
+      .withColumn("drift", (col("psi_nano") > 200000000L).cast("int"))
+      .orderBy("event_type", "day_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_psi_drift" -> t29,
     "t26_attribution" -> t26,
     "t25_cusum_changepoint" -> t25,
     "t24_seasonal_profile" -> t24,
@@ -828,6 +879,34 @@ object EventTime extends QueryModule {
     // t26: the join restatement of the range frame — first/last via
     // deterministic (ts, id) row_numbers, zero-touch conversions kept
     // by the LEFT JOIN with COUNT(tid)
+    // t29: same integer rollup; p/q/ln from the same integers with the
+    // same double expression, every bucket term floor-rounded to nano
+    // units BEFORE the sum (order-independent both engines)
+    "t29_psi_drift" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//86400000 AS day_idx,
+        |                  CAST(floor(value * 1000.0 + 0.5) AS BIGINT) // 10000 AS bucket
+        |           FROM events),
+        |c AS (SELECT event_type, day_idx, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, day_idx, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type, a.day_idx, a.tot, b.tot AS tot_prev
+        |       FROM t a JOIN t b ON a.event_type = b.event_type
+        |        AND a.day_idx = b.day_idx + 1),
+        |f AS (SELECT event_type, day_idx, bucket,
+        |             COALESCE(x.n, 0) AS n, COALESCE(y.n_prev, 0) AS n_prev
+        |      FROM c x FULL OUTER JOIN
+        |        (SELECT event_type, day_idx + 1 AS day_idx, bucket, n AS n_prev FROM c) y
+        |        USING (event_type, day_idx, bucket)),
+        |j AS (SELECT f.event_type, f.day_idx, pr.tot, pr.tot_prev,
+        |             CAST(f.n + 1 AS DOUBLE) / CAST(pr.tot + 64 AS DOUBLE) AS p,
+        |             CAST(f.n_prev + 1 AS DOUBLE) / CAST(pr.tot_prev + 64 AS DOUBLE) AS q
+        |      FROM f JOIN pr ON f.event_type = pr.event_type AND f.day_idx = pr.day_idx)
+        |SELECT event_type, day_idx, MAX(tot) AS n_curr, MAX(tot_prev) AS n_prev,
+        |       CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1000000000.0 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS psi_nano,
+        |       CAST(CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1000000000.0 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) > 200000000 AS INT) AS drift
+        |FROM j GROUP BY event_type, day_idx
+        |ORDER BY event_type, day_idx""".stripMargin,
     "t26_attribution" ->
       """WITH conv AS (
         |  SELECT user_id, event_id AS conv_id, epoch_ns(ts)//1000000 AS conv_ts

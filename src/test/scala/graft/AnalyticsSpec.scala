@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 /** t07 funnel chain and l26 k-means update step. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("t29: PSI drift matches an exact per-term replay; the gate is live but not saturated") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000L,
+        math.floor(r.getDouble(2) * 1000.0 + 0.5).toLong / 10000L))
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val days = rows.map(r => (r._1, r._2)).distinct
+    val totals = days.map { case (t, d) =>
+      (t, d) -> counts.collect { case ((`t`, `d`, _), n) => n }.sum
+    }.toMap
+    val expected = days.flatMap { case (t, d) =>
+      totals.get((t, d - 1)).map { totPrev =>
+        val tot = totals((t, d))
+        val buckets = counts.keys.collect {
+          case (`t`, day, b) if day == d || day == d - 1 => b
+        }.toSet
+        val psi = buckets.toSeq.map { b =>
+          val p = (counts.getOrElse((t, d, b), 0L) + 1).toDouble / (tot + 64).toDouble
+          val q = (counts.getOrElse((t, d - 1, b), 0L) + 1).toDouble / (totPrev + 64).toDouble
+          math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+        }.sum
+        (t, d) -> ((tot, totPrev, psi, if (psi > 200000000L) 1 else 0))
+      }
+    }.toMap
+    val got = operators.EventTime.t29(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    }.toMap
+    assert(got === expected)
+    val fired = got.values.count(_._4 == 1)
+    assert(fired > 0, "drift gate never fires")
+    assert(fired < got.size, "drift gate saturated — the threshold is vacuous")
+  }
+
   test("w09: cumulative distinct equals a full per-day distinct recount; growth is monotone") {
     val events = Tables.events(spark, sf)
       .select("event_type", "user_id", "ts_ms").collect()

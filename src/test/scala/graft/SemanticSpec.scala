@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
   * brute-force equivalence, edit locality, cross-query consistency. */
 class SemanticSpec extends SparkSuite {
 
+  test("l62: source centroid cosines match an exact BigInt replay, every pair present") {
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sums = scala.collection.mutable.Map.empty[(String, Int), BigInt]
+      .withDefaultValue(BigInt(0))
+    val nDocs = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect().foreach { r =>
+      val s = src(r.getLong(0))
+      nDocs(s) += 1
+      r.getSeq[Float](1).zipWithIndex.foreach { case (x, i) =>
+        sums((s, i)) += BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      }
+    }
+    val srcs = nDocs.keys.toSeq.sorted
+    val dims = 0 until 64
+    def n2(s: String) = dims.map(d => sums((s, d)) * sums((s, d))).sum
+    val expected = (for { i <- srcs.indices; j <- (i + 1) until srcs.length } yield {
+      val (a, b) = (srcs(i), srcs(j))
+      val dot = dims.map(d => sums((a, d)) * sums((b, d))).sum
+      val cos = math.floor(dot.toDouble / (math.sqrt(n2(a).toDouble) *
+        math.sqrt(n2(b).toDouble)) * 1e6 + 0.5) / 1e6
+      (a, b) -> ((nDocs(a), nDocs(b), cos))
+    }).toMap
+    val got = llm.Semantic.l62(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[java.math.BigDecimal](4).doubleValue))
+    }.toMap
+    assert(got === expected)
+    // complete matrix in canonical order, cosines inside the unit ball
+    assert(got.size === srcs.size * (srcs.size - 1) / 2)
+    got.foreach { case ((a, b), (_, _, c)) =>
+      assert(a < b && c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("l27 semdedup: verdicts match brute-force within-cluster pairwise scan") {
     val rows = llm.Semantic.l27(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
