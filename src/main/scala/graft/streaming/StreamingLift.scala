@@ -130,6 +130,25 @@ object StreamingLift {
       .agg(count(lit(1)).as("n_users"))
       .select(unix_millis(col("w.start")).as("win_start_ms"), col("n_users"))
 
+  /** w09's growth accounting as a continuous stream: stateful FIRST-SEEN
+    * dedup per (type, user) — the dedup keys deliberately exclude the
+    * event-time column, so its state is never watermark-evicted: the
+    * state IS the known population (exact cumulative distinct is
+    * non-mergeable; the population is its own minimal summary) — then an
+    * ordinary watermarked daily count of the new users emits per pane.
+    * The running total is one tiny prefix sum over the appended
+    * (type, day) frame at read time. Bounded-lateness trade, stated: an
+    * event later than the watermark misses its pane (the batch-equality
+    * spec feeds in event-time order, so none do). */
+  def cumulativeDistinct(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"), window(col("event_ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("day_start_ms"),
+        col("n_new"))
+
   /** Stream-static enrichment: the dimension is a plain batch DataFrame;
     * Spark re-broadcasts it per micro-batch. */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSuite {
     df.select(cols.map(col).toIndexedSeq: _*).collect()
       .map(_.mkString("|")).sorted.toSeq
 
+  test("cumulative distinct: streaming first-seen panes == batch w09 n_new") {
+    val streamed = runStream(StreamingLift.cumulativeDistinct)
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(col("event_type"), expr("day_start_ms div 86400000").as("day_idx"),
+        col("n_new"))
+    // batch w09 emits every active day (n_new may be 0); the stream emits
+    // only panes where someone was first seen — compare on that support
+    val batch = operators.Windows.w09(spark, sf)
+      .filter(col("n_new") > 0).select("event_type", "day_idx", "n_new")
+    assert(sortedRows(streamed, "event_type", "day_idx", "n_new") ===
+      sortedRows(batch, "event_type", "day_idx", "n_new"))
+    // and the panes reconstruct the same cumulative curve
+    val cum = streamed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    val batchFinal = operators.Windows.w09(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4))).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).max }
+    assert(cum === batchFinal)
+  }
+
   test("tumbling window: streaming append == batch") {
     val streamed = runStream(StreamingLift.tumbling)
       .filter(col("event_type") =!= "__sentinel__")
