@@ -309,7 +309,9 @@ object Semantic extends QueryModule {
       .agg(sum(expr("CAST(sx AS DECIMAL(38,0)) * sx")).as("n2"))
     val docs = sv.groupBy("source").agg(count(lit(1)).as("n_docs"))
     cent.select(col("source").as("s1"), col("dim"), col("sx").as("sxa"))
-      .join(cent.select(col("source").as("s2"), col("dim"), col("sx").as("sxb")),
+      // sources × 64 rows by construction — hint it so the pair join can
+      // never degrade to a sort-merge on the dim key (PlanSpec pins this)
+      .join(broadcast(cent.select(col("source").as("s2"), col("dim"), col("sx").as("sxb"))),
         Seq("dim"))
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2")

@@ -11,6 +11,45 @@ class PlanSpec extends SparkSuite {
   private def planString(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("j22: tolerance as-of is one union+window — no join operator at all") {
+    val plan = planString(operators.Joins.j22(spark, sf))
+    assert(!plan.contains("Join"), s"as-of must stay window-shaped:\n$plan")
+    assert(plan.contains("Window"), s"expected the uid window:\n$plan")
+  }
+
+  test("l59/l62: source matrices never self-join a corpus-sized frame") {
+    // l59 pairs explode inside the per-gram source SET; l62 pairs join the
+    // sources×dims centroid frame — a SortMergeJoin anywhere means a
+    // corpus-sized side slipped in (catalog-sized frames always broadcast
+    // or hash at this SF)
+    val p59 = planString(llm.Pipeline.l59(spark, sf))
+    assert(!p59.contains("SortMergeJoin"), s"l59 grew a big-side join:\n$p59")
+    val p62 = planString(llm.Semantic.l62(spark, sf))
+    assert(!p62.contains("SortMergeJoin"), s"l62 grew a big-side join:\n$p62")
+  }
+
+  test("w09: the cumulative window's input is the collapsed days×types frame") {
+    // the window must sit above BOTH aggregates (first-seen rollup), never
+    // directly over events — a window whose child is a scan would be the
+    // quadratic COUNT(DISTINCT)-over-frame shape this operator replaces
+    val plan = operators.Windows.w09(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"no window in the plan:\n$plan")
+    windows.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.size >= 2, s"window not over the collapsed frame:\n$plan")
+    }
+  }
+
+  test("l60: calibration histogram broadcasts back onto the doc frame") {
+    val plan = planString(llm.Llm.l60(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join-back:\n$plan")
+  }
+
   test("s02: parquet scan prunes to referenced columns only") {
     val plan = planString(operators.Scans.s02(spark, sf))
     val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"
