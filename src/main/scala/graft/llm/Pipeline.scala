@@ -209,15 +209,23 @@ object Pipeline extends QueryModule {
     * tiny flagged set, and nothing materializes between stages. This is
     * the query shape a real 100 TB curation run executes as a single
     * job. */
-  def l19(spark: SparkSession, dir: String): DataFrame = {
-    val words = size(split(col("text"), " ")).cast("long")
+  /** One source of truth for the curation gate expressions — l19 applies
+    * them as filters, l61 reports them per doc, and l61's kept==l19
+    * contract depends on the two never drifting apart. */
+  private def gateWordCount: Column = size(split(col("text"), " ")).cast("long")
+  private def gatePasses: Column = {
+    val words = gateWordCount
     val meanW = length(regexp_replace(col("text"), " ", "")) / words
     val digR = regexp_count(col("text"), lit("[0-9]")) / length(col("text"))
     val symR = regexp_count(col("text"), lit("[#<>{}|~]")) / length(col("text"))
+    words.between(5L, 5000L) && meanW.between(2.0, 12.0) &&
+      digR <= 0.2 && symR <= 0.05
+  }
+
+  def l19(spark: SparkSession, dir: String): DataFrame = {
     val gated = Tables.documents(spark, dir)
       .filter(col("doc_id") % 97 =!= 0) // the eval slice is not training data
-      .filter(words.between(5L, 5000L) && meanW.between(2.0, 12.0)
-        && digR <= 0.2 && symR <= 0.05)
+      .filter(gatePasses)
     val keepIds = gated
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -230,7 +238,7 @@ object Pipeline extends QueryModule {
         when(hashBucket("split:") < 80, "train")
           .when(hashBucket("split:") < 90, "val").otherwise("test"))
       .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n_docs"), sum(words).as("tot_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(gateWordCount).as("tot_tokens"))
       .orderBy("lang", "split")
   }
 
@@ -253,16 +261,11 @@ object Pipeline extends QueryModule {
     * l14's broadcast probe. Nothing corpus-sized beyond those two
     * exchanges. */
   def l61(spark: SparkSession, dir: String): DataFrame = {
-    val words = size(split(col("text"), " ")).cast("long")
-    val meanW = length(regexp_replace(col("text"), " ", "")) / words
-    val digR = regexp_count(col("text"), lit("[0-9]")) / length(col("text"))
-    val symR = regexp_count(col("text"), lit("[#<>{}|~]")) / length(col("text"))
     val docs = Tables.documents(spark, dir)
       .withColumn("f_eval", (col("doc_id") % 97 === 0).cast("int"))
       .withColumn("f_quality",
         when(col("f_eval") === 1, lit(null).cast("int"))
-          .otherwise((!(words.between(5L, 5000L) && meanW.between(2.0, 12.0)
-            && digR <= 0.2 && symR <= 0.05)).cast("int")))
+          .otherwise((!gatePasses).cast("int")))
     val dup = docs.filter(col("f_eval") === 0 && col("f_quality") === 0)
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))

@@ -815,22 +815,29 @@ object EventTime extends QueryModule {
     * full-outer self-join of THAT frame plus a broadcast of per-day
     * totals. */
   def t29(spark: SparkSession, dir: String): DataFrame = {
-    val B = 64 // smoothing universe: value range tops out under 640
+    val B = 64 // the bucket universe; values cap into the last bucket
     val c = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("ts_ms div 86400000").as("day_idx"),
-        expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT) div 10000").as("bucket"))
+        expr(s"least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) div 10000, ${B - 1}L)")
+          .as("bucket"))
       .groupBy("event_type", "day_idx", "bucket").agg(count(lit(1)).as("n"))
     val totals = c.groupBy("event_type", "day_idx").agg(sum("n").as("tot"))
     val pairs = totals.select(col("event_type"), col("day_idx"), col("tot"))
       .join(totals.select(col("event_type"),
         (col("day_idx") + 1).as("day_idx"), col("tot").as("tot_prev")),
         Seq("event_type", "day_idx"))
+    // the sum runs over ALL 64 buckets, not just observed ones: with
+    // unequal day volumes even a both-days-empty bucket has p != q, and
+    // ~50 omitted buckets add up to more than the alert line itself
+    val universe = pairs.withColumn("bucket",
+      explode(expr(s"sequence(0L, ${B - 1}L)")))
     val curr = c.select(col("event_type"), col("day_idx"), col("bucket"), col("n"))
     val prev = c.select(col("event_type"), (col("day_idx") + 1).as("day_idx"),
       col("bucket"), col("n").as("n_prev"))
-    curr.join(prev, Seq("event_type", "day_idx", "bucket"), "full_outer")
-      .join(pairs, Seq("event_type", "day_idx")) // keeps consecutive-day rows only
+    universe
+      .join(curr, Seq("event_type", "day_idx", "bucket"), "left")
+      .join(prev, Seq("event_type", "day_idx", "bucket"), "left")
       .withColumn("p", (coalesce(col("n"), lit(0L)) + 1).cast("double")
         / (col("tot") + B).cast("double"))
       .withColumn("q", (coalesce(col("n_prev"), lit(0L)) + 1).cast("double")
@@ -884,22 +891,28 @@ object EventTime extends QueryModule {
     // units BEFORE the sum (order-independent both engines)
     "t29_psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//86400000 AS day_idx,
-        |                  CAST(floor(value * 1000.0 + 0.5) AS BIGINT) // 10000 AS bucket
+        |                  least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) // 10000,
+        |                        63) AS bucket
         |           FROM events),
         |c AS (SELECT event_type, day_idx, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
         |t AS (SELECT event_type, day_idx, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1, 2),
         |pr AS (SELECT a.event_type, a.day_idx, a.tot, b.tot AS tot_prev
         |       FROM t a JOIN t b ON a.event_type = b.event_type
         |        AND a.day_idx = b.day_idx + 1),
-        |f AS (SELECT event_type, day_idx, bucket,
-        |             COALESCE(x.n, 0) AS n, COALESCE(y.n_prev, 0) AS n_prev
-        |      FROM c x FULL OUTER JOIN
-        |        (SELECT event_type, day_idx + 1 AS day_idx, bucket, n AS n_prev FROM c) y
-        |        USING (event_type, day_idx, bucket)),
-        |j AS (SELECT f.event_type, f.day_idx, pr.tot, pr.tot_prev,
-        |             CAST(f.n + 1 AS DOUBLE) / CAST(pr.tot + 64 AS DOUBLE) AS p,
-        |             CAST(f.n_prev + 1 AS DOUBLE) / CAST(pr.tot_prev + 64 AS DOUBLE) AS q
-        |      FROM f JOIN pr ON f.event_type = pr.event_type AND f.day_idx = pr.day_idx)
+        |u AS (SELECT pr.*, bucket FROM pr
+        |      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket)),
+        |j AS (SELECT u.event_type, u.day_idx, u.tot, u.tot_prev,
+        |             CAST(COALESCE(x.n, 0) + 1 AS DOUBLE)
+        |               / CAST(u.tot + 64 AS DOUBLE) AS p,
+        |             CAST(COALESCE(y.n_prev, 0) + 1 AS DOUBLE)
+        |               / CAST(u.tot_prev + 64 AS DOUBLE) AS q
+        |      FROM u
+        |      LEFT JOIN c x ON u.event_type = x.event_type
+        |        AND u.day_idx = x.day_idx AND u.bucket = x.bucket
+        |      LEFT JOIN (SELECT event_type, day_idx + 1 AS day_idx, bucket,
+        |                        n AS n_prev FROM c) y
+        |        ON u.event_type = y.event_type AND u.day_idx = y.day_idx
+        |        AND u.bucket = y.bucket)
         |SELECT event_type, day_idx, MAX(tot) AS n_curr, MAX(tot_prev) AS n_prev,
         |       CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1000000000.0 + 0.5)
         |                     AS BIGINT)) AS BIGINT) AS psi_nano,

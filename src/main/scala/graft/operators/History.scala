@@ -341,7 +341,7 @@ object History extends QueryModule {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_states"),
         coalesce(sum("dur_ms"), lit(0L)).as("span_ms"),
-        sum(expr("CAST(vm * dur_ms AS DECIMAL(38,0))")).as("wsum"))
+        sum(expr("CAST(vm AS DECIMAL(38,0)) * dur_ms")).as("wsum"))
       .select(col("user_id"), col("n_states"), col("span_ms"),
         expr("CASE WHEN span_ms > 0 THEN CAST(wsum div span_ms AS BIGINT) END")
           .as("twap_milli"))

@@ -9,7 +9,7 @@ class AnalyticsSpec extends SparkSuite {
     val rows = Tables.events(spark, sf)
       .select("event_type", "ts_ms", "value").collect()
       .map(r => (r.getString(0), r.getLong(1) / 86400000L,
-        math.floor(r.getDouble(2) * 1000.0 + 0.5).toLong / 10000L))
+        math.min(math.floor(r.getDouble(2) * 1000.0 + 0.5).toLong / 10000L, 63L)))
     val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val days = rows.map(r => (r._1, r._2)).distinct
     val totals = days.map { case (t, d) =>
@@ -18,10 +18,9 @@ class AnalyticsSpec extends SparkSuite {
     val expected = days.flatMap { case (t, d) =>
       totals.get((t, d - 1)).map { totPrev =>
         val tot = totals((t, d))
-        val buckets = counts.keys.collect {
-          case (`t`, day, b) if day == d || day == d - 1 => b
-        }.toSet
-        val psi = buckets.toSeq.map { b =>
+        // the whole 64-bucket universe: with unequal day volumes even a
+        // both-days-empty bucket has p != q
+        val psi = (0L until 64L).map { b =>
           val p = (counts.getOrElse((t, d, b), 0L) + 1).toDouble / (tot + 64).toDouble
           val q = (counts.getOrElse((t, d - 1, b), 0L) + 1).toDouble / (totPrev + 64).toDouble
           math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
