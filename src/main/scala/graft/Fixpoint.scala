@@ -232,7 +232,7 @@ object Fixpoint {
       // rounds, fail loudly so the caller can raise maxIter, instead of
       // silently emitting split components into a dedup pass.
       if (go) {
-        release(cur)
+        // cleanup happens once, in the enclosing catch
         throw new IllegalStateException(
           s"star CC hit its round cap ($cap) before the edge-set " +
             "signature stabilized — labels would be incorrect; rerun " +

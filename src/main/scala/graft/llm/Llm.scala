@@ -943,7 +943,11 @@ object Llm extends QueryModule {
     * recall denominator needs no separate brute-force restatement. */
   private def l55Oracle: String = {
     val sig = sigExprDuck("embedding")
-    val dot = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pr.pe[i] AS DOUBLE)))"
+    // dim and radius sweep DERIVED, not hardcoded: out-of-range list
+    // indexing in DuckDB yields NULLs that list_sum silently skips, so a
+    // literal 65 would truncate the dot product without failing if the
+    // fixture dimension ever changed; same for the saturating radius
+    val dot = "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pr.pe[i] AS DOUBLE)))"
     val na = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     val nb = "sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
@@ -955,14 +959,14 @@ object Llm extends QueryModule {
        |  FROM e, pr WHERE e.vec_id <> pr.probe_id),
        |byr AS MATERIALIZED (
        |  SELECT r.radius, c.* FROM cand c
-       |  JOIN (VALUES (0), (1), (2), (4)) AS r(radius) ON c.d <= r.radius),
+       |  JOIN (VALUES (0), (1), (2), (${Hyperplanes.size})) AS r(radius) ON c.d <= r.radius),
        |topk AS MATERIALIZED (
        |  SELECT radius, probe_id, vec_id FROM (
        |    SELECT radius, probe_id, vec_id,
        |           row_number() OVER (PARTITION BY radius, probe_id
        |                              ORDER BY cosine DESC, vec_id) AS rk
        |    FROM byr) t WHERE rk <= 10),
-       |exact AS MATERIALIZED (SELECT probe_id, vec_id FROM topk WHERE radius = 4),
+       |exact AS MATERIALIZED (SELECT probe_id, vec_id FROM topk WHERE radius = ${Hyperplanes.size}),
        |hits AS (
        |  SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_hits FROM topk
        |  WHERE EXISTS (SELECT 1 FROM exact x

@@ -655,16 +655,22 @@ object EventTime extends QueryModule {
     * map-side-combinable count); the profile is ≤ 24·|types| rows and
     * BROADCASTS back onto the hourly frame for the anomaly pass —
     * nothing after the first rollup is event-sized at any corpus. */
-  def t24(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+  /** One hourly-count rollup + hour-of-day key for t24 AND t28 — t28 is
+    * residualized against t24's baseline, which only stays true if both
+    * derive hours and profile keys from the same body. */
+  private def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hr"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("hod", pmod(col("hr"), lit(24L)))
+
+  def t24(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyByType(spark, dir)
     val prof = hourly
-      .groupBy(col("event_type"), pmod(col("hr"), lit(24L)).as("hod"))
+      .groupBy("event_type", "hod")
       .agg(count(lit(1)).as("n_hours"), sum("n").as("total"),
         max("n").as("peak"))
     val anom = hourly
-      .withColumn("hod", pmod(col("hr"), lit(24L)))
       .join(broadcast(prof), Seq("event_type", "hod"))
       .filter(col("n") * col("n_hours") * 2 > col("total") * 3)
       .groupBy("event_type", "hod").agg(count(lit(1)).as("n_hot"))
@@ -690,13 +696,11 @@ object EventTime extends QueryModule {
     * |series|·|hours| frame, parameter-sized broadcast joins for med/mad
     * — nothing corpus-sized after the first aggregate. */
   def t28(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hr"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyByType(spark, dir)
     val prof = hourly
-      .groupBy(col("event_type"), pmod(col("hr"), lit(24L)).as("hod"))
+      .groupBy("event_type", "hod")
       .agg(sum("n").as("total"), count(lit(1)).as("n_hours"))
-    val r = hourly.withColumn("hod", pmod(col("hr"), lit(24L)))
+    val r = hourly
       .join(broadcast(prof), Seq("event_type", "hod"))
       .withColumn("rm", col("n") * lit(1000L) - expr("(total * 1000) div n_hours"))
     val med = medLowByType(r.select(col("event_type"), col("rm")), "rm", "med")

@@ -1,3 +1,5 @@
+package graft.tools
+
 object ListNoOracle extends App {
   val q = graft.SparkEntry.queries.keySet
   val o = graft.SparkEntry.oracleSql.keySet
