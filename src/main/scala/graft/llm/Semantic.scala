@@ -320,8 +320,12 @@ object Semantic extends QueryModule {
       .join(broadcast(nrm.select(col("source").as("s2"), col("n2").as("n2b"))), Seq("s2"))
       .join(broadcast(docs.select(col("source").as("s1"), col("n_docs").as("n1"))), Seq("s1"))
       .join(broadcast(docs.select(col("source").as("s2"), col("n_docs").as("n2"))), Seq("s2"))
-      .withColumn("cos_sim", expr(
-        "floor(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0"))
+      // Column-level doubles, NOT expr("... / 1000000.0"): the SQL-string
+      // literal parses as DECIMAL(8,1) and drags cos_sim to DECIMAL(30,9);
+      // the oracle (and every other ratio surface here) is DOUBLE.
+      .withColumn("cos_sim",
+        floor(expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))")
+          * 1000000.0 + 0.5) / 1000000.0)
       .select("s1", "s2", "n1", "n2", "cos_sim")
       .orderBy("s1", "s2")
   }

@@ -30,9 +30,13 @@ class SemanticSpec extends SparkSuite {
         math.sqrt(n2(b).toDouble)) * 1e6 + 0.5) / 1e6
       (a, b) -> ((nDocs(a), nDocs(b), cos))
     }).toMap
-    val got = llm.Semantic.l62(spark, sf).collect().map { r =>
+    val out = llm.Semantic.l62(spark, sf)
+    // dtype pin: the r8 bug was a DECIMAL(30,9) cos_sim with exactly-right
+    // VALUES — only the driver's DuckDB hash (DOUBLE vs DECIMAL text) saw it
+    assert(out.schema("cos_sim").dataType === org.apache.spark.sql.types.DoubleType)
+    val got = out.collect().map { r =>
       (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getAs[java.math.BigDecimal](4).doubleValue))
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))
     }.toMap
     assert(got === expected)
     // complete matrix in canonical order, cosines inside the unit ball
