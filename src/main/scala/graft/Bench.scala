@@ -70,6 +70,11 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // drop warmup memo entries BEFORE the unpersist-all below: a warm-dir
+    // CC labeling left registered would either shadow the measured dir
+    // (if sfDir == warmDir) or sit as protected dead weight; clearing here
+    // also unprotects, so the blanket unpersist stays a full reset
+    graft.llm.Pipeline.clearCcMemo()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
@@ -141,6 +146,52 @@ object Bench {
     }
     currentQuery = "post-sweep"
     val ok = results.collect { case (n, Right(t), _) => n -> t }
+    // Fresh-JVM re-probe of the top-3 tail queries (full sweeps only):
+    // r8's l53 measured 38.7 s in-sweep but 6.6 s warm in a fresh JVM —
+    // ~4× of the tail was sweep-state/GC, not the plan. Recording both
+    // numbers side by side lets a verdict separate plan regressions from
+    // harness inflation mechanically instead of by hand-run triage. The
+    // child process is this same main with SPARK_GRAFT_ONLY set (so it
+    // cannot recurse or clobber bench_full.json); failures are non-fatal
+    // — an empty fresh_probe means the probe didn't run, never that the
+    // queries are fast.
+    val freshProbe: Seq[(String, Double)] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_FRESH_PROBE").contains("0"))
+        Seq.empty
+      else ok.sortBy(-_._2).take(3).map(_._1) match {
+        case tail if tail.isEmpty => Seq.empty
+        case tail =>
+          try {
+            import scala.jdk.CollectionConverters._
+            val javaBin = java.nio.file.Paths
+              .get(System.getProperty("java.home"), "bin", "java").toString
+            val heapArgs = java.lang.management.ManagementFactory
+              .getRuntimeMXBean.getInputArguments.asScala
+              .filter(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+            val cmd = (Seq(javaBin) ++ heapArgs ++ Seq("-cp",
+              System.getProperty("java.class.path"), "graft.Bench")).asJava
+            val pb = new ProcessBuilder(cmd)
+            pb.environment().put("SPARK_GRAFT_ONLY", tail.mkString(","))
+            pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+            pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+            pb.redirectErrorStream(false)
+            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+            val p = pb.start()
+            val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+            val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+            if (!done) { p.destroyForcibly(); Seq.empty }
+            else
+              "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+                .findAllMatchIn(
+                  out.linesIterator.find(_.startsWith("{\"metric\""))
+                    .flatMap(l => "\"queries\":\\{([^}]*)\\}".r
+                      .findFirstMatchIn(l).map(_.group(1))).getOrElse(""))
+                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] fresh probe failed: ${e.getMessage}")
+            Seq.empty
+          }
+      }
     val failed = results.collect { case (n, Left(_), _) => n }
     val errors = results.collect { case (n, Left(e), _) => n -> e }
     val gcByQuery = results.collect { case (n, Right(_), g) => n -> g }
@@ -178,6 +229,7 @@ object Bench {
     val jobFailJson = sJson(jobFailures.asScala.toSeq.sortBy(_._1))
     val full = s"""{"total":${f3(total)},$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},""" +
+      s""""fresh_probe":${qsJson(freshProbe.sortBy(_._1))},""" +
       s""""failed":$failedJson,"errors":${sJson(errors)},""" +
       s""""job_failures":$jobFailJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record

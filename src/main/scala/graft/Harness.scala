@@ -9,6 +9,29 @@ import org.apache.spark.sql.SparkSession
   * several places to be real. */
 object Harness {
 
+  /** RDD ids the inter-query drain must NOT unpersist: session-scoped
+    * memos (Pipeline.ccMemo's checkpointed CC labelings) register their
+    * backing RDDs here. These frames are deliberately cross-query state —
+    * tiny (one row per near-dup node) and the whole point of the memo is
+    * surviving from l21's run to l53's — while everything else the drain
+    * clears is per-query debt. Entries are removed by the memo's own
+    * eviction/clear (which also unpersists). */
+  private val protectedRdds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  def protectRdds(ids: Iterable[Int]): Unit =
+    ids.foreach(protectedRdds.add(_))
+
+  def unprotectRdds(ids: Iterable[Int]): Unit =
+    ids.foreach(protectedRdds.remove(_))
+
+  /** Backing RDD ids of a (checkpointed) frame — the unit both the memo
+    * registration and Fixpoint.release operate on. */
+  def frameRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   /** JSON string escape: backslash, quote, and ALL control chars
     * (<0x20) — a tab or CR in builder-authored SQL or an exception
     * message would otherwise make the driver's json.load fail. */
@@ -36,6 +59,7 @@ object Harness {
   def drain(spark: SparkSession, settleMs: Long): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => protectedRdds.contains(r.id))
       .foreach(_.unpersist(blocking = false))
     System.gc()
     if (settleMs > 0) {

@@ -397,11 +397,17 @@ class PipelineSpec extends SparkSuite {
     // corpus: the CC fixpoint (the dominant cost) is paid ONCE, and the
     // derived outputs are exactly the registered queries' results
     val labels = llm.Pipeline.dedupClusterLabels(spark, sf)
+    // memo pin: a second call over the same (session, corpus) returns the
+    // SAME materialized frame — the fixpoint is not re-run (the r8 sweep
+    // tail was l21+l53 each paying it independently)
+    assert(llm.Pipeline.dedupClusterLabels(spark, sf) eq labels,
+      "dedupClusterLabels memo missed on an identical (session, dir)")
     val l21Shared = llm.Pipeline.l21From(labels).collect().map(_.toSeq).toSet
     val l53Shared = llm.Pipeline.l53From(spark, sf, labels).collect().map(_.toSeq).toSet
     assert(l21Shared === llm.Pipeline.l21(spark, sf).collect().map(_.toSeq).toSet)
     assert(l53Shared === llm.Pipeline.l53(spark, sf).collect().map(_.toSeq).toSet)
-    Fixpoint.release(labels)
+    // clearCcMemo (not a bare release) — the memo owns the frame's blocks
+    llm.Pipeline.clearCcMemo()
   }
 
   test("l59: source-overlap matrix matches a driver-side set replay") {
