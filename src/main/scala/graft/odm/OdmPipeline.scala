@@ -419,20 +419,37 @@ object OdmIo {
     * validation_failed at import_clinical_data.clj:73-81); the reference
     * instead aborts the whole file on first parse error — a side-output
     * quarantine is the batch-native upgrade (R3's reject path).
-    */
+    *
+    * Each reject also carries the broker's requeue split (broker.clj:88-95:
+    * a handler exception rejects the delivery with `:requeue` from its
+    * ex-data): a COERCION failure is fatal (requeue=false — redelivering
+    * unparseable data can never succeed; it fails at command build,
+    * import_clinical_data.clj:60-62 `coerce`), while a MISSING PARENT
+    * (the id chain broke — the XML lacked an ancestor OID, so the
+    * command's dependency key is underivable) is retryable (requeue=true —
+    * a later import may create the parent). Coercion wins when both hold:
+    * it is detected first, at build time, before any handler runs. A
+    * missing-parent reject has no derivable entity id (the uuid5 chain is
+    * null from the break downward), so its event id is NULL and the
+    * dead-letter row carries the natural keys instead. */
   def splitValidItems(items: DataFrame): (DataFrame, DataFrame) = {
     val coerced = coalesce(col("value_string").cast("string"),
       col("value_integer").cast("string"),
       col("value_float").cast("string"),
       col("value_datetime").cast("string"))
-    val bad = col("value_raw").isNotNull && coerced.isNull
+    val badCoerce = col("value_raw").isNotNull && coerced.isNull
+    val orphan = col("item_group_id").isNull
+    val bad = badCoerce || orphan
     val evName = "clinical-data-import/validation-failed"
     graft.functions.Uuid5Expression.register(items.sparkSession)
     val rejects = items.filter(bad).select(
       graft.functions.Uuid5Expression.uuid5Native(
         col("item_id"), lit(evName)).as("id"),
       lit(evName).as("name"),
-      col("item_oid"), col("data_type"), col("value_raw"), col("file_oid"))
+      col("item_oid"), col("data_type"), col("value_raw"), col("file_oid"),
+      when(badCoerce, lit(false)).otherwise(lit(true)).as("requeue"),
+      when(badCoerce, lit("coercion")).otherwise(lit("missing-parent"))
+        .as("reason"))
     (items.filter(!bad), rejects)
   }
 

@@ -5,9 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Query-registry surface for the ODM domain layer. Inputs come from the
-  * shipped XML fixture (not the parquet star schema); c01/c02/c03 are
-  * gated by golden-table oracles (see `oracles` below), s06 by
-  * OdmPipelineSpec goldens.
+  * shipped XML fixture (not the parquet star schema); all four queries
+  * (s06/c01/c02/c03) are gated by golden-table oracles (see `oracles`
+  * below) plus the OdmPipelineSpec/OdmIoSpec goldens.
   */
 object OdmQueries extends QueryModule {
 
@@ -53,17 +53,22 @@ object OdmQueries extends QueryModule {
     * validation-failed events (dead-letter side output). Both branches
     * surface in one frame — at scale each branch is its own sink
     * (quarantine directory vs. command log); the union here is only so
-    * the harness sees the whole split. Scalar columns only. */
+    * the harness sees the whole split. Rejects carry the broker's
+    * retryable-vs-fatal requeue split (broker.clj:88-95 — see
+    * splitValidItems): coercion = fatal, missing-parent = retryable.
+    * Scalar columns only. */
   def c03(spark: SparkSession, dir: String): DataFrame = {
     val items = OdmPipeline.exploded(spark, OdmPipeline.invalidFixturePath()).items
     val (valid, rejects) = OdmIo.splitValidItems(items)
     valid
       .select(lit("valid").as("branch"), col("item_oid"),
         col("data_type"), col("value_raw"),
-        lit(null).cast("string").as("event_id"))
+        lit(null).cast("string").as("event_id"),
+        lit(null).cast("boolean").as("requeue"),
+        lit(null).cast("string").as("reason"))
       .unionByName(rejects.select(lit("reject").as("branch"),
         col("item_oid"), col("data_type"), col("value_raw"),
-        col("id").as("event_id")))
+        col("id").as("event_id"), col("requeue"), col("reason")))
       .orderBy("branch", "item_oid")
   }
 
@@ -81,10 +86,26 @@ object OdmQueries extends QueryModule {
     * against expectations transliterated from the reference's own tests
     * (test/lens/import_clinical_data_test.clj:10-280, incl. the golden
     * gen-cmd-id at :263-267); the driver hash-gate now re-confirms the
-    * whole stream every round. s06 stays spec-gated: its typed
-    * value_datetime column is a raw TIMESTAMP and the cross-engine
-    * rendering of that type is not pinned by any existing oracle. */
+    * whole stream every round. s06's raw-TIMESTAMP value_datetime was the
+    * r8 blocker for a golden; the gate normalizes both engines' timestamps
+    * to datetime64[us] and five oracled queries (a01, s01, s03, s19, s20)
+    * already ride that path, so s06 gets the same VALUES golden as the
+    * c-queries (transliterated from the engine's pinned output over the
+    * in-repo fixture, itself pinned by OdmPipelineSpec against the
+    * reference's own test expectations). */
   val oracles: Map[String, String] = Map(
+    "s06_source_xml_odm" ->
+      """SELECT * FROM (VALUES
+        |  ('FILE-1', '000000.000000.000000.000000.000000.000000', 'IG1', 'f891510b-a636-5657-9d4b-95bb5c9576d6', 'I1', '1f9a686e-bcfa-5bd9-b3e9-9e96e6215897', 'insert', 'string', 'x', 'x', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000000.000000.000000.000000.000001', 'IG1', 'f891510b-a636-5657-9d4b-95bb5c9576d6', 'I2', 'bd0509b7-38d5-502d-8b63-fe8cfca6847e', 'insert', 'integer', '42', CAST(NULL AS VARCHAR), CAST(42 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000000.000000.000000.000000.000002', 'IG1', 'f891510b-a636-5657-9d4b-95bb5c9576d6', 'I3', 'bf3972e5-3477-53cf-85db-5a609c6e3928', 'insert', 'float', '3.25', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(3.25 AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000000.000000.000000.000000.000003', 'IG1', 'f891510b-a636-5657-9d4b-95bb5c9576d6', 'I4', '807ce840-fbec-5524-91a4-d837e5380300', 'insert', 'datetime', '2016-03-18T14:41:00Z', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TIMESTAMP '2016-03-18 14:41:00'),
+        |  ('FILE-1', '000000.000001.000000.000000.000000.000000', 'IG2', 'c9097569-8f6e-5919-9061-5db0a477047d', 'I5', '6930b0b9-b0cc-52bb-8636-633de695f6c2', 'insert', 'string', 'y', 'y', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000003.000000.000000.000000.000000', 'IG4', 'de3c8b8e-3091-5f85-8cf0-705655df9853', 'I7', 'e50cf695-72fc-548c-a89e-5aab30ae2feb', 'insert', 'integer', '7', CAST(NULL AS VARCHAR), CAST(7 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000003.000001.000000.000000.000000', 'IG5', 'ff2488a3-c6b8-59bd-b285-573153b57eca', 'I8', '16bc392c-1f09-54a8-b1eb-505ff54786cc', 'remove', 'string', 'w', 'w', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)),
+        |  ('FILE-1', '000000.000003.000001.000000.000000.000001', 'IG5', 'ff2488a3-c6b8-59bd-b285-573153b57eca', 'I9', 'aa9cedff-eaff-5f00-af87-828ea2609ef8', 'update', 'float', '1.5', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(1.5 AS DOUBLE), CAST(NULL AS TIMESTAMP))
+        |) t(file_oid, doc_pos, item_group_oid, item_group_id, item_oid, item_id, tx, data_type, value_raw, value_string, value_integer, value_float, value_datetime)
+        |ORDER BY item_group_oid, item_oid""".stripMargin,
     "c01_odm_commands" ->
       """SELECT * FROM (VALUES
         |  ('baf08666-b9fb-5f9f-a100-2af10593f726', 'odm-import/insert-subject', 'importer-1', 'FILE-1', '{"study_id":"e0613ddc-8747-503d-8c70-2a4d9589ff08","subject_key":"SK01"}', 1, '000000.000000'),
@@ -128,9 +149,10 @@ object OdmQueries extends QueryModule {
         |ORDER BY level, name, params_json""".stripMargin,
     "c03_odm_quarantine" ->
       """SELECT * FROM (VALUES
-        |  ('reject', 'B1', 'integer', 'not-a-number', '99dc9c94-7a40-5550-b6f9-0c2e5d14ce46'),
-        |  ('reject', 'B2', 'datetime', 'yesterday-ish', '605aacbe-88e0-5d15-8c39-5e80cbd1e52f'),
-        |  ('valid', 'B3', 'float', '3.5', CAST(NULL AS VARCHAR))
-        |) t(branch, item_oid, data_type, value_raw, event_id)
+        |  ('reject', 'B1', 'integer', 'not-a-number', '99dc9c94-7a40-5550-b6f9-0c2e5d14ce46', false, 'coercion'),
+        |  ('reject', 'B2', 'datetime', 'yesterday-ish', '605aacbe-88e0-5d15-8c39-5e80cbd1e52f', false, 'coercion'),
+        |  ('reject', 'B4', 'integer', '7', CAST(NULL AS VARCHAR), true, 'missing-parent'),
+        |  ('valid', 'B3', 'float', '3.5', CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR))
+        |) t(branch, item_oid, data_type, value_raw, event_id, requeue, reason)
         |ORDER BY branch, item_oid""".stripMargin)
 }

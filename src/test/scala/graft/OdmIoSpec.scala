@@ -26,10 +26,22 @@ class OdmIoSpec extends SparkSuite {
     val (valid, rejects) = OdmIo.splitValidItems(items)
     assert(valid.count() === 1) // B3 float ok
     val rej = rejects.orderBy("item_oid").collect()
-    assert(rej.map(_.getAs[String]("item_oid")).toSeq === Seq("B1", "B2"))
+    assert(rej.map(_.getAs[String]("item_oid")).toSeq === Seq("B1", "B2", "B4"))
     assert(rej.forall(_.getAs[String]("name") == "clinical-data-import/validation-failed"))
-    assert(rej.map(_.getAs[String]("id")).distinct.length === 2)
     assert(rej.head.getAs[String]("value_raw") === "not-a-number")
+    // requeue split (broker.clj:88-95): coercion = fatal, missing parent
+    // = retryable; the fatal arm keeps its derivable uuid5 event id, the
+    // retryable arm's id chain is broken so its event id is NULL
+    val byOid = rej.map(r => r.getAs[String]("item_oid") -> r).toMap
+    Seq("B1", "B2").foreach { oid =>
+      assert(byOid(oid).getAs[Boolean]("requeue") === false)
+      assert(byOid(oid).getAs[String]("reason") === "coercion")
+      assert(byOid(oid).getAs[String]("id") != null)
+    }
+    assert(byOid("B4").getAs[Boolean]("requeue") === true)
+    assert(byOid("B4").getAs[String]("reason") === "missing-parent")
+    assert(byOid("B4").getAs[String]("id") == null)
+    assert(rej.map(_.getAs[String]("id")).filter(_ != null).distinct.length === 2)
   }
 
   test("command log: partitioned write, pruned re-read, order-free level recovery") {
