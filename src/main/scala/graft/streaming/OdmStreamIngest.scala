@@ -31,6 +31,29 @@ object OdmStreamIngest {
     OdmPipeline.commandsOf(OdmPipeline.explodedFrom(parsed))
   }
 
+  /** The BUS-SHAPED command topic (R13 envelope + R19 topic routing) on
+    * the stream: what the reference publishes to the `lens-sds.commands`
+    * exchange, as a Structured Streaming frame. Each micro-batch carries
+    * the enveloped commands of newly-landed files — id is the same
+    * deterministic gen-cmd-id as the batch path (replay-idempotent), and
+    * `routing_key` is the reference's `ns.name` key (broker.clj:183
+    * event-routing-key / :121-131 topic exchange): the keyword
+    * `:odm-import/insert-subject` routes as "odm-import.insert-subject".
+    * At scale the writeStream target is a Kafka topic keyed by
+    * routing_key; OdmStreamIngestSpec proves the accumulated emission
+    * equals the c01 golden stream exactly. No orderBy here — global sort
+    * is not append-stream-legal; consumers order by (level, doc_pos) at
+    * read, as the command log sink does. */
+  def commandTopicStream(spark: SparkSession, dir: String, batchCmdId: String,
+      sub: String): DataFrame =
+    commandStream(spark, dir)
+      .withColumn("id", graft.functions.Uuid5Expression.genCmdId(spark,
+        lit(batchCmdId), col("name"), col("params_json"), col("file_oid")))
+      .withColumn("sub", lit(sub))
+      .withColumn("routing_key", regexp_replace(col("name"), "/", "."))
+      .select("id", "name", "sub", "file_oid", "params_json", "level",
+        "doc_pos", "routing_key")
+
   // ---- streaming dependency gate (R15, stream-native) -------------------
 
   final case class GateEvent(parent_id: String, kind: String, child_id: String)

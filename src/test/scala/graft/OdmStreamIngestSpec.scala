@@ -68,6 +68,100 @@ class OdmStreamIngestSpec extends SparkSuite {
     }
   }
 
+  test("bus-shaped command topic: streaming emission == the c01 golden set, " +
+      "routed by the reference's ns.name key") {
+    val dir = Files.createTempDirectory("graft_odm_topic")
+    Files.copy(Paths.get(graft.odm.OdmPipeline.fixturePath()),
+      dir.resolve("f1.xml"))
+    val name = s"graft_odm_topic_${System.nanoTime()}"
+    val q = OdmStreamIngest.commandTopicStream(spark, dir.toString,
+      graft.odm.OdmQueries.BatchCmdId, "importer-1")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val topic = spark.table(name)
+      // exactly the c01 golden stream — same deterministic envelope ids,
+      // same 7 columns, row for row (set compare: the stream is unordered)
+      val streamed = topic.select("id", "name", "sub", "file_oid",
+        "params_json", "level", "doc_pos").collect().map(_.toSeq).toSet
+      val golden = graft.odm.OdmQueries.queries("c01_odm_commands")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === golden)
+      // R19 topic routing: ns.name from the command keyword
+      val keys = topic.select("name", "routing_key").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      assert(keys.nonEmpty && keys.forall { case (n, k) => k == n.replace('/', '.') })
+      assert(keys.exists(_._2 == "odm-import.insert-subject"))
+    } finally q.stop()
+  }
+
+  test("streaming gate on the real command topic: out-of-order acks reproduce " +
+      "the c02 batch gate at the subject level") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import OdmStreamIngest.{GateEvent, GatedChild}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real c01 commands, not synthetic ids: children = level-2 study-event
+    // commands keyed by their params' subject_id; parent_ok = the c02
+    // event-log acks (every subject except SK01's)
+    val env = graft.odm.OdmQueries.queries("c01_odm_commands")(spark, sf).collect()
+    def param(json: String, key: String): String =
+      s""""$key":"([0-9a-f-]+)"""".r.findFirstMatchIn(json).map(_.group(1)).orNull
+    val children = env.filter(_.getAs[Int]("level") == 2).map { r =>
+      GateEvent(param(r.getAs[String]("params_json"), "subject_id"),
+        "child", r.getAs[String]("id"))
+    }
+    def subjectIdOf(r: org.apache.spark.sql.Row): String = {
+      val js = r.getAs[String]("params_json")
+      graft.functions.Uuid5.uuid5(param(js, "study_id"),
+        """"subject_key":"([A-Z0-9]+)"""".r.findFirstMatchIn(js).map(_.group(1)).get)
+    }
+    val ackedSubjects = env.filter { r =>
+      r.getAs[Int]("level") == 1 && !r.getAs[String]("params_json").contains("SK01") &&
+        r.getAs[String]("name").matches(".*(insert|upsert)-subject")
+    }.map(subjectIdOf).toSet
+    // update pass-through (R15): a subject with tx=update emits NO command
+    // — the batch gate cascades into it unconditionally, so on the bus its
+    // children's parent resolves ok implicitly (no ack will ever arrive)
+    val commandedSubjects = env
+      .filter(r => r.getAs[Int]("level") == 1 &&
+        r.getAs[String]("name").contains("subject")).map(subjectIdOf).toSet
+    val passThrough = children.map(_.parent_id).toSet -- commandedSubjects
+    val acks = (ackedSubjects ++ passThrough).toSeq.sorted
+      .map(GateEvent(_, "parent_ok", ""))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"graft_gate_real_${System.nanoTime()}"
+    try {
+      val stream = MemoryStream[GateEvent]
+      val q = OdmStreamIngest.gatedChildren(stream.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // the bus case batch can't see: children arrive BEFORE their acks
+        stream.addData(children.toIndexedSeq: _*)
+        q.processAllAvailable()
+        assert(spark.table(name).count() === 0) // everything orphan-buffered
+        stream.addData(acks.toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    val passed = spark.table(name).as[GatedChild].collect()
+      .filter(g => g.status == "released" || g.status == "direct")
+      .map(_.child_id).toSet
+    // == the study-event command ids the c02 batch gate lets through
+    val c02Level2 = graft.odm.OdmQueries.queries("c02_odm_gated")(spark, sf)
+      .filter(col("level") === 2).select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(passed === c02Level2)
+    assert(passed.nonEmpty && !passed.contains(
+      "cb1345f7-9fdf-560d-9773-a4eb83331759")) // SK01's SE01 stays pruned
+  }
+
   test("file-arrival streaming ingest == batch command stream") {
     val dir = Files.createTempDirectory("graft_odm_stream")
     val template = new String(Files.readAllBytes(
