@@ -823,7 +823,13 @@ object EventTime extends QueryModule {
     val c = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("ts_ms div 86400000").as("day_idx"),
-        expr(s"least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) div 10000, ${B - 1}L)")
+        // greatest(0, …) clamp, mirrored in the oracle: for a NEGATIVE
+        // value the engines' integer division disagrees (Spark `div`
+        // truncates toward zero → 0, DuckDB `//` floors → -1) and an
+        // unclamped negative bucket would fall outside the 0..63 universe
+        // sum while still inflating tot; the clamp makes both engines
+        // land the whole negative tail in bucket 0
+        expr(s"greatest(0L, least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) div 10000, ${B - 1}L))")
           .as("bucket"))
       .groupBy("event_type", "day_idx", "bucket").agg(count(lit(1)).as("n"))
     val totals = c.groupBy("event_type", "day_idx").agg(sum("n").as("tot"))
@@ -895,8 +901,8 @@ object EventTime extends QueryModule {
     // units BEFORE the sum (order-independent both engines)
     "t29_psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000//86400000 AS day_idx,
-        |                  least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) // 10000,
-        |                        63) AS bucket
+        |                  greatest(0, least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) // 10000,
+        |                        63)) AS bucket
         |           FROM events),
         |c AS (SELECT event_type, day_idx, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
         |t AS (SELECT event_type, day_idx, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1, 2),

@@ -243,7 +243,13 @@ object Scans extends QueryModule {
       .select("l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice")
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .repartition(col("ship_month"))
-      .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+      .write.mode("overwrite").partitionBy("ship_month")
+      // the oracle pins n_files = 1 per month; that invariant is the
+      // repartition's doing but a harness-level maxRecordsPerFile (or a
+      // speculative retry splitting a task's output) would break it
+      // without any code change — pin the contract in the writer itself
+      .option("maxRecordsPerFile", 0)
+      .parquet(tmp)
     spark.read.parquet(tmp)
       .select(col("ship_month"), col("_metadata.file_name").as("file_name"),
         col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
