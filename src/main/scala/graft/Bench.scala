@@ -180,13 +180,7 @@ object Bench {
             val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
             val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
             if (!done) { p.destroyForcibly(); Seq.empty }
-            else
-              "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
-                .findAllMatchIn(
-                  out.linesIterator.find(_.startsWith("{\"metric\""))
-                    .flatMap(l => "\"queries\":\\{([^}]*)\\}".r
-                      .findFirstMatchIn(l).map(_.group(1))).getOrElse(""))
-                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+            else Harness.parseBenchQueries(out)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] fresh probe failed: ${e.getMessage}")
             Seq.empty

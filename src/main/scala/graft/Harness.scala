@@ -45,6 +45,20 @@ object Harness {
     case c => c.toString
   } + "\""
 
+  /** Parse the per-query seconds out of a Bench stdout capture (the
+    * fresh-probe child's output): finds the one `{"metric":…}` line and
+    * extracts its `queries` object. Total-function contract — any
+    * malformed/empty input yields Seq.empty, never a throw, because the
+    * probe is advisory: a parse failure must read as "probe didn't run",
+    * not kill the sweep that just spent 20 minutes measuring. */
+  def parseBenchQueries(out: String): Seq[(String, Double)] =
+    "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+      .findAllMatchIn(
+        out.linesIterator.find(_.startsWith("{\"metric\""))
+          .flatMap(l => "\"queries\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(l).map(_.group(1))).getOrElse(""))
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+
   /** Full sweep-state drain. Caches pinned inside a query (l02
     * shingles, ODM explode levels) must not outlive its run — pinned
     * storage memory starves later sort-heavy runs of execution memory →
