@@ -410,6 +410,42 @@ class PipelineSpec extends SparkSuite {
     llm.Pipeline.clearCcMemo()
   }
 
+  test("ccMemo staleness contract: same corpus hits, rewrite-in-place needs clearCcMemo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccmemo").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val longA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val longB = ("one two three four five six seven eight nine ten more " * 3).trim
+    write(Seq(1L -> longA, 2L -> longA,
+      3L -> "totally unrelated filler words beyond eight tokens in this row"))
+    llm.Pipeline.clearCcMemo()
+    try {
+      val l1 = llm.Pipeline.dedupClusterLabels(spark, dir)
+      assert(l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === Map(1L -> 1L, 2L -> 1L))
+      assert(llm.Pipeline.dedupClusterLabels(spark, dir) eq l1)
+      // corpus regenerated IN PLACE: the dup pair moves from (1,2) to (1,3)
+      write(Seq(1L -> longB,
+        2L -> "different unrelated padding words beyond eight tokens here too",
+        3L -> longB))
+      // the documented staleness: a re-read of the same path still
+      // sameResult-matches the memo key, so without the hook the OLD
+      // labeling keeps being served — exactly l43's trainMemo contract
+      assert(llm.Pipeline.dedupClusterLabels(spark, dir) eq l1,
+        "if this ever MISSES, the staleness doc on dedupClusterLabels/clearCcMemo is obsolete")
+      llm.Pipeline.clearCcMemo()
+      val lab2 = llm.Pipeline.dedupClusterLabels(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab2 === Map(1L -> 1L, 3L -> 1L))
+    } finally {
+      llm.Pipeline.clearCcMemo()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("l59: source-overlap matrix matches a driver-side set replay") {
     val bySource = Tables.documents(spark, sf)
       .select("source", "text").collect()
