@@ -176,11 +176,20 @@ object Bench {
             pb.environment().put("SPARK_GRAFT_CPUS", cpus)
             pb.redirectErrorStream(false)
             pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+            // stdout goes to a file, NOT a pipe read before waitFor: a
+            // blocking readAllBytes would make the 20-minute timeout
+            // unreachable on a hung child (the read itself never returns)
+            val outFile = java.nio.file.Files
+              .createTempFile("graft_fresh_probe", ".out")
+            pb.redirectOutput(outFile.toFile)
             val p = pb.start()
-            val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
             val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-            if (!done) { p.destroyForcibly(); Seq.empty }
-            else Harness.parseBenchQueries(out)
+            if (!done) p.destroyForcibly()
+            val out =
+              if (done) new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+              else ""
+            java.nio.file.Files.deleteIfExists(outFile)
+            Harness.parseBenchQueries(out)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] fresh probe failed: ${e.getMessage}")
             Seq.empty
