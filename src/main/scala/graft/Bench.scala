@@ -71,10 +71,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
     // drop warmup memo entries BEFORE the unpersist-all below: a warm-dir
-    // CC labeling left registered would either shadow the measured dir
-    // (if sfDir == warmDir) or sit as protected dead weight; clearing here
-    // also unprotects, so the blanket unpersist stays a full reset
+    // CC labeling / pair graph left registered would either shadow the
+    // measured dir (if sfDir == warmDir) or sit as protected dead weight;
+    // clearing here also unprotects, so the blanket unpersist stays a
+    // full reset
     graft.llm.Pipeline.clearCcMemo()
+    graft.llm.Llm.clearPairsMemo()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

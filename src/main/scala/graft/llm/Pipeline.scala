@@ -328,17 +328,13 @@ object Pipeline extends QueryModule {
   def l21(spark: SparkSession, dir: String): DataFrame =
     l21From(dedupClusterLabels(spark, dir))
 
-  /** Session-scoped memo for CC labelings — the l43 merge-table memo's
-    * sibling, keyed by (SparkSession identity, normalized pair-graph
-    * plan). The labels frame is localCheckpoint-materialized and tiny
-    * (one row per node that appears in a near-dup pair), so holding a
-    * handful per session is cheap; the win is that a sweep running BOTH
-    * l21 and l53 over one corpus pays the multi-round CC fixpoint — the
-    * sweep's dominant tail cost (r8: l53 38.7 s + l21 15.3 s in-sweep) —
-    * exactly once. Evicted entries release their checkpoint blocks. */
-  private val ccMemo =
-    new java.util.ArrayDeque[(SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+  /** Session-scoped memo for CC labelings (graft.FrameMemo): the labels
+    * frame is localCheckpoint-materialized and tiny (one row per node in
+    * a near-dup pair), so holding a handful per session is cheap; the win
+    * is that a sweep running BOTH l21 and l53 over one corpus pays the
+    * multi-round CC fixpoint — the r8 sweep's dominant tail (l53 38.7 s +
+    * l21 15.3 s in-sweep) — exactly once. */
+  private val ccMemo = new graft.FrameMemo[Unit]()
 
   /** The shared CC labeling both l21 and l53 canonicalize from: one
     * large-star/small-star run over the l02 MinHash pair graph, round
@@ -346,54 +342,27 @@ object Pipeline extends QueryModule {
     * (session, corpus plan) so repeated calls — the registered l21 and
     * l53 queries, or a composed pipeline labeling once and canonicalizing
     * twice — re-run nothing (PipelineSpec pins the sharing AND the memo
-    * hit). */
-  def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    // Key on the raw documents READ plan, not the l02 pair plan: l02
-    // localCheckpoints its (eager) result, so constructing it both runs
-    // jobs and yields a fresh LogicalRDD that can never sameResult-match
-    // a previous call — the hit path must not touch l02 at all.
-    val key = Tables.documents(spark, dir).queryExecution.normalized
-    def lookup: Option[DataFrame] = {
-      val it = ccMemo.iterator()
-      var found: Option[DataFrame] = None
-      while (it.hasNext && found.isEmpty) {
-        val (s, p, l) = it.next()
-        if ((s eq spark) && p.sameResult(key)) found = Some(l)
-      }
-      found
-    }
-    ccMemo.synchronized(lookup).getOrElse {
-      val labels = graft.Fixpoint.connectedComponentsStar(
+    * hit). Keyed on the raw documents READ plan, not the l02 pair plan:
+    * l02 localCheckpoints its (eager) result, so constructing it both
+    * runs jobs and yields a fresh never-matching LogicalRDD — the hit
+    * path must not touch l02 at all. */
+  def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrCompute(spark,
+      Tables.documents(spark, dir).queryExecution.normalized, ()) {
+      graft.Fixpoint.connectedComponentsStar(
         Llm.l02(spark, dir).select("a", "b"))
-      ccMemo.synchronized {
-        lookup match {
-          case Some(winner) => // lost a race — keep the stored frame
-            graft.Fixpoint.release(labels)
-            winner
-          case None =>
-            ccMemo.addLast((spark, key, labels))
-            // shield the checkpoint blocks from the inter-query drain
-            // (Harness.drain unpersists every non-protected RDD, and a
-            // memo hit on a drained frame would be an unrecomputable
-            // LocalCheckpointRDD — "checkpoint block not found")
-            graft.Harness.protectRdds(graft.Harness.frameRddIds(labels))
-            if (ccMemo.size > 8) evict(ccMemo.removeFirst()._3)
-            labels
-        }
-      }
     }
-  }
-
-  private def evict(labels: DataFrame): Unit = {
-    graft.Harness.unprotectRdds(graft.Harness.frameRddIds(labels))
-    graft.Fixpoint.release(labels)
-  }
 
   /** Invalidation hook (clearTrainMemo's sibling): drop memoized CC
     * labelings — a corpus regenerated in place still sameResult-matches
-    * a re-read of the same path and would keep serving stale labels. */
-  def clearCcMemo(): Unit = ccMemo.synchronized {
-    while (!ccMemo.isEmpty) evict(ccMemo.removeFirst()._3)
+    * a re-read of the same path and would keep serving stale labels
+    * (PipelineSpec pins the contract). Also clears the upstream pair-graph
+    * memo: labels DERIVE from pairs, so "fresh labels over stale pairs"
+    * is never a coherent state — recomputing CC after this hook must
+    * re-derive the pair graph too. */
+  def clearCcMemo(): Unit = {
+    ccMemo.clear()
+    Llm.clearPairsMemo()
   }
 
   /** l21's cluster report from a precomputed (id, label) CC labeling. */

@@ -48,6 +48,18 @@ class DedupSpec extends SparkSuite {
       s"four Lloyd rounds should strictly improve the seed: $objectives")
   }
 
+  test("pairsMemo: identical (corpus, jaccMin, cap) serves the SAME materialized frame; " +
+      "different params miss") {
+    llm.Llm.clearPairsMemo()
+    val p1 = Llm.minHashNearDupPairs(Tables.documents(spark, sf))
+    assert(Llm.minHashNearDupPairs(Tables.documents(spark, sf)) eq p1,
+      "pair-graph memo missed on an identical (session, corpus, params)")
+    // a different cap is a different contract — must NOT serve p1
+    assert(!(Llm.minHashNearDupPairs(Tables.documents(spark, sf),
+      bucketCap = 7) eq p1))
+    llm.Pipeline.clearCcMemo() // clears pairsMemo too (labels derive from pairs)
+  }
+
   test("l02c SimHash pairs substantially agree with MinHash-LSH pairs (same planted dups)") {
     val sim = pairs(Dedup.l02c(spark, sf))
     val mh = pairs(Llm.l02(spark, sf))
