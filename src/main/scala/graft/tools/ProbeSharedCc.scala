@@ -2,9 +2,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 // temporary dev probe — measures the shared-CC-labeling library path
 // (Pipeline.dedupClusterLabels feeding BOTH l21From and l53From) against
-// the two registered queries run independently. The claim under test:
-// combined shared-path time ≈ l21 alone (the CC fixpoint, the dominant
-// cost, is paid once).
+// the two registered queries run with the session memos CLEARED between
+// them (the pre-memo cost a user without the library's sharing would
+// pay). The claim under test: combined shared-path time ≈ l21 alone
+// (pair graph + CC fixpoint, the dominant costs, are paid once).
+// Drains go through Harness.drain so memo-protected frames survive;
+// independence between the "alone" timings is forced by clearCcMemo
+// (which also clears the pair-graph memo) — a bare unpersist-all here
+// would leave the memos serving dead checkpoint blocks.
 object ProbeSharedCc {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("PROBE_CPUS", "32")
@@ -20,27 +25,24 @@ object ProbeSharedCc {
       println(f"PROBE $what%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    def drain(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc(); Thread.sleep(200); System.gc()
+    def reset(): Unit = {
+      graft.llm.Pipeline.clearCcMemo() // clears the pair memo too
+      graft.Harness.drain(spark, settleMs = 200L)
     }
     // warm codegen once at the smallest SF
     graft.llm.Pipeline.l21(spark, "/root/testdata/sf0.001").collect()
     graft.llm.Pipeline.l53(spark, "/root/testdata/sf0.001").collect()
-    drain()
-    time("l21 alone") { graft.llm.Pipeline.l21(spark, d).collect() }
-    drain()
-    time("l53 alone") { graft.llm.Pipeline.l53(spark, d).collect() }
-    drain()
+    reset()
+    time("l21 alone (cold)") { graft.llm.Pipeline.l21(spark, d).collect() }
+    reset()
+    time("l53 alone (cold)") { graft.llm.Pipeline.l53(spark, d).collect() }
+    reset()
     time("shared l21+l53") {
-      val labels = graft.Fixpoint.connectedComponentsStar(
-        graft.llm.Llm.l02(spark, d).select("a", "b")).cache()
+      val labels = graft.llm.Pipeline.dedupClusterLabels(spark, d)
       graft.llm.Pipeline.l21From(labels).collect()
       graft.llm.Pipeline.l53From(spark, d, labels).collect()
-      labels.unpersist(blocking = false)
     }
+    graft.llm.Pipeline.clearCcMemo()
     spark.stop()
   }
 }
