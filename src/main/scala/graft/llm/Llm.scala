@@ -267,23 +267,32 @@ object Llm extends QueryModule {
     // already merged them (canonical a<b before the count)
     val truth = jaccardOf(common).filter(col("jaccard") >= 0.4)
       .select("a", "b").localCheckpoint()
-    // ONE band self-join for both configs: tag every bucket with its
+    // ONE band join for both configs: tag every bucket with its
     // membership, join once, and derive the capped set from a per-pair
     // flag — a capped candidate pair exists iff SOME shared bucket is
     // within the cap, which is exactly capBuckets-then-join (DedupSpec's
     // flood test pins the equivalence against exact expected counts).
-    // Probe-restricted, materialized once (consumed by two aggregates).
+    // PROBE-SIDED join, not full-self-join-then-filter: a candidate pair
+    // must TOUCH a probe, and the `isProbe(a) || isProbe(b)` predicate is
+    // an OR across both join sides — Catalyst can't push it into either
+    // input, so the full corpus² bucket join ran before the filter. The
+    // one-sided restriction (x = probe rows only, ~1/7 of bands) IS
+    // pushable by construction and yields the identical pair set:
+    // every qualifying pair appears with x = a probe; probe-probe pairs
+    // arrive once per direction and collapse in the canonical groupBy;
+    // bsz is a bucket property, the same value on both sides.
+    // Materialized once (consumed by two aggregates).
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "m0", "m1")
     val bands0 = bandSignatures(sh)
       .withColumn("bsz", count(lit(1)).over(wB))
-    val allCand = bands0.as("x")
+    val allCand = bands0.filter(isProbe(col("doc_id"))).as("x")
       .join(bands0.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0")
-          && col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          && col("x.m1") === col("y.m1") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
         (col("x.bsz") <= BandBucketCap).as("ok"))
-      .filter(isProbe(col("a")) || isProbe(col("b")))
       .groupBy("a", "b").agg(max("ok").as("capped_ok"))
       .localCheckpoint()
     def candidates(capped: Boolean): DataFrame =
