@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * success. The line is kept well under 2 KB so a log-tail capture
   * always contains it whole; the full per-query map goes to
   * bench_full.json in the working directory, including per-query error
-  * details (`errors`) and internal-job-failure attribution
-  * (`job_failures` — jobs that failed while a query ran even if the
-  * query itself recovered).
+  * details (`errors`), internal-job-failure attribution (`job_failures`
+  * — jobs that failed while a query ran even if the query itself
+  * recovered), and memo accounting (`memo_pre`/`memo_cold` — which
+  * queries rode cross-query memo reuse vs built memo state; see the
+  * memo-discipline comment at the sweep loop).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,13 +72,13 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    // drop warmup memo entries BEFORE the unpersist-all below: a warm-dir
-    // CC labeling / pair graph left registered would either shadow the
-    // measured dir (if sfDir == warmDir) or sit as protected dead weight;
-    // clearing here also unprotects, so the blanket unpersist stays a
-    // full reset
-    graft.llm.Pipeline.clearCcMemo()
-    graft.llm.Llm.clearPairsMemo()
+    // drop ALL warmup memo entries BEFORE the unpersist-all below: a
+    // warm-dir CC labeling / pair graph / BPE merge table left registered
+    // would either shadow the measured dir (if sfDir == warmDir) or sit
+    // as protected dead weight; evictSince(0) hits every registered
+    // session memo and (for frame memos) also unprotects, so the blanket
+    // unpersist stays a full reset
+    SessionMemos.evictSince(0L)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
@@ -124,12 +126,32 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
+    // Memo discipline per query (SessionMemos): best-of-2 must stay a
+    // COLD number, so memo entries a query's OWN run 1 creates are
+    // evicted before run 2 — both runs then pay the same compute and the
+    // min measures the plan, not a memo hit. Entries that PRE-DATE the
+    // query (e.g. l53 consuming the CC labeling l21 built two queries
+    // earlier) survive the evict and speed up both runs equally — that
+    // is genuine cross-query reuse, the engine behavior a composed
+    // pipeline would see, and it is TAGGED, not hidden: memo_pre counts
+    // run 1's hits on pre-query state, memo_cold counts the entries run 1
+    // had to build (and run 2 re-paid). Both go to bench_full.json so a
+    // round-over-round comparison can separate plan speed from memo
+    // assists mechanically.
+    case class QueryResult(name: String, best: Either[String, Double],
+      gcSec: Double, runs: (Either[String, Double], Either[String, Double]),
+      memoPre: Long, memoCold: Int)
     val results = SparkEntry.queries.filter(q => only.forall(_(q._1)))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       currentQuery = name
+      val mark = SessionMemos.mark()
+      SessionMemos.beginWindow(mark)
+      val pre0 = SessionMemos.preHitCount
       val gc0 = gcMillis()
       val r1 = once(fn, name)
       val gc1 = gcMillis()
+      val memoPre = SessionMemos.preHitCount - pre0
+      val memoCold = SessionMemos.evictSince(mark) // run 2 re-pays run 1's builds
       drain() // run 2 must start from the same clean state run 1 did
       val gc2 = gcMillis()
       val r2 = once(fn, name)
@@ -144,10 +166,10 @@ object Bench {
       // counting them would misread drain overhead as a regression
       val gcSec = ((gc1 - gc0) + (gc3 - gc2)) / 1e3
       drain()
-      (name, best, gcSec, (r1, r2))
+      QueryResult(name, best, gcSec, (r1, r2), memoPre, memoCold)
     }
     currentQuery = "post-sweep"
-    val ok = results.collect { case (n, Right(t), _, _) => n -> t }
+    val ok = results.collect { case QueryResult(n, Right(t), _, _, _, _) => n -> t }
     // Fresh-JVM re-probe of the top-3 tail queries (full sweeps only):
     // r8's l53 measured 38.7 s in-sweep but 6.6 s warm in a fresh JVM —
     // ~4× of the tail was sweep-state/GC, not the plan. Recording both
@@ -197,15 +219,23 @@ object Bench {
             Seq.empty
           }
       }
-    val failed = results.collect { case (n, Left(_), _, _) => n }
-    val errors = results.collect { case (n, Left(e), _, _) => n -> e }
-    val gcByQuery = results.collect { case (n, Right(_), g, _) => n -> g }
-    // both timed runs, in order — min-of-2 is the headline, but session
-    // memos (l43 train, CC labels, the pair graph) make run 2 the
-    // memo-hit number by design; publishing the pair keeps the cold cost
-    // visible instead of silently folded away by the min
+    val failed = results.collect { case QueryResult(n, Left(_), _, _, _, _) => n }
+    val errors = results.collect { case QueryResult(n, Left(e), _, _, _, _) => n -> e }
+    val gcByQuery = results.collect { case QueryResult(n, Right(_), g, _, _, _) => n -> g }
+    // both timed runs, in order — the between-runs evictSince makes them
+    // equally cold wrt the query's OWN memo builds, so a large r1/r2 gap
+    // now reads as noise/GC, not a hidden memo hit
     val runsByQuery = results.collect {
-      case (n, Right(_), _, (Right(a), Right(b))) => n -> Seq(a, b)
+      case QueryResult(n, Right(_), _, (Right(a), Right(b)), _, _) => n -> Seq(a, b)
+    }
+    // memo tags (nonzero only): memo_pre = run 1 lookup hits on state
+    // built BEFORE this query (its time rides cross-query reuse);
+    // memo_cold = entries run 1 built and run 2 re-paid (both runs cold)
+    val memoPreByQuery = results.collect {
+      case r if r.memoPre > 0 => r.name -> r.memoPre
+    }
+    val memoColdByQuery = results.collect {
+      case r if r.memoCold > 0 => r.name -> r.memoCold.toLong
     }
     val total = ok.map(_._2).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -242,8 +272,12 @@ object Bench {
     def runsJson(entries: Seq[(String, Seq[Double])]) = entries
       .map { case (k, v) => "\"" + k + "\":[" + v.map(f3).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    def nJson(entries: Seq[(String, Long)]) = entries
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full = s"""{"total":${f3(total)},$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},"runs":${runsJson(runsByQuery)},""" +
+      s""""memo_pre":${nJson(memoPreByQuery)},""" +
+      s""""memo_cold":${nJson(memoColdByQuery)},""" +
       s""""fresh_probe":${qsJson(freshProbe.sortBy(_._1))},""" +
       s""""failed":$failedJson,"errors":${sJson(errors)},""" +
       s""""job_failures":$jobFailJson,"sf":"$sfDir"}"""

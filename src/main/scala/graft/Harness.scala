@@ -15,15 +15,23 @@ object Harness {
     * tiny (one row per near-dup node) and the whole point of the memo is
     * surviving from l21's run to l53's — while everything else the drain
     * clears is per-query debt. Entries are removed by the memo's own
-    * eviction/clear (which also unpersists). */
+    * eviction/clear (which also unpersists).
+    *
+    * Keyed by (applicationId, rddId), not bare rddId: RDD ids restart
+    * near 0 in every SparkContext, so a context stopped with its memos
+    * uncleared would otherwise leave stale bare ids that silently shield
+    * a NEW context's unrelated RDDs from the drain — the exact pinned-
+    * storage leak the drain exists to prevent. Stale (oldApp, id) pairs
+    * from an uncleared stopped context are inert (no live context shares
+    * the applicationId) and bounded by memo capacity. */
   private val protectedRdds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  def protectRdds(ids: Iterable[Int]): Unit =
-    ids.foreach(protectedRdds.add(_))
+  def protectRdds(sc: org.apache.spark.SparkContext, ids: Iterable[Int]): Unit =
+    ids.foreach(id => protectedRdds.add((sc.applicationId, id)))
 
-  def unprotectRdds(ids: Iterable[Int]): Unit =
-    ids.foreach(protectedRdds.remove(_))
+  def unprotectRdds(sc: org.apache.spark.SparkContext, ids: Iterable[Int]): Unit =
+    ids.foreach(id => protectedRdds.remove((sc.applicationId, id)))
 
   /** Backing RDD ids of a (checkpointed) frame — the unit both the memo
     * registration and Fixpoint.release operate on. */
@@ -72,8 +80,9 @@ object Harness {
     * paying 10+ s of organic GC for their predecessors' state. */
   def drain(spark: SparkSession, settleMs: Long): Unit = {
     spark.catalog.clearCache()
+    val app = spark.sparkContext.applicationId
     spark.sparkContext.getPersistentRDDs.values
-      .filterNot(r => protectedRdds.contains(r.id))
+      .filterNot(r => protectedRdds.contains((app, r.id)))
       .foreach(_.unpersist(blocking = false))
     System.gc()
     if (settleMs > 0) {

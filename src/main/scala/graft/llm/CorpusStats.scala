@@ -30,7 +30,18 @@ object CorpusStats {
   // probing many distinct frames can't accumulate retained plan graphs,
   // and the linear sameResult scan stays cheap.
   private val MaxEntries = 64
-  private val memo = new java.util.ArrayDeque[(LogicalPlan, Long)]()
+  // (plan, count, admission stamp) — stamped so SessionMemos can delta-
+  // evict and attribute cross-query reuse like every other session memo
+  private val memo = new java.util.ArrayDeque[(LogicalPlan, Long, Long)]()
+  graft.SessionMemos.register(new graft.SessionMemos.Member {
+    override def evictSince(mark: Long): Int = memo.synchronized {
+      var n = 0
+      while (!memo.isEmpty && memo.peekLast()._3 > mark) {
+        memo.removeLast(); n += 1
+      }
+      n
+    }
+  })
 
   /** df.count(), memoized per semantically-equal normalized plan. */
   def n(df: DataFrame): Long = {
@@ -38,14 +49,17 @@ object CorpusStats {
     memo.synchronized {
       val it = memo.iterator()
       while (it.hasNext) {
-        val (p, v) = it.next()
-        if (p.sameResult(key)) return v
+        val (p, v, stamp) = it.next()
+        if (p.sameResult(key)) {
+          graft.SessionMemos.noteHit(stamp)
+          return v
+        }
       }
     }
     val v = df.count() // outside the lock: a count can take seconds
     memo.synchronized {
       if (!memo.iterator().asScala.exists(_._1.sameResult(key))) {
-        memo.addLast((key, v))
+        memo.addLast((key, v, graft.SessionMemos.stamp()))
         if (memo.size > MaxEntries) memo.removeFirst()
       }
     }

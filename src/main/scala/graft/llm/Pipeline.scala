@@ -687,7 +687,17 @@ object Pipeline extends QueryModule {
     * table through. Bounded like CorpusStats' memo. */
   private val trainMemo =
     new java.util.ArrayDeque[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Seq[(Int, String, String, Long)])]()
+      Int, Seq[(Int, String, String, Long)], Long)]()
+  // driver-side Seqs, nothing to release — eviction is just a drop
+  graft.SessionMemos.register(new graft.SessionMemos.Member {
+    override def evictSince(mark: Long): Int = trainMemo.synchronized {
+      var n = 0
+      while (!trainMemo.isEmpty && trainMemo.peekLast()._4 > mark) {
+        trainMemo.removeLast(); n += 1
+      }
+      n
+    }
+  })
 
   def bpeTrain(docs: DataFrame, rounds: Int = 10): DataFrame = {
     val spark = docs.sparkSession
@@ -697,8 +707,11 @@ object Pipeline extends QueryModule {
       val it = trainMemo.iterator()
       var found: Option[Seq[(Int, String, String, Long)]] = None
       while (it.hasNext && found.isEmpty) {
-        val (p, r, v) = it.next()
-        if (r == rounds && p.sameResult(key)) found = Some(v)
+        val (p, r, v, stamp) = it.next()
+        if (r == rounds && p.sameResult(key)) {
+          graft.SessionMemos.noteHit(stamp)
+          found = Some(v)
+        }
       }
       found
     }
@@ -708,11 +721,11 @@ object Pipeline extends QueryModule {
         val dup = trainMemo.iterator()
         var exists = false
         while (dup.hasNext && !exists) {
-          val (p, r, _) = dup.next()
+          val (p, r, _, _) = dup.next()
           exists = r == rounds && p.sameResult(key)
         }
         if (!exists) {
-          trainMemo.addLast((key, rounds, trained))
+          trainMemo.addLast((key, rounds, trained, graft.SessionMemos.stamp()))
           if (trainMemo.size > 16) trainMemo.removeFirst()
         }
       }

@@ -420,15 +420,20 @@ object OdmIo {
     * instead aborts the whole file on first parse error — a side-output
     * quarantine is the batch-native upgrade (R3's reject path).
     *
-    * Each reject also carries the broker's requeue split (broker.clj:88-95:
-    * a handler exception rejects the delivery with `:requeue` from its
-    * ex-data): a COERCION failure is fatal (requeue=false — redelivering
-    * unparseable data can never succeed; it fails at command build,
-    * import_clinical_data.clj:60-62 `coerce`), while a MISSING PARENT
-    * (the id chain broke — the XML lacked an ancestor OID, so the
-    * command's dependency key is underivable) is retryable (requeue=true —
-    * a later import may create the parent). Coercion wins when both hold:
-    * it is detected first, at build time, before any handler runs. A
+    * Each reject also carries a requeue flag modeled on the broker's
+    * MECHANISM (broker.clj:88-95: a handler exception rejects the
+    * delivery, with `:requeue` read from its ex-data — broker.clj:62-63
+    * defaults it false). The reference provides that hook but never
+    * exercises it — no reference handler throws with {:requeue true} —
+    * so the CLASSIFICATION here is this repo's design choice, not
+    * reference behavior: a COERCION failure is marked fatal
+    * (requeue=false — redelivering unparseable data can never succeed;
+    * it fails at command build, import_clinical_data.clj:60-62 `coerce`),
+    * while a MISSING PARENT (the id chain broke — the XML lacked an
+    * ancestor OID, so the command's dependency key is underivable) is
+    * marked retryable (requeue=true — a later import may create the
+    * parent). Coercion wins when both hold: it is detected first, at
+    * build time, before any handler runs. A
     * missing-parent reject has no derivable entity id (the uuid5 chain is
     * null from the break downward), so its event id is NULL and the
     * dead-letter row carries the natural keys instead. */

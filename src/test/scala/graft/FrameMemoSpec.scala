@@ -3,11 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** The FrameMemo contract beyond the hit/miss pins living in
-  * PipelineSpec/DedupSpec: FIFO eviction at capacity releases the
-  * evicted frame's checkpoint blocks AND unprotects them (a leak here
-  * would pin storage memory for the session — the exact debt class
-  * Fixpoint.release exists to prevent), and clear() empties everything
-  * it registered. */
+  * PipelineSpec/DedupSpec:
+  *
+  *  - capacity overflow RETIRES (entry leaves lookup, but its blocks stay
+  *    valid and drain-protected — a caller holding the handed-out frame
+  *    must never see its LocalCheckpointRDD blocks vanish underneath it);
+  *    clear() then releases live AND retired entries and unprotects them;
+  *  - SessionMemos.evictSince(mark) drops exactly the entries admitted
+  *    after the mark (Bench's between-runs reset), releasing their blocks,
+  *    while older entries keep serving;
+  *  - the beginWindow/preHitCount accounting distinguishes hits on
+  *    pre-window state from hits on entries built inside the window. */
 class FrameMemoSpec extends SparkSuite {
   import spark.implicits._
 
@@ -17,27 +23,33 @@ class FrameMemoSpec extends SparkSuite {
   private def liveRddIds(): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  test("eviction past capacity releases and unprotects the oldest entry") {
+  private def keyOf(tag: Int) =
+    Seq(tag).toDF("a").queryExecution.normalized
+
+  test("overflow retires (frame stays valid + drain-protected); clear releases all") {
     val memo = new FrameMemo[Int](capacity = 2)
     val before = liveRddIds()
-    // three distinct keys (distinct literal plans) -> third insert evicts #1
-    val f1 = memo.getOrCompute(spark,
-      Seq(1).toDF("a").queryExecution.normalized, 1)(checkpointed(1))
+    // three distinct keys (distinct literal plans) -> third insert
+    // overflows #1 out of the lookup table
+    val f1 = memo.getOrCompute(spark, keyOf(1), 1)(checkpointed(1))
     val f1Ids = Harness.frameRddIds(f1).toSet
-    memo.getOrCompute(spark,
-      Seq(2).toDF("a").queryExecution.normalized, 2)(checkpointed(2))
-    assert(f1Ids.subsetOf(liveRddIds()), "entry 1 must stay live at capacity")
-    memo.getOrCompute(spark,
-      Seq(3).toDF("a").queryExecution.normalized, 3)(checkpointed(3))
-    assert(f1Ids.intersect(liveRddIds()).isEmpty,
-      "evicted entry's checkpoint blocks must be unpersisted")
-    // the survivors are exactly the two newer frames
-    assert((liveRddIds() -- before).size === 2)
+    memo.getOrCompute(spark, keyOf(2), 2)(checkpointed(2))
+    memo.getOrCompute(spark, keyOf(3), 3)(checkpointed(3))
+    // out of lookup: the same key recomputes (and overflows #2 in turn)
+    var recomputed = false
+    memo.getOrCompute(spark, keyOf(1), 1) { recomputed = true; checkpointed(1) }
+    assert(recomputed, "an overflowed entry must no longer be served")
+    // ...but the handed-out frame was NOT invalidated: blocks live,
+    // still protected through a drain, and the frame still readable
+    Harness.drain(spark, settleMs = 0L)
+    assert(f1Ids.subsetOf(liveRddIds()),
+      "retired blocks must survive a drain until clear()")
+    assert(f1.count() === 1L, "a retired handed-out frame must stay readable")
     memo.clear()
     assert(liveRddIds() -- before === Set.empty,
-      "clear() must release every remaining entry")
-    // evicted/cleared ids must no longer be drain-protected: a drain now
-    // would unpersist a fresh unmanaged checkpoint with those ids gone
+      "clear() must release every live AND retired entry")
+    // cleared ids must no longer be drain-protected: a drain now would
+    // unpersist a fresh unmanaged checkpoint with those ids gone
     val stray = checkpointed(9)
     Harness.drain(spark, settleMs = 0L)
     assert(Harness.frameRddIds(stray).toSet.intersect(liveRddIds()).isEmpty,
@@ -46,12 +58,46 @@ class FrameMemoSpec extends SparkSuite {
 
   test("params distinguish entries sharing a plan; race-loser frame is released") {
     val memo = new FrameMemo[String](capacity = 4)
-    val plan = Seq(42).toDF("a").queryExecution.normalized
+    val plan = keyOf(42)
     val fa = memo.getOrCompute(spark, plan, "a")(checkpointed(10))
     val fb = memo.getOrCompute(spark, plan, "b")(checkpointed(11))
     assert(!(fa eq fb))
     assert(memo.getOrCompute(spark, plan, "a")(
       fail("must not recompute on a params hit")) eq fa)
+    memo.clear()
+  }
+
+  test("SessionMemos.evictSince drops exactly the entries admitted after the mark") {
+    val memo = new FrameMemo[Int](capacity = 4)
+    val f1 = memo.getOrCompute(spark, keyOf(21), 0)(checkpointed(21))
+    val mark = SessionMemos.mark()
+    val f2 = memo.getOrCompute(spark, keyOf(22), 0)(checkpointed(22))
+    val f2Ids = Harness.frameRddIds(f2).toSet
+    assert(SessionMemos.evictSince(mark) >= 1) // registry routes to this memo
+    assert(f2Ids.intersect(liveRddIds()).isEmpty,
+      "the post-mark entry's blocks must be released")
+    // the post-mark key now recomputes; the pre-mark entry still serves
+    var recomputed = false
+    memo.getOrCompute(spark, keyOf(22), 0) { recomputed = true; checkpointed(22) }
+    assert(recomputed)
+    assert(memo.getOrCompute(spark, keyOf(21), 0)(
+      fail("pre-mark entry must survive evictSince")) eq f1)
+    memo.clear()
+  }
+
+  test("beginWindow/preHitCount counts only hits on pre-window entries") {
+    val memo = new FrameMemo[Int](capacity = 4)
+    memo.getOrCompute(spark, keyOf(31), 0)(checkpointed(31))
+    val mark = SessionMemos.mark()
+    SessionMemos.beginWindow(mark)
+    val pre0 = SessionMemos.preHitCount
+    memo.getOrCompute(spark, keyOf(31), 0)(fail("hit expected")) // pre-window hit
+    memo.getOrCompute(spark, keyOf(32), 0)(checkpointed(32))     // in-window build
+    memo.getOrCompute(spark, keyOf(32), 0)(fail("hit expected")) // in-window hit
+    assert(SessionMemos.preHitCount - pre0 === 1L,
+      "only the hit on the pre-window entry counts")
+    // park the window so later suites' memo hits don't touch the counter
+    SessionMemos.beginWindow(Long.MinValue)
     memo.clear()
   }
 }
