@@ -114,6 +114,33 @@ class PipelineSpec extends SparkSuite {
       "trained merges compressed nothing")
   }
 
+  test("bpeTrain cold runs one ACTION per round (+1 periodic re-cache), not two") {
+    // the round-10 shape: merge maps chain LAZILY into the next round's
+    // top-pair job, re-materializing only every CacheEvery rounds — a
+    // regression back to cache-per-round adds a materialization action
+    // every round. Job counts are AQE-inflated (each shuffle stage is
+    // its own job: measured 27 for 10 rounds ≈ 2.6/round on this shape;
+    // cache-per-round adds ~1-2 more per round → 37+), so the pin sits
+    // between the two shapes rather than at the action count.
+    llm.Pipeline.clearTrainMemo()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rounds = 10
+      val merges = llm.Pipeline.bpeTrain(Tables.documents(spark, sf), rounds)
+      assert(merges.count() === rounds.toLong) // full training, no early stop
+      org.apache.spark.GraftSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext, 10000L)
+      assert(jobs.get() <= 3 * rounds + 2,
+        s"bpeTrain($rounds rounds) ran ${jobs.get()} jobs — cache-per-round regression?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("l47: manifest matches a driver-side recompute and the XOR fingerprint " +
       "detects any single-document drop") {
     val docs = Tables.documents(spark, sf)
