@@ -256,8 +256,12 @@ object Bench {
     // numbers for the same code — the heap size + thread count recorded
     // here lets a reader tell which environment produced this file
     // instead of reconstructing it from timestamps
+    // semantics version: r10 changed best-of-2 from memo-hit-min to
+    // memo-cold (between-runs evictSince) — tooling comparing `total`
+    // across rounds needs a mechanical flag, not a prose note
     val ctx = s""""context":{"xmx_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
-      s""""cpus":$cpus,"java":"${System.getProperty("java.version")}"}"""
+      s""""cpus":$cpus,"java":"${System.getProperty("java.version")}",""" +
+      s""""semantics":"memo-cold-best-of-2"}"""
     // JSON string escape for error details (class names / messages can
     // carry quotes, newlines, control chars)
     def jq(s: String): String = Harness.jsonEscape(s)
