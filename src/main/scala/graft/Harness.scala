@@ -15,7 +15,9 @@ object Harness {
     * tiny (one row per near-dup node) and the whole point of the memo is
     * surviving from l21's run to l53's — while everything else the drain
     * clears is per-query debt. Entries are removed by the memo's own
-    * eviction/clear (which also unpersists).
+    * clear()/evictSince (which also unpersist); capacity overflow
+    * RETIRES without unprotecting — retired blocks must keep surviving
+    * the drain until clear(), per FrameMemo's validity contract.
     *
     * Keyed by (applicationId, rddId), not bare rddId: RDD ids restart
     * near 0 in every SparkContext, so a context stopped with its memos
