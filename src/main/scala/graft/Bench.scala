@@ -246,7 +246,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${qsJson(slowest)},"n_queries":${results.size},""" +
-      s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s""""n_failed":${failed.size},"failed":$failedJson,""" +
+      s""""semantics":"memo-cold-best-of-2","sf":"$sfDir"}"""
     // full per-query map for offline analysis (not size-constrained);
     // gc_sec = driver-JVM GC time attributed to each query's two runs —
     // a query that is slow here but fast in isolation with high gc_sec
