@@ -326,6 +326,34 @@ object Llm extends QueryModule {
     out
   }
 
+  /** Work probe for [[dedupEval]]'s exact truth join: the number of
+    * (probe-shingle, corpus-shingle) match rows its inverted-index join
+    * enumerates — Σ over shingles of cnt_probe·cnt_all. This is the
+    * eval's intrinsic cost and it grows with the SQUARE of shingle
+    * document frequency, so on a dup-heavy corpus it is superlinear in
+    * the corpus (measured 45× for 10× docs at sf0.01→sf0.1, truth
+    * itself only ~7×). Measured alternatives, both REJECTED on this
+    * corpus (round 10): prefix filtering (Bayardo et al., WWW'07 —
+    * join only each doc's rarest (1-t)·n+1 shingles, exact) halves the
+    * enumeration constant but its candidate-pair set degrades 247× for
+    * 10× docs (565 → 139,691: rare-shingle df's grow with the corpus,
+    * collapsing the filter's selectivity) AND forces a per-candidate
+    * exact re-verify that costs more than the direct count; exact
+    * set-similarity enumeration is Ω(prefix-sharing pairs) in the
+    * published frontier, which this corpus makes ~quadratic. At 100 TB
+    * the dial is the probe RATE (truth work scales with it linearly),
+    * not the join shape — ScalePatternsSpec pins the measured law so a
+    * corpus change that worsens it is caught, not discovered in a
+    * sweep. */
+  def truthJoinWork(docs: DataFrame): Long = {
+    val sh = shinglesOf(docs)
+    sh.groupBy("sh")
+      .agg(sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
+        .as("cp"), count(lit(1)).as("ca"))
+      .agg(coalesce(sum(col("cp") * col("ca")), lit(0L)))
+      .head().getLong(0)
+  }
+
   /** Dropped-mass audit for the capped banded join: one row per band
     * bucket with its membership and whether [[minHashNearDupPairs]]'s cap
     * excluded it — the "log the dropped mass" side channel, as a frame a
