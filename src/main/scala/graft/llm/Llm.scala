@@ -227,11 +227,13 @@ object Llm extends QueryModule {
 
   /** l56: DEDUP-PIPELINE EVALUATION — l55's "measure, don't guess"
     * discipline applied to the near-dup stack: how good are l02's banded
-    * MinHash candidates, really? A deterministic probe sample (doc_id ≡ 0
-    * mod 7) gets EXACT ground truth — every ≥0.4-shingle-jaccard pair a
-    * probe participates in, via the probe-restricted inverted-index join
+    * MinHash candidates, really? A deterministic CONSTANT-SIZE probe
+    * sample (doc_id ≡ 0 mod [[probeModulus]], modulus derived from the
+    * corpus count so |probe| ≈ [[ProbeTargetCount]] at ANY scale) gets
+    * EXACT ground truth — every ≥0.4-shingle-jaccard pair a probe
+    * participates in, via the probe-restricted inverted-index join
     * (probe shingles ⋈ corpus shingles; the eval's intrinsic cost,
-    * bounded by the probe rate — never corpus²) — and the candidate
+    * bounded by the probe COUNT — never corpus²) — and the candidate
     * stage is scored against it in BOTH configurations: the production
     * BandBucketCap and uncapped. The gap between the two recalls is the
     * measured price of the flood guard; candidate precision is the
@@ -240,15 +242,34 @@ object Llm extends QueryModule {
   def l56(spark: SparkSession, dir: String): DataFrame =
     dedupEval(Tables.documents(spark, dir))
 
+  /** Probe-sample sizing for the dedup eval. Round 10 measured the fixed
+    * FRACTION rule (doc_id % 7, ~14%) at 45× truth-join work for 10×
+    * docs — each probe's inverted-index fan-out grows with corpus df, so
+    * a fraction-sized probe set is quadratic-in-practice. A fixed COUNT
+    * (modulus = n/target, so |probe| ≈ target at every scale) makes the
+    * enumeration grow only with df — linear on a stable dup rate
+    * (ScalePatternsSpec re-measures the law). 64 probes keep the
+    * precision/recall estimate's sampling error useful without paying a
+    * corpus-fraction join; integer division keeps the rule engine-exact
+    * (mirrored as `greatest(1, count(*) // 64)` in the oracle), and at
+    * the 500-doc test SFs it derives the historical modulus 7, so the
+    * small-SF results are unchanged. */
+  private[graft] val ProbeTargetCount = 64L
+  private[graft] def probeModulus(nDocs: Long): Long =
+    math.max(1L, nDocs / ProbeTargetCount)
+
   /** l56's core over an arbitrary (doc_id, text) corpus — exposed so the
     * spec can feed a synthetic corpus with borderline-jaccard pairs that
     * the bands probabilistically miss (the production corpus's dups are
     * near-identical, so recall saturates at 1.0 there; the metric must be
     * shown to MOVE). */
   private[graft] def dedupEval(docs: DataFrame): DataFrame = {
+    // constant-size probe set: modulus from the corpus count (memoized —
+    // one tiny count job per distinct corpus frame per session)
+    val m = probeModulus(CorpusStats.n(docs))
     val sh = shinglesOf(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val isProbe = (c: org.apache.spark.sql.Column) => pmod(c, lit(7)) === 0
+    val isProbe = (c: org.apache.spark.sql.Column) => pmod(c, lit(m)) === 0
     // exact probe-side truth: all pairs touching a probe, exact jaccard
     val common = sh.filter(isProbe(col("doc_id"))).select(col("doc_id").as("p"), col("sh"))
       .join(sh.select(col("doc_id").as("o"), col("sh")), "sh")
@@ -276,7 +297,7 @@ object Llm extends QueryModule {
     // must TOUCH a probe, and the `isProbe(a) || isProbe(b)` predicate is
     // an OR across both join sides — Catalyst can't push it into either
     // input, so the full corpus² bucket join ran before the filter. The
-    // one-sided restriction (x = probe rows only, ~1/7 of bands) IS
+    // one-sided restriction (x = probe rows only, ~64 docs' bands) IS
     // pushable by construction and yields the identical pair set:
     // every qualifying pair appears with x = a probe; probe-probe pairs
     // arrive once per direction and collapse in the canonical groupBy;
@@ -340,15 +361,19 @@ object Llm extends QueryModule {
     * collapsing the filter's selectivity) AND forces a per-candidate
     * exact re-verify that costs more than the direct count; exact
     * set-similarity enumeration is Ω(prefix-sharing pairs) in the
-    * published frontier, which this corpus makes ~quadratic. At 100 TB
-    * the dial is the probe RATE (truth work scales with it linearly),
-    * not the join shape — ScalePatternsSpec pins the measured law so a
-    * corpus change that worsens it is caught, not discovered in a
-    * sweep. */
+    * published frontier, which this corpus makes ~quadratic. The round-11
+    * fix: the probe set is now a constant COUNT ([[probeModulus]] —
+    * modulus grows with the corpus so |probe| ≈ 64 at any scale), which
+    * turns the enumeration's growth from Σ df² (fraction-sized probes)
+    * to ~Σ df (each probe doc's fan-out is its shingles' corpus df) —
+    * near-linear on a stable dup rate. ScalePatternsSpec pins the
+    * re-measured law so a corpus change that worsens it is caught, not
+    * discovered in a sweep. */
   def truthJoinWork(docs: DataFrame): Long = {
+    val m = probeModulus(CorpusStats.n(docs))
     val sh = shinglesOf(docs)
     sh.groupBy("sh")
-      .agg(sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
+      .agg(sum(when(pmod(col("doc_id"), lit(m)) === 0, 1L).otherwise(0L))
         .as("cp"), count(lit(1)).as("ca"))
       .agg(coalesce(sum(col("cp") * col("ca")), lit(0L)))
       .head().getLong(0)
@@ -1099,9 +1124,13 @@ object Llm extends QueryModule {
          |ORDER BY a, b""".stripMargin,
     // l56: the l02 band restatement scored against the probe-side exact
     // truth — same shingles, same banded join (capped AND uncapped),
-    // same round-6 jaccard gate; ratios floor-rounded
+    // same round-6 jaccard gate; ratios floor-rounded. The probe modulus
+    // mirrors Llm.probeModulus: greatest(1, n_docs // 64) — a constant
+    // probe COUNT, not a fixed fraction (the round-10 scale flaw).
     "l56_dedup_eval" ->
       s"""WITH $duckShingles,
+         |pm AS (SELECT greatest(1, count(*) // $ProbeTargetCount) AS m
+         |       FROM documents),
          |hashed AS (
          |  SELECT doc_id, sh, hs.h,
          |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
@@ -1121,8 +1150,8 @@ object Llm extends QueryModule {
          |  SELECT least(p.doc_id, o.doc_id) AS a,
          |         greatest(p.doc_id, o.doc_id) AS b, COUNT(*) AS c
          |  FROM sh p JOIN sh o ON o.sh = p.sh
-         |   AND p.doc_id % 7 = 0 AND o.doc_id <> p.doc_id
-         |   AND (o.doc_id % 7 <> 0 OR p.doc_id < o.doc_id)
+         |   AND p.doc_id % (SELECT m FROM pm) = 0 AND o.doc_id <> p.doc_id
+         |   AND (o.doc_id % (SELECT m FROM pm) <> 0 OR p.doc_id < o.doc_id)
          |  GROUP BY 1, 2),
          |jac AS (
          |  SELECT common.a, common.b,
@@ -1135,13 +1164,15 @@ object Llm extends QueryModule {
          |  FROM bands_c x JOIN bands_c y
          |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
          |   AND x.doc_id < y.doc_id
-         |  WHERE x.doc_id % 7 = 0 OR y.doc_id % 7 = 0),
+         |  WHERE x.doc_id % (SELECT m FROM pm) = 0
+         |     OR y.doc_id % (SELECT m FROM pm) = 0),
          |cand_u AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands0 x JOIN bands0 y
          |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
          |   AND x.doc_id < y.doc_id
-         |  WHERE x.doc_id % 7 = 0 OR y.doc_id % 7 = 0),
+         |  WHERE x.doc_id % (SELECT m FROM pm) = 0
+         |     OR y.doc_id % (SELECT m FROM pm) = 0),
          |s AS (
          |  SELECT 'capped' AS config,
          |    (SELECT COUNT(*) FROM cand_c) AS n_candidates,

@@ -152,8 +152,10 @@ class DedupSpec extends SparkSuite {
     val got = Llm.dedupEval(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))).toMap
-    // exact truth: probe-touching pairs inside the flood. probes in
-    // 1..300 are the 42 multiples of 7; C(300,2) − C(258,2) = 11697
+    // exact truth: probe-touching pairs inside the flood. The corpus is
+    // 500 docs, so the derived probe modulus is max(1, 500/64) = 7 —
+    // probes in 1..300 are the 42 multiples of 7; C(300,2) − C(258,2) =
+    // 11697
     val truth = 300L * 299 / 2 - 258L * 257 / 2
     assert(got("capped")._3 === truth)
     assert(got("uncapped")._3 === truth)

@@ -247,28 +247,28 @@ class ScalePatternsSpec extends SparkSuite {
       s"corpus-scaled planes ($scaled) must undercut the pinned fixture ($pinned)")
   }
 
-  test("l56 truth-join law: enumeration superlinear but far sub-quadratic; truth ~linear") {
+  test("l56 truth-join law: constant-count probes hold enumeration near-linear") {
     // The dedup-eval's exact ground truth is an inverted-index join over
-    // probe shingles — its enumeration grows with Σ df_probe·df_all,
-    // i.e. with the SQUARE of shingle document frequency. On this
-    // dup-heavy corpus that measures ~45× work for 10× docs while the
-    // truth set itself grows ~7× (near-linear). Round-10 measured and
-    // REJECTED the exact alternatives (prefix filtering degrades to a
-    // 247×-growing candidate set here — see Llm.truthJoinWork's doc), so
-    // this pin records the accepted law: well under quadratic, with the
-    // probe rate as the scale dial. A corpus regeneration that pushes the
-    // ratio toward nRatio² means head-shingle df's exploded — revisit the
-    // probe rate or sample the truth before the sweep pays it.
+    // probe shingles. With a FRACTION-sized probe set (the round-10 rule,
+    // doc_id % 7) the enumeration grew with Σ df² — measured 45× work
+    // for 10× docs. Round 11 derives the modulus from the corpus count
+    // (Llm.probeModulus: |probe| ≈ 64 at any scale), so each probe's
+    // fan-out grows only with shingle df — near-linear on a stable dup
+    // rate. Round-10 also measured and REJECTED the exact alternatives
+    // (prefix filtering degrades to a 247×-growing candidate set here —
+    // see Llm.truthJoinWork's doc). This pin records the new law: a
+    // corpus regeneration (or probe-rule change) that pushes the growth
+    // well past linear is caught here, not discovered in a sweep.
     val d1 = Tables.documents(spark, "/root/testdata/sf0.01")
     val d10 = Tables.documents(spark, "/root/testdata/sf0.1")
     val nRatio = d10.count().toDouble / d1.count() // 10×
     val (w1, w10) =
       (math.max(1L, llm.Llm.truthJoinWork(d1)), llm.Llm.truthJoinWork(d10))
     val ratio = w10.toDouble / w1
-    info(f"truth-join work: sf0.01=$w1 sf0.1=$w10 ratio=$ratio%.1f (n ratio $nRatio%.1f, quadratic would be ${nRatio * nRatio}%.0f)")
-    assert(ratio <= nRatio * nRatio / 2,
+    info(f"truth-join work: sf0.01=$w1 sf0.1=$w10 ratio=$ratio%.1f (n ratio $nRatio%.1f, old fraction-probe law was 45)")
+    assert(ratio <= nRatio * 2,
       s"truth-join enumeration grew ${ratio}× for a ${nRatio}× corpus — " +
-        "approaching quadratic; the probe-rate dial stopped working")
+        "the constant-count probe rule stopped holding it near-linear")
   }
 
   test("a22 collapse law: the histogram frame grows sublinearly in the row count") {
