@@ -404,6 +404,115 @@ object Pipeline extends QueryModule {
       .orderBy("cluster_rep")
   }
 
+  /** l63: INCREMENTAL CLUSTER MAINTENANCE — the missing leg of the
+    * daily-dedup story: l25 probes a new batch against persisted pair
+    * indexes, but the cluster LABELS (l21/l53's CC output) went stale on
+    * every ingest, and re-running the fixpoint over the full corpus is
+    * exactly the 100 TB cost a daily pipeline cannot pay. This operator
+    * merges the day's delta edges into PERSISTED labels touching only
+    * the affected components:
+    *
+    *  1. historical labels (CC over edges among historical docs,
+    *     doc_id % 10 != 0 — l25/l54's batch split) are committed to
+    *     parquet, standing in for yesterday's published label table;
+    *  2. the delta edge set (every near-dup pair touching a new doc) is
+    *     CONTRACTED through those labels — each endpoint replaced by its
+    *     component label (itself when unlabeled), self-loops dropped —
+    *     so the merge graph has one node per AFFECTED component or new
+    *     doc, never one per corpus document;
+    *  3. the CC fixpoint runs on that contracted graph only (the
+    *     distributed union-find-on-the-delta: delta-sized input, same
+    *     large-star/small-star machinery);
+    *  4. reconciliation: a broadcast label→merged-label map rewrites
+    *     affected historical rows (the persisted table is read, not
+    *     rescanned from text), and contracted nodes that are raw doc ids
+    *     (new docs; historical docs whose first-ever edge is in the
+    *     delta) carry their labels directly.
+    *
+    * Labels compose exactly: a historical label IS its component's min
+    * doc id, so the contracted CC's min-of-node-ids is the global
+    * min-of-member-ids — the oracle proves incremental == full recompute
+    * (l21's recursive-CTE CC over the whole pair graph, the h06/s20
+    * "incremental == rebuild" contract applied to clustering).
+    *
+    * Scale posture: step 1 is yesterday's state (here derived in-plan so
+    * the query is self-contained and oracle-able, exactly l25's pattern
+    * for its indexes); the daily unit of work is steps 2-4 — one
+    * delta-edge join against the label table, a fixpoint over a
+    * delta-sized graph, and a broadcast-relabel join. PipelineSpec pins
+    * the contraction (merge-graph edges ≤ delta edges, strictly fewer
+    * nodes than the full graph) and the component-merge semantics on a
+    * synthetic bridge corpus. */
+  def l63(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Llm.minHashNearDupPairs(Tables.documents(spark, dir))
+      .select("a", "b")
+    val labels = incrementalCcLabels(spark, pairs,
+      c => pmod(c, lit(10)) === 0, Tables.scratchPath("l63_labels", dir))
+    val out = l21From(labels).localCheckpoint()
+    graft.Fixpoint.release(labels)
+    out
+  }
+
+  /** l63's merge engine over an arbitrary pair graph and batch
+    * predicate — exposed so the spec can feed synthetic edge sets
+    * (component bridges, label takeovers, delta-only nodes) and compare
+    * against a from-scratch CC. Returns the (id, label) labeling of the
+    * FULL graph, localCheckpoint-materialized; the caller owns its
+    * release. */
+  private[graft] def incrementalCcLabels(spark: SparkSession,
+      pairs: DataFrame, isNew: Column => Column,
+      labelPath: String): DataFrame = {
+    val histEdges = pairs.filter(!isNew(col("a")) && !isNew(col("b")))
+    val deltaEdges = pairs.filter(isNew(col("a")) || isNew(col("b")))
+    // yesterday's published state: CC over historical edges, committed
+    // to parquet and READ BACK — the merge below must only touch this
+    // table, never the historical text/pair derivation
+    val histCc = graft.Fixpoint.connectedComponentsStar(histEdges)
+    histCc.write.mode("overwrite").parquet(labelPath)
+    graft.Fixpoint.release(histCc)
+    val histLabels = spark.read.parquet(labelPath)
+    val contracted = contractDelta(deltaEdges, histLabels)
+    // the union-find on the delta: fixpoint over the contracted graph
+    // (nodes = affected component labels + delta-only doc ids)
+    val mergedCc = graft.Fixpoint.connectedComponentsStar(contracted)
+    // reconciliation: labels are component MINIMA, so min-of-node-ids on
+    // the contracted graph is the global min-of-members — relabel
+    // affected historical rows via a broadcast (delta-sized) map...
+    val relab = mergedCc.select(col("id").as("label"),
+      col("label").as("new_label"))
+    val histFinal = histLabels.join(broadcast(relab), Seq("label"), "left")
+      .select(col("id"),
+        coalesce(col("new_label"), col("label")).as("label"))
+    // ...and emit contracted nodes that are raw doc ids directly. A node
+    // id here is either a historical component's label or the id of a
+    // doc in no historical component — and a doc id equal to some label
+    // IS that label's doc (ids are unique), so the anti-join keeps
+    // exactly the delta-only docs, each disjoint from histFinal's rows.
+    val direct = mergedCc
+      .join(histLabels.select(col("label").as("id")).distinct(),
+        Seq("id"), "left_anti")
+    val out = histFinal.unionByName(direct).localCheckpoint()
+    graft.Fixpoint.release(mergedCc)
+    out
+  }
+
+  /** The merge graph: delta endpoints contracted through the persisted
+    * labels; endpoints outside any historical component (new docs,
+    * historical docs with no prior edge) stand for themselves.
+    * Self-loops (both endpoints in one component) drop — that component
+    * is affected but not merged. PipelineSpec pins that this graph is
+    * delta-sized, not corpus-sized. */
+  private[graft] def contractDelta(deltaEdges: DataFrame,
+      histLabels: DataFrame): DataFrame =
+    deltaEdges
+      .join(histLabels.select(col("id").as("a"), col("label").as("la")),
+        Seq("a"), "left")
+      .join(histLabels.select(col("id").as("b"), col("label").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+
   private def l53Oracle: String = {
     val pairSql = Llm.oracles("l02_dedup_near")
       .replaceAll("\\s*ORDER BY a, b\\s*$", "")
@@ -1069,6 +1178,7 @@ object Pipeline extends QueryModule {
     "l20_tfidf" -> l20,
     "l21_dedup_clusters" -> l21,
     "l53_dedup_keep_best" -> l53,
+    "l63_cc_incremental" -> l63,
     "l22_constraint_report" -> l22,
     "l23_chunk_overlap" -> l23,
     "l24_decontaminate_bloom" -> l24)
@@ -1590,5 +1700,9 @@ GROUP BY d.lang ORDER BY d.lang"""
         |       floor(tfidf_raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "l21_dedup_clusters" -> l21Oracle,
+    // l63: the oracle is deliberately the SAME full-recompute CC as l21's
+    // (recursive CTE over the whole pair graph) — hash equality IS the
+    // "incremental == rebuild" contract
+    "l63_cc_incremental" -> l21Oracle,
     "l53_dedup_keep_best" -> l53Oracle)
 }

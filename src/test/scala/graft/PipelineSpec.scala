@@ -437,6 +437,69 @@ class PipelineSpec extends SparkSuite {
     llm.Pipeline.clearCcMemo()
   }
 
+  test("l63: incremental CC merge equals from-scratch CC on a synthetic bridge graph") {
+    import spark.implicits._
+    // batch rule: ids % 10 == 0 are the new ingest. The graph exercises
+    // every merge shape at once:
+    //  - BRIDGE: new doc 20 connects hist components {1,2,3} and {5,6}
+    //    → one merged component, label 1
+    //  - ATTACH + LABEL TAKEOVER: new docs 30 and 0 join hist component
+    //    {11,12}; 0 < 11, so the merged label is the NEW doc's id
+    //  - DELTA-ONLY: new docs 40-50 pair with each other (no hist side)
+    //  - FIRST-EDGE HIST DOC: hist doc 7's only edge arrives in the
+    //    delta (7-70) — it is in no persisted component, so it enters
+    //    the merge graph as itself
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L), (11L, 12L), // historical edges
+      (3L, 20L), (20L, 5L), (40L, 50L), (30L, 11L), (0L, 12L), (7L, 70L))
+      .toDF("a", "b")
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_l63_spec").toString + "/labels"
+    val inc = llm.Pipeline.incrementalCcLabels(spark, edges, isNew, tmp)
+    val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.Fixpoint.connectedComponentsStar(edges)
+    val expected = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Fixpoint.release(full)
+    graft.Fixpoint.release(inc)
+    assert(got === expected)
+    // the shapes above actually landed where claimed
+    assert(got(20L) === 1L && got(5L) === 1L, "bridge merge failed")
+    assert(got(11L) === 0L && got(30L) === 0L, "new-doc label takeover failed")
+    assert(got(40L) === 40L && got(50L) === 40L)
+    assert(got(7L) === 7L && got(70L) === 7L)
+    // the persisted state really is historical-only (published labels
+    // never contain same-day docs)
+    val persisted = spark.read.parquet(tmp)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(persisted === Set(1L, 2L, 3L, 5L, 6L, 11L, 12L))
+  }
+
+  test("l63: the merge graph is delta-sized on the real corpus") {
+    // the 100 TB contract: the fixpoint's input after contraction has one
+    // node per affected component / delta-only doc — never one per corpus
+    // document, and never more edges than the delta itself
+    val pairs = llm.Llm.l02(spark, sf).select("a", "b")
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+    val deltaEdges = pairs.filter(isNew(col("a")) || isNew(col("b")))
+    val histCc = graft.Fixpoint.connectedComponentsStar(
+      pairs.filter(!isNew(col("a")) && !isNew(col("b"))))
+    val contracted = llm.Pipeline.contractDelta(deltaEdges, histCc)
+    val mergeNodes = contracted.select(col("a").as("id"))
+      .union(contracted.select(col("b").as("id"))).distinct().count()
+    val fullNodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct().count()
+    val (nDelta, nContracted) = (deltaEdges.count(), contracted.count())
+    info(s"full graph nodes=$fullNodes, merge graph nodes=$mergeNodes, " +
+      s"delta edges=$nDelta, contracted edges=$nContracted")
+    graft.Fixpoint.release(histCc)
+    assert(nContracted <= nDelta,
+      "contraction must never grow the edge set")
+    assert(mergeNodes < fullNodes,
+      "merge graph must be smaller than the full corpus graph")
+    llm.Llm.clearPairsMemo()
+  }
+
   test("ccMemo staleness contract: same corpus hits, rewrite-in-place needs clearCcMemo") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ccmemo").toString
     def write(rows: Seq[(Long, String)]): Unit =
