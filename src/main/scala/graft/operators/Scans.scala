@@ -299,6 +299,69 @@ object Scans extends QueryModule {
       .orderBy("ship_month")
   }
 
+  /** s21: TIME-TRAVEL READ — the read side of s19/s20's manifest
+    * discipline (Iceberg/Delta snapshot reads): reconstruct the table AS
+    * OF batch N from the manifest + batch files, without touching files
+    * committed later. Batch 1 (l_orderkey%10!=0) commits first; batch 2
+    * (the stragglers) lands after; the file-level manifest — one
+    * (batch, file_path) row per data file, from the written files' own
+    * `_metadata`, the snapshot log every table format keeps — is what a
+    * reader plans from. [[s21AsOf]] selects the manifest rows with
+    * batch ≤ N and hands the scan that explicit file list: the AS-OF-1
+    * plan reads ONLY batch-1 files (LayoutSpec pins `inputFiles`), which
+    * is exactly how Iceberg/Delta turn a snapshot id into a scan. The
+    * query emits per-month stats at both snapshots; the oracle recomputes
+    * each from the source table with the batch predicate, so equality
+    * proves the two snapshots differ EXACTLY by the late batch.
+    *
+    * Scale posture: the manifest is KBs per thousand files and is
+    * planner metadata — collecting the matching file list to the driver
+    * is the same planning step every table format performs; no data
+    * moves until the pruned scan runs. */
+  def s21(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = s21Commit(spark, dir)
+    def snap(n: Int): DataFrame = s21AsOf(spark, manifest, n)
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").as("key_sum"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .withColumn("as_of", lit(n))
+    snap(1).unionByName(snap(2))
+      .select("as_of", "ship_month", "n_rows", "key_sum",
+        "min_price", "max_price")
+      .orderBy("as_of", "ship_month")
+  }
+
+  /** Write the two-batch table for s21 and return its file manifest
+    * (batch, path) — tiny, localCheckpoint-materialized. */
+  private[graft] def s21Commit(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s21_table", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+      .withColumn("batch", lit(1))
+      .write.mode("overwrite").partitionBy("batch").parquet(root)
+    li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .withColumn("batch", lit(2))
+      .write.mode("append").partitionBy("batch").parquet(root)
+    spark.read.parquet(root)
+      .select(col("batch"), col("_metadata.file_path").as("path"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Snapshot read: plan exactly the files the manifest attributes to
+    * batches ≤ n. The sorted driver-side file list is planning metadata
+    * (what a table format's scan planner produces from its manifest). */
+  private[graft] def s21AsOf(spark: SparkSession, manifest: DataFrame,
+      n: Int): DataFrame = {
+    val files = manifest.filter(col("batch") <= n)
+      .select("path").collect().map(_.getString(0)).sorted
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** s13: JSON-lines sink/source round-trip — the lingua franca of
     * training-data interchange. Write documents as JSONL, read back under
     * an EXPLICIT schema (inference = an extra full pass; never at 100 TB).
@@ -519,6 +582,7 @@ object Scans extends QueryModule {
     "s18_source_evolved" -> s18,
     "s19_sink_manifest" -> s19,
     "s20_manifest_upsert" -> s20,
+    "s21_time_travel" -> s21,
     "s14_source_binary" -> s14,
     "p01_project_compute" -> p01,
     "p02_filter_conj" -> p02,
@@ -596,6 +660,28 @@ object Scans extends QueryModule {
     // counts add and min/max combine associatively, so the monoid merge
     // must equal the single-pass stats; n_batches is the distinct batch
     // membership of the month's rows
+    // s21: both snapshots recomputed from the source table with the
+    // batch predicate — equality proves the AS-OF-1 read saw exactly the
+    // base batch and the AS-OF-2 read the whole table
+    "s21_time_travel" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |s1 AS (
+        |  SELECT 1 AS as_of, ship_month, COUNT(*) AS n_rows,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |         MIN(l_extendedprice) AS min_price,
+        |         MAX(l_extendedprice) AS max_price
+        |  FROM li WHERE l_orderkey % 10 <> 0 GROUP BY ship_month),
+        |s2 AS (
+        |  SELECT 2 AS as_of, ship_month, COUNT(*) AS n_rows,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |         MIN(l_extendedprice) AS min_price,
+        |         MAX(l_extendedprice) AS max_price
+        |  FROM li GROUP BY ship_month)
+        |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
+        |ORDER BY as_of, ship_month""".stripMargin,
     "s20_manifest_upsert" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       COUNT(*) AS n_rows,

@@ -206,6 +206,36 @@ class LayoutSpec extends SparkSuite {
     assert(got.values.exists(_._6 == 2L), "no month saw both batches")
   }
 
+  test("s21: the AS-OF-1 read plans only batch-1 files; snapshots differ by the late batch") {
+    val manifest = operators.Scans.s21Commit(spark, sf)
+    val batches = manifest.select("batch").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(batches === Set(1, 2), s"manifest must carry both commits: $batches")
+    // the snapshot-read contract: the planned file set of the AS-OF-1
+    // scan is exactly the manifest's batch-1 files — later commits are
+    // invisible to the plan, not filtered after the scan
+    // compare as filesystem paths — inputFiles renders file:/ while
+    // _metadata.file_path renders file:///; same file, different URI form
+    def asPath(u: String): String = new java.net.URI(u).getPath
+    val snap1 = operators.Scans.s21AsOf(spark, manifest, 1)
+    val planned = snap1.inputFiles.map(asPath).toSet
+    val batch1Files = manifest.filter(col("batch") === 1)
+      .select("path").collect().map(r => asPath(r.getString(0))).toSet
+    assert(planned.nonEmpty && planned === batch1Files,
+      s"AS-OF-1 planned ${planned.size} files, manifest batch-1 has ${batch1Files.size}")
+    assert(planned.forall(_.contains("batch=1")),
+      s"AS-OF-1 plan touched a non-batch-1 file: ${planned.find(!_.contains("batch=1"))}")
+    // row-level: snapshot 2 minus snapshot 1 is exactly the late batch
+    val snap2 = operators.Scans.s21AsOf(spark, manifest, 2)
+    val onlyLate = snap2.exceptAll(snap1)
+    assert(onlyLate.filter(pmod(col("l_orderkey"), lit(10)) =!= 0).count() === 0L,
+      "a base-batch row appeared only in snapshot 2")
+    assert(snap1.filter(pmod(col("l_orderkey"), lit(10)) === 0).count() === 0L,
+      "a late-batch row leaked into snapshot 1")
+    assert(snap1.count() + onlyLate.count() === snap2.count())
+    graft.Fixpoint.release(manifest)
+  }
+
   test("a16: median/MAD/outlier profile matches a local recompute") {
     val got = operators.Aggregates.a16(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
