@@ -170,19 +170,45 @@ object Bench {
     }
     currentQuery = "post-sweep"
     val ok = results.collect { case QueryResult(n, Right(t), _, _, _, _) => n -> t }
-    // Fresh-JVM re-probe of the top-3 tail queries (full sweeps only):
-    // r8's l53 measured 38.7 s in-sweep but 6.6 s warm in a fresh JVM —
-    // ~4× of the tail was sweep-state/GC, not the plan. Recording both
-    // numbers side by side lets a verdict separate plan regressions from
-    // harness inflation mechanically instead of by hand-run triage. The
-    // child process is this same main with SPARK_GRAFT_ONLY set (so it
-    // cannot recurse or clobber bench_full.json); failures are non-fatal
-    // — an empty fresh_probe means the probe didn't run, never that the
-    // queries are fast.
+    // Fresh-JVM re-probe targets (full sweeps only). Two triggers, both
+    // recorded in bench_full.json so a verdict can see WHY each probe
+    // ran: "tail" = the top-3 slowest of this sweep (r8's l53 measured
+    // 38.7 s in-sweep but 6.6 s in a fresh JVM — ~4× was sweep-state/GC,
+    // not the plan); "regression" = best-of-2 exceeds 2× the same
+    // query's previous-round value (read from the newest bench_full_rNN
+    // archive with a matching SF — r10's l56 run-2 spike would have gone
+    // unprobed had it not also been in the tail). Recording in-sweep and
+    // fresh numbers side by side separates plan regressions from harness
+    // inflation mechanically instead of by hand-run triage.
+    val prevQueries: Map[String, Double] =
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "bench_full_r(\\d+)\\.json".r
+          .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+        .sortBy(-_._1).headOption.flatMap { case (_, f) =>
+          try {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            // only comparable at the same SF (the driver's sweeps all run
+            // one SF; a local sweep at another SF must not read as a
+            // fleet-wide regression)
+            if (txt.contains(s""""sf":"$sfDir""""))
+              Some(Harness.parseJsonDoubleMap(txt, "queries").toMap)
+            else None
+          } catch { case _: Throwable => None }
+        }.getOrElse(Map.empty)
+    val tailIds = ok.sortBy(-_._2).take(3).map(_._1)
+    val regressedIds = ok.collect {
+      case (n, t) if prevQueries.get(n).exists(p => t > 2.0 * p) => n
+    }
+    val probeTrigger: Seq[(String, String)] =
+      (tailIds.map(_ -> "tail") ++
+        regressedIds.map(_ -> "regression")).groupBy(_._1)
+        .map { case (n, ts) => n -> ts.map(_._2).distinct.sorted.mkString("+") }
+        .toSeq.sortBy(_._1)
     val freshProbe: Seq[(String, Double)] =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_FRESH_PROBE").contains("0"))
         Seq.empty
-      else ok.sortBy(-_._2).take(3).map(_._1) match {
+      else probeTrigger.map(_._1) match {
         case tail if tail.isEmpty => Seq.empty
         case tail =>
           try {
@@ -284,6 +310,7 @@ object Bench {
       s""""memo_pre":${nJson(memoPreByQuery)},""" +
       s""""memo_cold":${nJson(memoColdByQuery)},""" +
       s""""fresh_probe":${qsJson(freshProbe.sortBy(_._1))},""" +
+      s""""fresh_probe_trigger":${sJson(probeTrigger)},""" +
       s""""failed":$failedJson,"errors":${sJson(errors)},""" +
       s""""job_failures":$jobFailJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record

@@ -20,16 +20,27 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * hit on a drained frame would be an unrecomputable LocalCheckpointRDD.
   *
   * '''Returned-frame validity''': a frame returned by [[getOrCompute]]
-  * stays valid until [[clear]] or an [[evictSince]] whose mark precedes
-  * its admission — both release its blocks, and a LocalCheckpointRDD
+  * stays valid until [[clear]], an [[evictSince]] whose mark precedes
+  * its admission, or a [[releaseRetired]] after the entry was
+  * capacity-retired — all release its blocks, and a LocalCheckpointRDD
   * cannot recompute them. Capacity overflow deliberately does NOT
-  * release: the overflowed entry leaves the lookup table (so it can't be
-  * served again) but its blocks are RETIRED — retained and still
-  * drain-protected — until the next clear()/covering evictSince, so a
-  * caller still holding the handed-out frame is never invalidated
-  * underneath. Overflow is logged loudly: with per-(corpus, params) keys
-  * it means >capacity live corpora in one session, which is almost
-  * always a missing clear() between corpus generations.
+  * release inline: the overflowed entry leaves the lookup table (so it
+  * can't be served again) but its blocks are RETIRED — retained and
+  * still drain-protected — so a caller still holding the handed-out
+  * frame is never invalidated mid-consumption. Retired blocks are freed
+  * at the next QUIESCENCE BARRIER ([[releaseRetired]], wired through
+  * SessionMemos into Harness.drain's between-queries point — where the
+  * caller asserts no handed-out frame is still being consumed; drain
+  * already unpersists every unprotected RDD there, so any plan still
+  * mid-flight would break regardless) or by clear()/covering
+  * evictSince, whichever comes first — bounding retained storage in a
+  * long session without a refcount API on every call site. Overflow is
+  * logged loudly, and past [[FrameMemo.MaxRetired]] un-released retired
+  * entries it THROWS: with per-(corpus, params) keys that means dozens
+  * of live corpora with neither a drain nor a clear() between
+  * generations — the pinned-storage failure mode the drain exists to
+  * prevent, surfaced as an error naming the fix instead of as an
+  * eventual executor OOM.
   *
   * Staleness is the caller's contract, as with l43's trainMemo: a corpus
   * regenerated IN PLACE still sameResult-matches a re-read of the same
@@ -78,11 +89,19 @@ final class FrameMemo[P](capacity: Int = 8) extends SessionMemos.Member {
             entries.addLast((spark, key, params, computed, SessionMemos.stamp()))
             Harness.protectRdds(spark.sparkContext, Harness.frameRddIds(computed))
             if (entries.size > capacity) {
+              if (retired.size >= FrameMemo.MaxRetired)
+                throw new IllegalStateException(
+                  s"FrameMemo holds ${retired.size} retired frames' blocks " +
+                    "(capacity overflows with no intervening quiescence) — " +
+                    "call clear() between corpus generations, or drain " +
+                    "(Harness.drain / SessionMemos.releaseRetired) at a " +
+                    "point where no handed-out frame is mid-consumption")
               val ev = entries.removeFirst()
               retired.addLast((ev._4, ev._5))
               System.err.println(s"[FrameMemo] capacity $capacity overflow: " +
-                "retiring oldest entry (blocks held until clear/evictSince; " +
-                "a session cycling corpora should clear() between generations)")
+                "retiring oldest entry (blocks held until the next drain/" +
+                "clear/evictSince; a session cycling corpora should clear() " +
+                "between generations)")
             }
             computed
         }
@@ -109,10 +128,27 @@ final class FrameMemo[P](capacity: Int = 8) extends SessionMemos.Member {
     n
   }
 
+  /** Free all retired (capacity-overflow) entries' blocks. Caller
+    * asserts quiescence — no handed-out frame is mid-consumption (see
+    * the class doc); live entries are untouched and stay served. */
+  override def releaseRetired(): Int = entries.synchronized {
+    var n = 0
+    while (!retired.isEmpty) { release(retired.removeFirst()._1); n += 1 }
+    n
+  }
+
   /** Drop every entry — live and retired — unprotecting and releasing
     * its blocks. After this, previously returned frames are INVALID. */
   def clear(): Unit = entries.synchronized {
     while (!entries.isEmpty) release(entries.removeFirst()._4)
     while (!retired.isEmpty) release(retired.removeFirst()._1)
   }
+}
+
+object FrameMemo {
+  /** Un-released retired entries tolerated before overflow THROWS —
+    * high enough that any session with a working drain/clear discipline
+    * never sees it, low enough that the pinned-storage growth fails fast
+    * instead of OOMing an executor hours later. */
+  private[graft] val MaxRetired = 64
 }

@@ -16,8 +16,10 @@ object Harness {
     * surviving from l21's run to l53's — while everything else the drain
     * clears is per-query debt. Entries are removed by the memo's own
     * clear()/evictSince (which also unpersist); capacity overflow
-    * RETIRES without unprotecting — retired blocks must keep surviving
-    * the drain until clear(), per FrameMemo's validity contract.
+    * RETIRES without unprotecting — retired blocks stay valid for any
+    * already-handed-out frame until the drain itself (the quiescence
+    * barrier) frees them via SessionMemos.releaseRetired, per
+    * FrameMemo's validity contract.
     *
     * Keyed by (applicationId, rddId), not bare rddId: RDD ids restart
     * near 0 in every SparkContext, so a context stopped with its memos
@@ -62,11 +64,19 @@ object Harness {
     * probe is advisory: a parse failure must read as "probe didn't run",
     * not kill the sweep that just spent 20 minutes measuring. */
   def parseBenchQueries(out: String): Seq[(String, Double)] =
+    parseJsonDoubleMap(
+      out.linesIterator.find(_.startsWith("{\"metric\"")).getOrElse(""),
+      "queries")
+
+  /** Extract a flat {"name": number, ...} object field from a one-line
+    * JSON document (Bench's own output format — names are [a-z0-9_]).
+    * Same total-function contract as [[parseBenchQueries]]: malformed or
+    * missing input yields Seq.empty, never a throw. */
+  def parseJsonDoubleMap(json: String, field: String): Seq[(String, Double)] =
     "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
       .findAllMatchIn(
-        out.linesIterator.find(_.startsWith("{\"metric\""))
-          .flatMap(l => "\"queries\":\\{([^}]*)\\}".r
-            .findFirstMatchIn(l).map(_.group(1))).getOrElse(""))
+        ("\"" + field + "\":\\{([^}]*)\\}").r
+          .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
 
   /** Full sweep-state drain. Caches pinned inside a query (l02
@@ -81,6 +91,12 @@ object Harness {
     * gc() collects what those released — one pass left later queries
     * paying 10+ s of organic GC for their predecessors' state. */
   def drain(spark: SparkSession, settleMs: Long): Unit = {
+    // drain's caller asserts quiescence (nothing mid-consumption — every
+    // unprotected RDD below gets unpersisted, which would break any plan
+    // still in flight), so this is also the safe point to free frames the
+    // memos retired on capacity overflow (held until now so handed-out
+    // frames were never invalidated underneath a reader)
+    SessionMemos.releaseRetired()
     spark.catalog.clearCache()
     val app = spark.sparkContext.applicationId
     spark.sparkContext.getPersistentRDDs.values

@@ -32,6 +32,14 @@ object SessionMemos {
       * asserts nothing still holds frames admitted after the mark (see
       * FrameMemo.evictSince for why that matters). */
     def evictSince(mark: Long): Int
+
+    /** Free state held only for handed-out-frame safety (FrameMemo's
+      * retired capacity-overflow entries); live lookup-able entries are
+      * untouched. The caller asserts QUIESCENCE: no frame previously
+      * returned by any memo is still mid-consumption (Harness.drain's
+      * between-queries barrier is exactly this point). Default no-op —
+      * most memos retain nothing beyond their lookup tables. */
+    def releaseRetired(): Int = 0
   }
 
   private val clock = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -52,6 +60,17 @@ object SessionMemos {
   def evictSince(mark: Long): Int = {
     var n = 0
     members.forEach(m => n += m.evictSince(mark))
+    n
+  }
+
+  /** Release every memo's retired (overflow-held) state — see
+    * [[Member.releaseRetired]] for the quiescence contract the caller
+    * asserts. Wired into Harness.drain so a harness session's retained
+    * storage is bounded by memo capacity, not by how many corpora it
+    * cycled. */
+  def releaseRetired(): Int = {
+    var n = 0
+    members.forEach(m => n += m.releaseRetired())
     n
   }
 

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
   * PipelineSpec/DedupSpec:
   *
   *  - capacity overflow RETIRES (entry leaves lookup, but its blocks stay
-  *    valid and drain-protected — a caller holding the handed-out frame
-  *    must never see its LocalCheckpointRDD blocks vanish underneath it);
-  *    clear() then releases live AND retired entries and unprotects them;
+  *    valid — a caller holding the handed-out frame must never see its
+  *    LocalCheckpointRDD blocks vanish mid-consumption); the next
+  *    QUIESCENCE BARRIER (Harness.drain / SessionMemos.releaseRetired)
+  *    frees retired blocks clear-free while live entries keep serving;
+  *    past FrameMemo.MaxRetired un-released retirements overflow throws;
+  *    clear() releases live AND retired entries and unprotects them;
   *  - SessionMemos.evictSince(mark) drops exactly the entries admitted
   *    after the mark (Bench's between-runs reset), releasing their blocks,
   *    while older entries keep serving;
@@ -26,7 +29,7 @@ class FrameMemoSpec extends SparkSuite {
   private def keyOf(tag: Int) =
     Seq(tag).toDF("a").queryExecution.normalized
 
-  test("overflow retires (frame stays valid + drain-protected); clear releases all") {
+  test("overflow retires (frame stays valid until quiescence); drain then frees retired only") {
     val memo = new FrameMemo[Int](capacity = 2)
     val before = liveRddIds()
     // three distinct keys (distinct literal plans) -> third insert
@@ -34,17 +37,24 @@ class FrameMemoSpec extends SparkSuite {
     val f1 = memo.getOrCompute(spark, keyOf(1), 1)(checkpointed(1))
     val f1Ids = Harness.frameRddIds(f1).toSet
     memo.getOrCompute(spark, keyOf(2), 2)(checkpointed(2))
-    memo.getOrCompute(spark, keyOf(3), 3)(checkpointed(3))
+    val f3 = memo.getOrCompute(spark, keyOf(3), 3)(checkpointed(3))
     // out of lookup: the same key recomputes (and overflows #2 in turn)
     var recomputed = false
     memo.getOrCompute(spark, keyOf(1), 1) { recomputed = true; checkpointed(1) }
     assert(recomputed, "an overflowed entry must no longer be served")
-    // ...but the handed-out frame was NOT invalidated: blocks live,
-    // still protected through a drain, and the frame still readable
-    Harness.drain(spark, settleMs = 0L)
+    // ...but the handed-out frame was NOT invalidated underneath its
+    // reader: blocks live and readable until the next quiescence point
     assert(f1Ids.subsetOf(liveRddIds()),
-      "retired blocks must survive a drain until clear()")
+      "retired blocks must stay live until a quiescence barrier")
     assert(f1.count() === 1L, "a retired handed-out frame must stay readable")
+    // quiescence (this reader is done): drain frees the RETIRED frames'
+    // blocks — clear-free — while live entries keep serving
+    Harness.drain(spark, settleMs = 0L)
+    assert(f1Ids.intersect(liveRddIds()).isEmpty,
+      "drain (the quiescence barrier) must free retired blocks")
+    assert(f3.count() === 1L, "a live (non-retired) entry must survive the drain")
+    assert(memo.getOrCompute(spark, keyOf(3), 3)(
+      fail("a live entry must still be served after releaseRetired")) ne null)
     memo.clear()
     assert(liveRddIds() -- before === Set.empty,
       "clear() must release every live AND retired entry")
@@ -54,6 +64,28 @@ class FrameMemoSpec extends SparkSuite {
     Harness.drain(spark, settleMs = 0L)
     assert(Harness.frameRddIds(stray).toSet.intersect(liveRddIds()).isEmpty,
       "an unmanaged checkpoint must NOT survive drain (stale protection leak)")
+  }
+
+  test("retired growth past MaxRetired throws instead of pinning storage forever") {
+    // a session cycling corpora with neither a drain nor a clear() is
+    // the unbounded pinned-storage failure mode — past the cap the
+    // overflow fails FAST with the fix named, instead of OOMing later
+    val memo = new FrameMemo[Int](capacity = 1)
+    val ex = intercept[IllegalStateException] {
+      // capacity 1: insert k+1 distinct keys -> k retirements
+      (0 to FrameMemo.MaxRetired + 1).foreach { i =>
+        memo.getOrCompute(spark, keyOf(100 + i), 100 + i)(checkpointed(100 + i))
+      }
+    }
+    assert(ex.getMessage.contains("clear()"),
+      s"the error must name the fix, got: ${ex.getMessage}")
+    // a quiescence barrier resets the budget: the same churn then works
+    SessionMemos.releaseRetired()
+    (0 to 3).foreach { i =>
+      memo.getOrCompute(spark, keyOf(300 + i), 300 + i)(checkpointed(300 + i))
+    }
+    memo.clear()
+    Harness.drain(spark, settleMs = 0L)
   }
 
   test("params distinguish entries sharing a plan; race-loser frame is released") {

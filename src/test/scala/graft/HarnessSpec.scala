@@ -29,6 +29,22 @@ class HarnessSpec extends AnyFunSuite {
     assert(Harness.parseBenchQueries("""{"metric":"total","value":1.0}""") === Seq.empty)
   }
 
+  test("parseJsonDoubleMap pulls one named object out of a bench_full document") {
+    // the regression-trigger reader: previous-round per-query times come
+    // from bench_full_rNN.json's "queries" field — the parse must not
+    // bleed into the neighboring same-shaped maps (gc_sec, fresh_probe)
+    val full = """{"total":245.5,"context":{"xmx_mb":24576},""" +
+      """"queries":{"a01_agg_hash":0.201,"l56_dedup_eval":5.946},""" +
+      """"gc_sec":{"a01_agg_hash":9.9},"fresh_probe":{"l56_dedup_eval":4.43},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Harness.parseJsonDoubleMap(full, "queries") ===
+      Seq("a01_agg_hash" -> 0.201, "l56_dedup_eval" -> 5.946))
+    assert(Harness.parseJsonDoubleMap(full, "fresh_probe") ===
+      Seq("l56_dedup_eval" -> 4.43))
+    assert(Harness.parseJsonDoubleMap(full, "missing") === Seq.empty)
+    assert(Harness.parseJsonDoubleMap("", "queries") === Seq.empty)
+  }
+
   test("jsonEscape escapes quotes, backslashes, and control characters") {
     assert(Harness.jsonEscape("a\"b\\c\nd\te\rf") ===
       "\"a\\\"b\\\\c\\nd\\te\\rf\"")

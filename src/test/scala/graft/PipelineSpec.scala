@@ -123,13 +123,20 @@ class PipelineSpec extends SparkSuite {
     // cache-per-round adds ~1-2 more per round → 37+), so the pin sits
     // between the two shapes rather than at the action count.
     llm.Pipeline.clearTrainMemo()
+    // count only jobs tagged with THIS test's job group — a global count
+    // on the shared SparkContext would also pick up incidental jobs from
+    // suite state or AQE plan variation and flake the ceiling
+    val group = "graft-bpe-train-pin"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(e.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "bpeTrain job-count pin")
     try {
       val rounds = 10
       val merges = llm.Pipeline.bpeTrain(Tables.documents(spark, sf), rounds)
@@ -138,7 +145,10 @@ class PipelineSpec extends SparkSuite {
         .waitListenerBusEmpty(spark.sparkContext, 10000L)
       assert(jobs.get() <= 3 * rounds + 2,
         s"bpeTrain($rounds rounds) ran ${jobs.get()} jobs — cache-per-round regression?")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("l47: manifest matches a driver-side recompute and the XOR fingerprint " +
