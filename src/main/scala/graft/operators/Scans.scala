@@ -359,6 +359,10 @@ object Scans extends QueryModule {
       n: Int): DataFrame = {
     val files = manifest.filter(col("batch") <= n)
       .select("path").collect().map(_.getString(0)).sorted
+    // an empty slice means the snapshot id predates every commit — fail
+    // with the actual contract instead of parquet's schema-inference error
+    require(files.nonEmpty,
+      s"no manifest files at batch <= $n — snapshot predates the first commit")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 

@@ -233,6 +233,11 @@ class LayoutSpec extends SparkSuite {
     assert(snap1.filter(pmod(col("l_orderkey"), lit(10)) === 0).count() === 0L,
       "a late-batch row leaked into snapshot 1")
     assert(snap1.count() + onlyLate.count() === snap2.count())
+    // a snapshot id before the first commit fails with the contract named
+    val ex = intercept[IllegalArgumentException] {
+      operators.Scans.s21AsOf(spark, manifest, 0)
+    }
+    assert(ex.getMessage.contains("predates"))
     graft.Fixpoint.release(manifest)
   }
 
