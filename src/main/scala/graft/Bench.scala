@@ -180,26 +180,37 @@ object Bench {
     // unprobed had it not also been in the tail). Recording in-sweep and
     // fresh numbers side by side separates plan regressions from harness
     // inflation mechanically instead of by hand-run triage.
+    // baseline = the NEWEST archive that is actually comparable: same SF
+    // (a local sweep at another SF must not read as a fleet-wide
+    // regression) AND same best-of-2 semantics (the r9→r10 memo-cold
+    // change made memo-tagged queries 2-10× slower with zero plan change
+    // — exactly the cross-semantics misattribution bench_compare.py
+    // refuses). Non-matching archives are skipped, not trigger-disabling.
     val prevQueries: Map[String, Double] =
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => "bench_full_r(\\d+)\\.json".r
           .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
-        .sortBy(-_._1).headOption.flatMap { case (_, f) =>
+        .sortBy(-_._1).iterator.map { case (_, f) =>
           try {
             val txt = new String(
               java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            // only comparable at the same SF (the driver's sweeps all run
-            // one SF; a local sweep at another SF must not read as a
-            // fleet-wide regression)
-            if (txt.contains(s""""sf":"$sfDir""""))
+            if (txt.contains(s""""sf":"$sfDir"""") &&
+                txt.contains(""""semantics":"memo-cold-best-of-2""""))
               Some(Harness.parseJsonDoubleMap(txt, "queries").toMap)
             else None
           } catch { case _: Throwable => None }
-        }.getOrElse(Map.empty)
+        }.collectFirst { case Some(m) => m }.getOrElse(Map.empty)
     val tailIds = ok.sortBy(-_._2).take(3).map(_._1)
+    // regression = 2× the prior value AND at least +0.5 s absolute (on
+    // ±40% box noise, sub-second queries routinely double without
+    // meaning anything); capped at the 10 worst by ratio so a noisy
+    // sweep can't inflate the child probe past its 20-min budget or the
+    // one-line JSON's slowest-25 `queries` cap (3 tail + 10 ≤ 25, so
+    // every probed query's fresh number survives into fresh_probe)
     val regressedIds = ok.collect {
-      case (n, t) if prevQueries.get(n).exists(p => t > 2.0 * p) => n
-    }
+      case (n, t) if prevQueries.get(n).exists(p => t > 2.0 * p && t - p >= 0.5) =>
+        n -> (t / prevQueries(n))
+    }.sortBy(-_._2).take(10).map(_._1)
     val probeTrigger: Seq[(String, String)] =
       (tailIds.map(_ -> "tail") ++
         regressedIds.map(_ -> "regression")).groupBy(_._1)

@@ -86,16 +86,24 @@ final class FrameMemo[P](capacity: Int = 8) extends SessionMemos.Member {
             Fixpoint.release(computed)
             winner
           case None =>
+            // hard-cap check BEFORE admission: throwing after addLast +
+            // protectRdds would leave one more never-evictable protected
+            // entry per caught-and-retried call — the exact pinned-storage
+            // growth the cap exists to stop. The fresh frame is released
+            // (the caller gets the exception, not the frame).
+            if (entries.size >= capacity &&
+                retired.size >= FrameMemo.MaxRetired) {
+              Fixpoint.release(computed)
+              throw new IllegalStateException(
+                s"FrameMemo holds ${retired.size} retired frames' blocks " +
+                  "(capacity overflows with no intervening quiescence) — " +
+                  "call clear() between corpus generations, or drain " +
+                  "(Harness.drain / SessionMemos.releaseRetired) at a " +
+                  "point where no handed-out frame is mid-consumption")
+            }
             entries.addLast((spark, key, params, computed, SessionMemos.stamp()))
             Harness.protectRdds(spark.sparkContext, Harness.frameRddIds(computed))
             if (entries.size > capacity) {
-              if (retired.size >= FrameMemo.MaxRetired)
-                throw new IllegalStateException(
-                  s"FrameMemo holds ${retired.size} retired frames' blocks " +
-                    "(capacity overflows with no intervening quiescence) — " +
-                    "call clear() between corpus generations, or drain " +
-                    "(Harness.drain / SessionMemos.releaseRetired) at a " +
-                    "point where no handed-out frame is mid-consumption")
               val ev = entries.removeFirst()
               retired.addLast((ev._4, ev._5))
               System.err.println(s"[FrameMemo] capacity $capacity overflow: " +

@@ -264,9 +264,13 @@ object Llm extends QueryModule {
     * near-identical, so recall saturates at 1.0 there; the metric must be
     * shown to MOVE). */
   private[graft] def dedupEval(docs: DataFrame): DataFrame = {
-    // constant-size probe set: modulus from the corpus count (memoized —
-    // one tiny count job per distinct corpus frame per session)
-    val m = probeModulus(CorpusStats.n(docs))
+    // constant-size probe set: modulus from a FRESH corpus count (one
+    // count-star job — parquet metadata, not a scan). Deliberately NOT
+    // CorpusStats: that memo's documented staleness tolerance is written
+    // for whole-bit band-width derivation, but the modulus here must
+    // match the oracle's fresh count(*) exactly — a stale n across a
+    // modulus boundary would silently probe a different sample.
+    val m = probeModulus(docs.count())
     val sh = shinglesOf(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val isProbe = (c: org.apache.spark.sql.Column) => pmod(c, lit(m)) === 0
@@ -370,7 +374,7 @@ object Llm extends QueryModule {
     * re-measured law so a corpus change that worsens it is caught, not
     * discovered in a sweep. */
   def truthJoinWork(docs: DataFrame): Long = {
-    val m = probeModulus(CorpusStats.n(docs))
+    val m = probeModulus(docs.count()) // fresh, like dedupEval's
     val sh = shinglesOf(docs)
     sh.groupBy("sh")
       .agg(sum(when(pmod(col("doc_id"), lit(m)) === 0, 1L).otherwise(0L))

@@ -71,16 +71,28 @@ class FrameMemoSpec extends SparkSuite {
     // the unbounded pinned-storage failure mode — past the cap the
     // overflow fails FAST with the fix named, instead of OOMing later
     val memo = new FrameMemo[Int](capacity = 1)
+    var lastTried = -1
     val ex = intercept[IllegalStateException] {
       // capacity 1: insert k+1 distinct keys -> k retirements
       (0 to FrameMemo.MaxRetired + 1).foreach { i =>
+        lastTried = i
         memo.getOrCompute(spark, keyOf(100 + i), 100 + i)(checkpointed(100 + i))
       }
     }
     assert(ex.getMessage.contains("clear()"),
       s"the error must name the fix, got: ${ex.getMessage}")
-    // a quiescence barrier resets the budget: the same churn then works
-    SessionMemos.releaseRetired()
+    // the throw happened BEFORE admission: the rejected key must MISS
+    // (recompute) on retry, and its rejected frame's blocks were released
+    // — a throw-after-admit would leave one protected never-evictable
+    // entry per caught-and-retried call, growing exactly the pinned
+    // storage the cap exists to stop
+    SessionMemos.releaseRetired() // quiescence resets the budget...
+    var recomputed = false
+    memo.getOrCompute(spark, keyOf(100 + lastTried), 100 + lastTried) {
+      recomputed = true; checkpointed(100 + lastTried)
+    }
+    assert(recomputed, "the cap-rejected entry must not have been admitted")
+    // ...and the same churn then works
     (0 to 3).foreach { i =>
       memo.getOrCompute(spark, keyOf(300 + i), 300 + i)(checkpointed(300 + i))
     }
