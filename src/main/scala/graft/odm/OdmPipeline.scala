@@ -303,12 +303,19 @@ object OdmPipeline {
     * ScalaUDF — the envelope runs once per command at scale. */
   def enveloped(spark: SparkSession, path: String, batchCmdId: String,
       sub: String): DataFrame =
+    envelopedUnordered(spark, path, batchCmdId, sub)
+      .orderBy("level", "name", "params_json")
+
+  /** [[enveloped]] without the level order — for consumers that impose
+    * their own order (or none: the wire producer, where order is the
+    * broker's concern and the sort would be planned work for nothing). */
+  def envelopedUnordered(spark: SparkSession, path: String, batchCmdId: String,
+      sub: String): DataFrame =
     commands(spark, path)
       .withColumn("id", graft.functions.Uuid5Expression.genCmdId(spark,
         lit(batchCmdId), col("name"), col("params_json"), col("file_oid")))
       .withColumn("sub", lit(sub))
       .select("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
-      .orderBy("level", "name", "params_json")
 
   /** Dependency gating (R15): given the downstream event log
     * (cid, name), reproduce exactly the set of commands the reference

@@ -1,0 +1,132 @@
+package graft
+
+import graft.odm.{OdmPipeline, OdmQueries}
+import graft.streaming.BrokerWire
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Wire-level broker loop (reference broker.clj:65-95): encode→decode is
+  * lossless on the golden command stream, the three delivery outcomes
+  * classify exactly as delivery-fn does, and the SAME decode plan runs
+  * over a file-backed stream (the bus stand-in this sandbox allows). */
+class BrokerWireSpec extends SparkSuite {
+
+  private def golden = OdmPipeline.enveloped(spark, OdmPipeline.fixturePath(),
+    OdmQueries.BatchCmdId, "importer-1")
+
+  private val envCols =
+    Seq("id", "name", "sub", "file_oid", "params_json", "level", "doc_pos")
+
+  test("encode→decode round-trips the c01 golden stream byte-exactly") {
+    val back = BrokerWire.decode(
+        BrokerWire.encode(golden, "lens-sds.batch-commands"))
+      .filter(col("branch") === "command")
+      .select(envCols.map(col): _*)
+      .orderBy("level", "name", "params_json")
+    assert(back.collect().toSeq === golden.collect().toSeq)
+    // every valid delivery acks, none carries an error surface
+    val dispositions = BrokerWire.decode(
+        BrokerWire.encode(golden, "t"))
+      .select("disposition", "requeue", "reason", "payload")
+      .distinct().collect().toSeq
+    assert(dispositions === Seq(Row("ack", null, null, null)))
+  }
+
+  test("delivery classification: unreadable is log-only, schema-invalid " +
+      "rejects without requeue (broker.clj:68-82)") {
+    import spark.implicits._
+    val wire = Seq(
+      "garbage", // transit read throws
+      "{\"id\":\"tr", // truncated payload
+      "42", // readable scalar → fails the SCHEMA check, not the read
+      """{"id":"not-a-uuid","name":"n","sub":"s"}""", // id not a Uuid
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"","sub":"s"}""", // name blank
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"  "}""", // sub blank
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n"}""", // sub missing
+      """{"name":"n","sub":"s"}""", // id missing: rlike(NULL) must read false, not null
+      """{"id":"7F1D3A5E-0000-5000-8000-000000000001","name":"x/y","sub":"s"}""" // uppercase Uuid ok
+    ).toDF("p").select(col("p").cast("binary").as("value"))
+    val got = BrokerWire.decode(wire)
+      .select("payload", "branch", "disposition", "requeue", "reason")
+      .collect().map(r => (if (r.isNullAt(0)) "<cmd>" else r.getString(0)) ->
+        ((r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) null else r.getBoolean(3), r.getString(4))))
+      .toMap
+    assert(got("garbage") === (("unreadable", "none", null, "unparseable-payload")))
+    assert(got("{\"id\":\"tr") === (("unreadable", "none", null, "unparseable-payload")))
+    assert(got("42") === (("invalid", "reject", false, "schema")))
+    assert(got("""{"id":"not-a-uuid","name":"n","sub":"s"}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(got("""{"name":"n","sub":"s"}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(got.filter(_._2._1 == "invalid").size === 6)
+    assert(got("<cmd>") === (("command", "ack", null, null)))
+  }
+
+  test("encode→decode round-trips 200 adversarial envelopes " +
+      "(quotes, backslashes, unicode, control chars, JSON specials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val specials = Array("\"", "\\", "/", " ", "é", "漢", "\n", "\t",
+      "{", "}", "[", "]", ":", ",", "'", "a", "B", "7", "-", ".")
+    def randStr(min: Int): String =
+      (0 until (min + rnd.nextInt(8))).map(_ => specials(rnd.nextInt(specials.length))).mkString
+    def uuid: String = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
+    val rows = (1 to 200).map { i =>
+      (uuid, "odm-import/" + randStr(1), randStr(0) + "x", s"FILE-$i",
+        Map(s"k$i" -> randStr(0), "q" -> randStr(0)), 1 + rnd.nextInt(5),
+        f"$i%06d")
+    }
+    val env = rows
+      .toDF("id", "name", "sub", "file_oid", "params", "level", "doc_pos")
+      .withColumn("params_json", to_json(col("params")))
+      .select(envCols.map(col): _*)
+    val back = BrokerWire.decode(BrokerWire.encode(env, "t"))
+    assert(back.filter(col("branch") =!= "command").count() === 0,
+      back.filter(col("branch") =!= "command")
+        .select("payload", "branch").collect().take(3).mkString("; "))
+    assert(back.select(envCols.map(col): _*).orderBy("id").collect().toSeq
+      === env.orderBy("id").collect().toSeq)
+  }
+
+  test("decode is map-only: no exchange anywhere in the consumer loop") {
+    import spark.implicits._
+    val wire = Seq("x").toDF("p").select(col("p").cast("binary").as("value"))
+    val plan = BrokerWire.decode(wire).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"broker decode must fuse into the scan, got:\n$plan")
+  }
+
+  test("decode preserves broker-assigned consumer columns (offset et al.)") {
+    import spark.implicits._
+    val wire = Seq((7L, 2, """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s"}"""))
+      .toDF("offset", "partition", "p")
+      .select(col("offset"), col("partition"), col("p").cast("binary").as("value"))
+    val r = BrokerWire.decode(wire).select("offset", "partition", "branch").head()
+    assert(r === Row(7L, 2, "command"))
+  }
+
+  test("the same decode plan runs over a file-backed stream and " +
+      "accumulates to the golden command set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wire_ck_").toString
+    val name = s"graft_wire_${System.nanoTime()}"
+    try {
+      val wire = BrokerWire.encode(golden, "lens-sds.batch-commands")
+      wire.write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(wire.schema).parquet(dir)
+      val q = BrokerWire.decode(stream)
+        .filter(col("branch") === "command")
+        .select(envCols.map(col): _*)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(name).orderBy("level", "name", "params_json")
+      assert(got.collect().toSeq === golden.collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+}
