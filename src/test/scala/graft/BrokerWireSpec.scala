@@ -106,6 +106,67 @@ class BrokerWireSpec extends SparkSuite {
     assert(r === Row(7L, 2, "command"))
   }
 
+  test("full consumer loop on ONE streaming plan: wire bytes → decode → " +
+      "dead-letter split → stateful orphan gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.OdmStreamIngest
+    import OdmStreamIngest.{GateEvent, GatedChild}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gateName = s"graft_loop_gate_${System.nanoTime()}"
+    val dlqName = s"graft_loop_dlq_${System.nanoTime()}"
+    def cmd(kind: String, parent: String, child: String): String = {
+      val id = java.util.UUID.nameUUIDFromBytes(s"$kind/$parent/$child".getBytes)
+      s"""{"id":"$id","name":"gate/$kind","sub":"importer-1","params":{"parent_id":"$parent","kind":"$kind","child_id":"$child"}}"""
+    }
+    try {
+      val stream = MemoryStream[String]
+      val decoded = graft.streaming.BrokerWire.decode(
+        stream.toDF().select(col("value").cast("binary").as("value")))
+      // dead letters leave the loop here (c03's quarantine posture) …
+      val dlq = decoded.filter(col("branch") =!= "command")
+        .select("branch", "disposition", "payload")
+        .writeStream.format("memory").queryName(dlqName)
+        .outputMode("append").start()
+      // … and surviving commands feed the R15 orphan gate, still streaming
+      val gated = OdmStreamIngest.gatedChildren(
+        decoded.filter(col("branch") === "command")
+          .select(
+            get_json_object(col("params_json"), "$.parent_id").as("parent_id"),
+            get_json_object(col("params_json"), "$.kind").as("kind"),
+            get_json_object(col("params_json"), "$.child_id").as("child_id"))
+          .as[GateEvent])
+      val q = gated.toDF().writeStream.format("memory").queryName(gateName)
+        .outputMode("append").start()
+      try {
+        stream.addData(
+          cmd("child", "p1", "c1"), // arrives BEFORE its parent resolves
+          "poison-not-a-command", // unreadable → dead letter, not the gate
+          """{"id":"no-uuid","name":"gate/child","sub":"s"}""", // invalid
+          cmd("parent_ok", "p1", ""),
+          cmd("child", "p1", "c2")) // parent already ok → direct
+        q.processAllAvailable(); dlq.processAllAvailable()
+      } finally { q.stop(); dlq.stop() }
+      val got = spark.table(gateName).as[GatedChild].collect()
+        .map(g => g.child_id -> g.status).toMap
+      assert(got === Map("c1" -> "released", "c2" -> "direct"))
+      val dead = spark.table(dlqName).collect()
+        .map(r => r.getString(2) -> r.getString(0)).toMap
+      assert(dead === Map(
+        "poison-not-a-command" -> "unreadable",
+        """{"id":"no-uuid","name":"gate/child","sub":"s"}""" -> "invalid"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("the same decode plan runs over a file-backed stream and " +
       "accumulates to the golden command set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wire_").toString
