@@ -83,8 +83,12 @@ object BrokerWire {
     *   payload     the raw value text on the two error branches (what the
     *               reference's error log carries), null on the command path
     * plus the decoded envelope columns (null outside the command branch).
-    * Map-only — no shuffle; at scale this is the per-record consumer loop
-    * fused into the scan. */
+    * decode ADDS columns, never drops: the Command schema is an OPEN map
+    * (broker.clj:30-38 `Any Any`), so payload keys beyond the envelope
+    * stay reachable downstream via the untouched `value` column
+    * (`get_json_object(value, "$.your_key")`) — nothing is lost by
+    * classification. Map-only — no shuffle; at scale this is the
+    * per-record consumer loop fused into the scan. */
   def decode(wire: DataFrame): DataFrame = {
     val v = col("value").cast("string")
     val envSchema = StructType.fromDDL(

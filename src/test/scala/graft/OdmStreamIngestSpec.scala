@@ -189,4 +189,61 @@ class OdmStreamIngestSpec extends SparkSuite {
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("orphan gate property: the pass/prune verdict is invariant under " +
+      "arrival order and micro-batch slicing (25 random scenarios, one stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import OdmStreamIngest.{GateEvent, GatedChild}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // scenario-prefixed parent keys make the 25 scenarios independent rows
+    // of ONE stream — the state store shards them like any other key, so
+    // this also exercises concurrent per-key state
+    val rnd = new scala.util.Random(7)
+    val fates = Array("ok", "fail", "never")
+    case class Kid(parent: String, fate: String, child: String)
+    val kids = (0 until 25).flatMap { s =>
+      val parents = (0 to rnd.nextInt(3)).map(p => (s"s${s}p$p", fates(rnd.nextInt(3))))
+      (0 until rnd.nextInt(7)).map { c =>
+        val (pk, fate) = parents(rnd.nextInt(parents.size))
+        Kid(pk, fate, s"s${s}c$c")
+      }
+    }
+    val events = rnd.shuffle(
+      kids.map(k => GateEvent(k.parent, "child", k.child)) ++
+        kids.map(k => (k.parent, k.fate)).distinct.collect {
+          case (pk, "ok") => GateEvent(pk, "parent_ok", "")
+          case (pk, "fail") => GateEvent(pk, "parent_fail", "")
+        })
+    val expected = kids
+      .filter(_.fate != "never") // a never-resolved parent's subtree waits forever
+      .map(k => k.child -> (if (k.fate == "ok") "passed" else "pruned")).toMap
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"graft_gate_prop_${System.nanoTime()}"
+    try {
+      val stream = MemoryStream[GateEvent]
+      val q = OdmStreamIngest.gatedChildren(stream.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // random micro-batch cuts: 1-6 slices of the shuffled event list
+        val cuts = events.grouped(1 + rnd.nextInt(events.size / 3 + 1)).toSeq
+        cuts.foreach { batch =>
+          stream.addData(batch: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).as[GatedChild].collect()
+        .map(g => g.child_id ->
+          (if (g.status == "pruned") "pruned" else "passed")).toMap
+      assert(got === expected)
+      // exactly-once emission per gated child
+      assert(spark.table(name).count() === expected.size)
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+  }
 }
