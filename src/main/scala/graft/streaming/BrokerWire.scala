@@ -52,18 +52,26 @@ object BrokerWire {
   /** Producer side (what `writeStream.format("kafka")` expects: key, value,
     * topic): serialize an enveloped command frame (OdmPipeline.enveloped
     * columns) to wire records. `params` is spliced into the envelope as a
-    * raw JSON object — the already-canonical params_json substring survives
-    * encode→decode byte-identically, which is what lets the round-trip spec
-    * demand exact equality with the c01 golden stream. */
+    * raw JSON OBJECT (the reference's Params schema is a map,
+    * broker.clj:25-26) — the already-canonical params_json substring
+    * survives encode→decode byte-identically, which is what lets the
+    * round-trip spec demand exact equality with the c01 golden stream. */
   def encode(commands: DataFrame, topic: String): DataFrame = {
     val head = to_json(struct(EnvelopeFields.map(col): _*))
     commands
       .withColumn("h", head)
+      // splice params between the braces; concat_ws drops the null side,
+      // so an all-null envelope ('{}' head — to_json omits null fields)
+      // still yields valid JSON and classifies at the SCHEMA check, not
+      // as an unreadable payload
+      .withColumn("hb", expr("substring(h, 2, length(h)-2)"))
       .withColumn("json",
-        when(col("params_json").isNotNull,
-          concat(expr("substring(h, 1, length(h)-1)"),
-            lit(",\"params\":"), col("params_json"), lit("}")))
-          .otherwise(col("h")))
+        concat(lit("{"),
+          concat_ws(",",
+            when(length(col("hb")) > 0, col("hb")),
+            when(col("params_json").isNotNull,
+              concat(lit("\"params\":"), col("params_json")))),
+          lit("}")))
       .select(
         col("id").cast("binary").as("key"),
         col("json").cast("binary").as("value"),
@@ -83,18 +91,27 @@ object BrokerWire {
     *   payload     the raw value text on the two error branches (what the
     *               reference's error log carries), null on the command path
     * plus the decoded envelope columns (null outside the command branch).
-    * decode ADDS columns, never drops: the Command schema is an OPEN map
-    * (broker.clj:30-38 `Any Any`), so payload keys beyond the envelope
-    * stay reachable downstream via the untouched `value` column
-    * (`get_json_object(value, "$.your_key")`) — nothing is lost by
+    * The decoded output names (branch/disposition/requeue/reason/payload +
+    * the envelope columns) are RESERVED — an input column with one of
+    * those names is replaced; every other input column passes through
+    * untouched. The Command schema is an OPEN map (broker.clj:30-38
+    * `Any Any`), so payload keys beyond the envelope stay reachable
+    * downstream via the untouched `value` column — nothing is lost by
     * classification. Map-only — no shuffle; at scale this is the
-    * per-record consumer loop fused into the scan. */
+    * per-record consumer loop fused into the scan (the payload is parsed
+    * twice: the readability probe and the one envelope parse, which also
+    * captures `params` as its raw JSON text). */
   def decode(wire: DataFrame): DataFrame = {
     val v = col("value").cast("string")
+    // `params STRING` rides the envelope parse: Spark's Jackson path
+    // re-emits a non-string field captured as STRING, byte-identical for
+    // compact object input (BrokerWireSpec's adversarial round-trip pins
+    // this), so no second get_json_object parse is needed
     val envSchema = StructType.fromDDL(
       "id STRING, name STRING, sub STRING, file_oid STRING, " +
-        "level INT, doc_pos STRING")
+        "level INT, doc_pos STRING, params STRING")
     val e = from_json(v, envSchema)
+    val params = e.getField("params")
     // read-transit's throw ⇔ not JSON at all; a readable non-map payload
     // (e.g. a bare 42) reaches the SCHEMA check and fails there, exactly
     // like a transit scalar would
@@ -104,8 +121,16 @@ object BrokerWire {
       // read FALSE, not NULL (NULL AND TRUE = NULL would otherwise fall
       // through `when` to the command branch)
       e.getField("id").isNotNull && e.getField("id").rlike(UuidRe) &&
-        e.getField("name").isNotNull && (e.getField("name") =!= "") &&
-        e.getField("sub").isNotNull && (trim(e.getField("sub")) =!= "")
+        // a Keyword can never contain whitespace (and is never empty)
+        e.getField("name").isNotNull && e.getField("name").rlike("^\\S+$") &&
+        e.getField("sub").isNotNull && (trim(e.getField("sub")) =!= "") &&
+        // Params is a MAP (broker.clj:25-26): a present non-object params
+        // fails the schema, mirroring s/check on {Any Any}. Known corner
+        // of the JSON substitution: STRING capture strips quotes, so a
+        // params whose value is the *string* "{...}" passes this test
+        // (transit, being typed, would reject it) — an object-typed wire
+        // format closes it; the JSON wire cannot
+        (params.isNull || params.startsWith("{"))
     val branch = when(unreadable, "unreadable")
       .when(!schemaOk, "invalid").otherwise("command")
     def commandOnly(c: Column): Column =
@@ -127,7 +152,7 @@ object BrokerWire {
       .withColumn("name", commandOnly(e.getField("name")))
       .withColumn("sub", commandOnly(e.getField("sub")))
       .withColumn("file_oid", commandOnly(e.getField("file_oid")))
-      .withColumn("params_json", commandOnly(get_json_object(v, "$.params")))
+      .withColumn("params_json", commandOnly(params))
       .withColumn("level", commandOnly(e.getField("level")))
       .withColumn("doc_pos", commandOnly(e.getField("doc_pos")))
   }

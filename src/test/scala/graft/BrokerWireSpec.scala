@@ -44,14 +44,19 @@ class BrokerWireSpec extends SparkSuite {
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"  "}""", // sub blank
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n"}""", // sub missing
       """{"name":"n","sub":"s"}""", // id missing: rlike(NULL) must read false, not null
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"   ","sub":"s"}""", // name not a Keyword (whitespace)
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"a b","sub":"s"}""", // name not a Keyword (embedded space)
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""", // params not a map
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":[1]}""", // params not a map
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""", // JSON-null params = absent, valid
       """{"id":"7F1D3A5E-0000-5000-8000-000000000001","name":"x/y","sub":"s"}""" // uppercase Uuid ok
     ).toDF("p").select(col("p").cast("binary").as("value"))
-    val got = BrokerWire.decode(wire)
+    val rows = BrokerWire.decode(wire)
       .select("payload", "branch", "disposition", "requeue", "reason")
       .collect().map(r => (if (r.isNullAt(0)) "<cmd>" else r.getString(0)) ->
         ((r.getString(1), r.getString(2),
           if (r.isNullAt(3)) null else r.getBoolean(3), r.getString(4))))
-      .toMap
+    val got = rows.toMap
     assert(got("garbage") === (("unreadable", "none", null, "unparseable-payload")))
     assert(got("{\"id\":\"tr") === (("unreadable", "none", null, "unparseable-payload")))
     assert(got("42") === (("invalid", "reject", false, "schema")))
@@ -59,8 +64,30 @@ class BrokerWireSpec extends SparkSuite {
       (("invalid", "reject", false, "schema")))
     assert(got("""{"name":"n","sub":"s"}""") ===
       (("invalid", "reject", false, "schema")))
-    assert(got.filter(_._2._1 == "invalid").size === 6)
+    assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(rows.count(_._2._1 == "invalid") === 10)
+    assert(rows.count(_._2._1 == "command") === 2) // null params + uppercase id
     assert(got("<cmd>") === (("command", "ack", null, null)))
+  }
+
+  test("an all-null envelope still encodes to VALID JSON and fails at the " +
+      "schema check, not the readability probe") {
+    import spark.implicits._
+    val env = Seq(("x", """{"k":"v"}"""))
+      .toDF("marker", "params_json")
+      .select(lit(null).cast("string").as("id"), lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("sub"), lit(null).cast("string").as("file_oid"),
+        col("params_json"), lit(null).cast("int").as("level"),
+        lit(null).cast("string").as("doc_pos"))
+    val r = BrokerWire.decode(BrokerWire.encode(env, "t"))
+      .select("payload", "branch", "reason").head()
+    assert(r === Row("""{"params":{"k":"v"}}""", "invalid", "schema"))
+    // and with params ALSO null: the payload is the empty object
+    val r2 = BrokerWire.decode(BrokerWire.encode(
+        env.withColumn("params_json", lit(null).cast("string")), "t"))
+      .select("payload", "branch").head()
+    assert(r2 === Row("{}", "invalid"))
   }
 
   test("encode→decode round-trips 200 adversarial envelopes " +
@@ -71,9 +98,15 @@ class BrokerWireSpec extends SparkSuite {
       "{", "}", "[", "]", ":", ",", "'", "a", "B", "7", "-", ".")
     def randStr(min: Int): String =
       (0 until (min + rnd.nextInt(8))).map(_ => specials(rnd.nextInt(specials.length))).mkString
+    // a Command name is a Keyword — never whitespace — so the name
+    // generator draws from the whitespace-free subset; sub/params stay
+    // fully adversarial
+    val nameSpecials = specials.filterNot(_.exists(_.isWhitespace))
+    def randName: String = "odm-import/" + (0 until (1 + rnd.nextInt(8)))
+      .map(_ => nameSpecials(rnd.nextInt(nameSpecials.length))).mkString
     def uuid: String = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
     val rows = (1 to 200).map { i =>
-      (uuid, "odm-import/" + randStr(1), randStr(0) + "x", s"FILE-$i",
+      (uuid, randName, randStr(0) + "x", s"FILE-$i",
         Map(s"k$i" -> randStr(0), "q" -> randStr(0)), 1 + rnd.nextInt(5),
         f"$i%06d")
     }
