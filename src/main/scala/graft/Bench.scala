@@ -186,7 +186,10 @@ object Bench {
     // change made memo-tagged queries 2-10× slower with zero plan change
     // — exactly the cross-semantics misattribution bench_compare.py
     // refuses). Non-matching archives are skipped, not trigger-disabling.
-    val prevQueries: Map[String, Double] =
+    // only.isEmpty gate: a fresh-probe child / SPARK_GRAFT_ONLY triage run
+    // never writes the full JSON, so scanning the archives there is dead
+    // I/O on every probe
+    val prevQueries: Map[String, Double] = if (only.nonEmpty) Map.empty else
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => "bench_full_r(\\d+)\\.json".r
           .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))

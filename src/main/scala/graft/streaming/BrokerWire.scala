@@ -38,9 +38,11 @@ object BrokerWire {
     "key BINARY, value BINARY, topic STRING, partition INT, " +
       "offset BIGINT, timestamp TIMESTAMP")
 
-  /** RFC-4122 shape for the Command schema's `id Uuid` check. */
+  /** RFC-4122 shape for the Command schema's `id Uuid` check. Anchored
+    * with \z, not $: Java's $ also matches BEFORE a trailing newline, so
+    * a newline-terminated id would slip a $-anchored check. */
   private val UuidRe =
-    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z"
 
   /** Envelope fields serialized alongside `params`. The reference Command
     * schema is an OPEN map ({Any Any}, broker.clj:30-38) so the extra keys
@@ -121,9 +123,13 @@ object BrokerWire {
       // read FALSE, not NULL (NULL AND TRUE = NULL would otherwise fall
       // through `when` to the command branch)
       e.getField("id").isNotNull && e.getField("id").rlike(UuidRe) &&
-        // a Keyword can never contain whitespace (and is never empty)
-        e.getField("name").isNotNull && e.getField("name").rlike("^\\S+$") &&
-        e.getField("sub").isNotNull && (trim(e.getField("sub")) =!= "") &&
+        // a Keyword can never contain whitespace (and is never empty);
+        // \z-anchored for the same trailing-newline reason as UuidRe
+        e.getField("name").isNotNull && e.getField("name").rlike("^\\S+\\z") &&
+        // NonBlankStr = at least one non-whitespace char (clojure blank?
+        // semantics; Spark's trim() strips only ASCII space, so a
+        // tab-only sub would pass a trim-based check)
+        e.getField("sub").isNotNull && e.getField("sub").rlike("\\S") &&
         // Params is a MAP (broker.clj:25-26): a present non-object params
         // fails the schema, mirroring s/check on {Any Any}. Known corner
         // of the JSON substitution: STRING capture strips quotes, so a

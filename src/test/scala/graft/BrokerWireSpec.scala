@@ -49,6 +49,9 @@ class BrokerWireSpec extends SparkSuite {
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""", // params not a map
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":[1]}""", // params not a map
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""", // JSON-null params = absent, valid
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001\n","name":"n","sub":"s"}""", // newline-terminated id: $ would match, \z must not
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n\n","sub":"s"}""", // newline-terminated name
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"\t"}""", // tab-only sub: trim() keeps it, blank? rejects it
       """{"id":"7F1D3A5E-0000-5000-8000-000000000001","name":"x/y","sub":"s"}""" // uppercase Uuid ok
     ).toDF("p").select(col("p").cast("binary").as("value"))
     val rows = BrokerWire.decode(wire)
@@ -66,7 +69,11 @@ class BrokerWireSpec extends SparkSuite {
       (("invalid", "reject", false, "schema")))
     assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""") ===
       (("invalid", "reject", false, "schema")))
-    assert(rows.count(_._2._1 == "invalid") === 10)
+    assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001\n","name":"n","sub":"s"}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"\t"}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(rows.count(_._2._1 == "invalid") === 13)
     assert(rows.count(_._2._1 == "command") === 2) // null params + uppercase id
     assert(got("<cmd>") === (("command", "ack", null, null)))
   }
