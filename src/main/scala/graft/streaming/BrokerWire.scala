@@ -65,13 +65,16 @@ object BrokerWire {
       // splice params between the braces; concat_ws drops the null side,
       // so an all-null envelope ('{}' head — to_json omits null fields)
       // still yields valid JSON and classifies at the SCHEMA check, not
-      // as an unreadable payload
+      // as an unreadable payload. An EMPTY-string params_json is treated
+      // like null (field omitted): splicing it would emit `"params":}` —
+      // invalid JSON — turning a producer-side blank into a poison
+      // message that classifies 'unreadable' instead of failing here
       .withColumn("hb", expr("substring(h, 2, length(h)-2)"))
       .withColumn("json",
         concat(lit("{"),
           concat_ws(",",
             when(length(col("hb")) > 0, col("hb")),
-            when(col("params_json").isNotNull,
+            when(length(col("params_json")) > 0,
               concat(lit("\"params\":"), col("params_json")))),
           lit("}")))
       .select(
@@ -123,20 +126,34 @@ object BrokerWire {
       // read FALSE, not NULL (NULL AND TRUE = NULL would otherwise fall
       // through `when` to the command branch)
       e.getField("id").isNotNull && e.getField("id").rlike(UuidRe) &&
-        // a Keyword can never contain whitespace (and is never empty);
-        // \z-anchored for the same trailing-newline reason as UuidRe
-        e.getField("name").isNotNull && e.getField("name").rlike("^\\S+\\z") &&
-        // NonBlankStr = at least one non-whitespace char (clojure blank?
-        // semantics; Spark's trim() strips only ASCII space, so a
-        // tab-only sub would pass a trim-based check)
-        e.getField("sub").isNotNull && e.getField("sub").rlike("\\S") &&
+        // Keyword check, DELIBERATELY narrowed under the JSON substitution
+        // to reader-syntax keywords: no whitespace (Unicode-aware via (?U)
+        // — the Clojure reader's whitespace is Character.isWhitespace
+        // based), non-empty. The reference's s/check is a TYPE check and
+        // (keyword "a b") / (keyword "") are valid Keyword instances that
+        // transit round-trips — JSON has no keyword type, so such names
+        // classify 'invalid' here but 'valid' there. \z-anchored for the
+        // same trailing-newline reason as UuidRe
+        e.getField("name").isNotNull && e.getField("name").rlike("(?U)^\\S+\\z") &&
+        // NonBlankStr = at least one non-whitespace char. (?U) makes \S
+        // Unicode-aware like clojure.string/blank? (Character.isWhitespace
+        // — a U+3000-only sub must fail); Spark's trim() strips only ASCII
+        // space, so a tab-only sub would pass a trim-based check
+        e.getField("sub").isNotNull && e.getField("sub").rlike("(?U)\\S") &&
         // Params is a MAP (broker.clj:25-26): a present non-object params
-        // fails the schema, mirroring s/check on {Any Any}. Known corner
-        // of the JSON substitution: STRING capture strips quotes, so a
-        // params whose value is the *string* "{...}" passes this test
-        // (transit, being typed, would reject it) — an object-typed wire
-        // format closes it; the JSON wire cannot
-        (params.isNull || params.startsWith("{"))
+        // fails the schema, mirroring s/check on {Any Any} — including a
+        // present EXPLICIT-null ("params":null), which s/check on an
+        // optional key rejects. from_json's STRING capture can't tell
+        // missing from JSON-null, so absence of the KEY is probed with
+        // json_object_keys; the && short-circuits, so that extra parse
+        // runs only on params-null rows, never on the command hot path.
+        // Known corner of the JSON substitution: STRING capture strips
+        // quotes, so a params whose value is the *string* "{...}" passes
+        // this test (transit, being typed, would reject it) — an
+        // object-typed wire format closes it; the JSON wire cannot
+        ((params.isNull &&
+          !coalesce(array_contains(json_object_keys(v), "params"), lit(false))) ||
+          (params.isNotNull && params.startsWith("{")))
     val branch = when(unreadable, "unreadable")
       .when(!schemaOk, "invalid").otherwise("command")
     def commandOnly(c: Column): Column =

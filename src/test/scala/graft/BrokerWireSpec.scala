@@ -48,7 +48,8 @@ class BrokerWireSpec extends SparkSuite {
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"a b","sub":"s"}""", // name not a Keyword (embedded space)
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""", // params not a map
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":[1]}""", // params not a map
-      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""", // JSON-null params = absent, valid
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""", // explicit-null params: present key, s/check rejects nil
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"　"}""", // U+3000-only sub: blank? is Unicode-aware
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001\n","name":"n","sub":"s"}""", // newline-terminated id: $ would match, \z must not
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n\n","sub":"s"}""", // newline-terminated name
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"\t"}""", // tab-only sub: trim() keeps it, blank? rejects it
@@ -73,8 +74,12 @@ class BrokerWireSpec extends SparkSuite {
       (("invalid", "reject", false, "schema")))
     assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"\t"}""") ===
       (("invalid", "reject", false, "schema")))
-    assert(rows.count(_._2._1 == "invalid") === 13)
-    assert(rows.count(_._2._1 == "command") === 2) // null params + uppercase id
+    assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"　"}""") ===
+      (("invalid", "reject", false, "schema")))
+    assert(rows.count(_._2._1 == "invalid") === 15)
+    assert(rows.count(_._2._1 == "command") === 1) // the uppercase-Uuid row
     assert(got("<cmd>") === (("command", "ack", null, null)))
   }
 
@@ -95,6 +100,30 @@ class BrokerWireSpec extends SparkSuite {
         env.withColumn("params_json", lit(null).cast("string")), "t"))
       .select("payload", "branch").head()
     assert(r2 === Row("{}", "invalid"))
+    // an EMPTY-string params_json encodes like null (field omitted) — the
+    // naive splice would emit `{"params":}`, invalid JSON, and the frame
+    // would classify 'unreadable' (poison) instead of failing the schema
+    val r3 = BrokerWire.decode(BrokerWire.encode(
+        env.withColumn("params_json", lit("")), "t"))
+      .select("payload", "branch").head()
+    assert(r3 === Row("{}", "invalid"))
+  }
+
+  test("explicit-null params rejects (s/check on a present :params nil) " +
+      "while an ABSENT params acks — the key-presence probe distinguishes them") {
+    import spark.implicits._
+    val id = "7f1d3a5e-0000-5000-8000-000000000001"
+    val wire = Seq(
+      s"""{"id":"$id","name":"n","sub":"s"}""",
+      s"""{"id":"$id","name":"n","sub":"s","params":null}""",
+      s"""{"id":"$id","name":"n","sub":"s","params":{}}""")
+      .toDF("p").select(col("p").cast("binary").as("value"))
+    val got = BrokerWire.decode(wire)
+      .select(col("value").cast("string"), col("branch")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got(s"""{"id":"$id","name":"n","sub":"s"}""") === "command")
+    assert(got(s"""{"id":"$id","name":"n","sub":"s","params":null}""") === "invalid")
+    assert(got(s"""{"id":"$id","name":"n","sub":"s","params":{}}""") === "command")
   }
 
   test("encode→decode round-trips 200 adversarial envelopes " +
