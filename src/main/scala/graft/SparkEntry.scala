@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Pivots,
     operators.History,
     operators.Graph,
+    operators.Lakehouse,
     llm.Llm,
     llm.Dedup,
     llm.Pipeline,

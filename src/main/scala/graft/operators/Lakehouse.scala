@@ -1,0 +1,429 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format lifecycle operators (SURVEY.md §2.2 s22-s24): snapshot
+  * retention/vacuum, compaction↔manifest consistency, and optimistic
+  * concurrent commit — the three legs that turn s19/s20/s21's
+  * write→merge→time-travel into a complete lakehouse story. The reference
+  * (lens-sds-batch) delegates storage lifecycle to MongoDB
+  * (store.clj:21-34 upserts into capped collections); a Spark-native
+  * engine owns its files, so the lifecycle IS part of the declared
+  * surface, mirroring what Iceberg `expireSnapshots` / Delta `VACUUM` /
+  * `OPTIMIZE` + the commit protocol do.
+  *
+  * Scale posture, shared by all three: a MANIFEST here is a (snapshot,
+  * path[, stats]) frame — KBs per thousand files, the planning metadata
+  * every table format keeps. Snapshot reads plan from the manifest
+  * (explicit file list, as s21 established), never from directory
+  * listing; physical deletes run executor-side over the expired-file
+  * frame (at 100 TB that's a distributed object-store delete, not a
+  * driver loop); and commits are O(1) atomic pointer creations, so
+  * writer concurrency costs conflicts + retries, never locks held over
+  * data writes.
+  */
+object Lakehouse extends QueryModule {
+
+  // ---------------------------------------------------------------- s22
+
+  /** Write the s22 table: three commits under one root.
+    *   commit 1  base batch (l_orderkey%10 != 0), repartition(4) → 4 files
+    *   commit 2  late batch (l_orderkey%10 == 0), repartition(2) → 2 files
+    *   commit 3  COMPACTION — snapshot 2's rows rewritten range-clustered
+    *             on l_orderkey, repartitionByRange(3) → 3 files
+    * Returns the snapshot manifest (snapshot, path): each snapshot lists
+    * its COMPLETE file set (the Iceberg model — a snapshot is a full file
+    * list, not a delta): snap1 = commit-1 files, snap2 = commit-1+2,
+    * snap3 = commit-3 only. After commit 3, the commit-1/2 files are
+    * referenced ONLY by expired-able snapshots — exactly the state
+    * expireSnapshots+vacuum exists to clean up. */
+  private[graft] def s22Commit(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s22_table", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/commit=1")
+    li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$root/commit=2")
+    val snap2Files = listDataFiles(s"$root/commit=1") ++ listDataFiles(s"$root/commit=2")
+    spark.read.parquet(snap2Files: _*)
+      .repartitionByRange(3, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/commit=3")
+    import spark.implicits._
+    val rows =
+      listDataFiles(s"$root/commit=1").flatMap(p => Seq((1, p), (2, p))) ++
+        listDataFiles(s"$root/commit=2").map(p => (2, p)) ++
+        listDataFiles(s"$root/commit=3").map(p => (3, p))
+    // planner metadata (≤ 9 rows here; KBs per thousand files in
+    // production) — checkpointed so later reads don't re-list directories
+    rows.toDF("snapshot", "path").localCheckpoint()
+  }
+
+  /** Snapshot read: plan exactly the files the manifest attributes to
+    * snapshot n — a VACUUMED (or never-committed) snapshot fails with the
+    * retention contract named, not a file-not-found at scan time. */
+  private[graft] def s22AsOf(spark: SparkSession, manifest: DataFrame,
+      n: Int): DataFrame = {
+    val files = manifest.filter(col("snapshot") === n)
+      .select("path").collect().map(_.getString(0)).sorted
+    require(files.nonEmpty,
+      s"snapshot $n is expired or was never committed — not readable")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** VACUUM: expire snapshots below `retainFrom`, physically delete every
+    * file no RETAINED snapshot references, return (pruned manifest,
+    * deleted count). The set algebra is the whole safety argument:
+    * deletable = referenced(expired) \ referenced(retained) — a file
+    * shared with any retained snapshot survives, so retained reads are
+    * untouched by construction (LakehouseSpec walks the filesystem to pin
+    * deleted ∩ retained = ∅). The delete itself runs executor-side over
+    * the expired-file frame — at 100 TB this is a distributed
+    * object-store delete fanned over the cluster, not a driver loop. */
+  private[graft] def s22Vacuum(spark: SparkSession, manifest: DataFrame,
+      retainFrom: Int): (DataFrame, Long) = {
+    val retained = manifest.filter(col("snapshot") >= retainFrom)
+    val deletable = manifest.filter(col("snapshot") < retainFrom)
+      .select("path").distinct()
+      .join(retained.select("path").distinct(), Seq("path"), "left_anti")
+    val deleted = spark.sparkContext.longAccumulator("s22_deleted")
+    deletable.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // local-fs image of the production object-store delete; accepts
+      // both plain paths (driver listings) and file: URIs (_metadata)
+      it.foreach { r =>
+        val raw = r.getString(0)
+        val p = if (raw.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(raw))
+        else java.nio.file.Paths.get(raw)
+        if (java.nio.file.Files.deleteIfExists(p)) deleted.add(1L)
+      }
+    }
+    (retained.localCheckpoint(), deleted.value)
+  }
+
+  /** Data files under a directory (driver-side listing = the one-time
+    * manifest-construction step; all later planning reads the manifest). */
+  private def listDataFiles(d: String): Seq[String] = {
+    val f = new java.io.File(d)
+    if (!f.isDirectory) Seq.empty
+    else f.listFiles().toSeq.map(_.getPath)
+      .filter(p => p.endsWith(".parquet") && !p.split('/').last.startsWith("_"))
+      .sorted
+  }
+
+  /** All data files currently on disk under the s22 root (the spec's and
+    * the query's physical-deletion witness). */
+  private def s22DiskFiles(dir: String): Seq[String] = {
+    val root = Tables.scratchPath("s22_table", dir)
+    (1 to 3).flatMap(c => listDataFiles(s"$root/commit=$c"))
+  }
+
+  /** s22: SNAPSHOT RETENTION + VACUUM — the missing leg of the
+    * s19/s20/s21 lifecycle (Iceberg expireSnapshots / Delta VACUUM).
+    * Three commits leave 9 data files on disk with snapshot 3 (a
+    * compaction rewrite) referencing only 3 of them; vacuum with
+    * retention ≥ 3 must delete exactly the 6 unreferenced files and
+    * leave every retained snapshot byte-identical. The query emits the
+    * retained snapshot's per-month stats BEFORE and AFTER the vacuum
+    * plus the on-disk data-file count at each phase — so the oracle
+    * (which knows snapshot 3 == the whole table) pins both the logical
+    * invariance (pre == post == truth) and the physical deletion
+    * (9 files → 3). The pre-phase frame is checkpoint-materialized
+    * before the delete runs; the expired snapshots' rows are provably
+    * gone because only 3 files remain and they are snapshot 3's. */
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = s22Commit(spark, dir)
+    def stats(df: DataFrame): DataFrame = df.groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+    val pre = stats(s22AsOf(spark, manifest, 3))
+      .withColumn("phase", lit("pre"))
+      .withColumn("n_data_files", lit(s22DiskFiles(dir).size.toLong))
+      .localCheckpoint() // materialize before the vacuum deletes files
+    val (pruned, _) = s22Vacuum(spark, manifest, retainFrom = 3)
+    val post = stats(s22AsOf(spark, pruned, 3))
+      .withColumn("phase", lit("post"))
+      .withColumn("n_data_files", lit(s22DiskFiles(dir).size.toLong))
+    pre.unionByName(post)
+      .select("phase", "ship_month", "n_rows", "key_sum",
+        "min_price", "max_price", "n_data_files")
+      .orderBy("phase", "ship_month")
+  }
+
+  // ---------------------------------------------------------------- s23
+
+  /** Per-file zone-map stats over an explicit file list — the s19
+    * manifest row shape, computed from the files' own `_metadata`.
+    * basePath lets partition discovery type the ship_month dir key even
+    * though the scan is planned from leaf files. */
+  private[graft] def fileStats(spark: SparkSession, root: String, files: Seq[String]): DataFrame =
+    spark.read.option("basePath", root).parquet(files: _*)
+      .groupBy(col("ship_month"), col("_metadata.file_path").as("path"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+
+  /** Build the s23 table + both manifest versions. Returns (v1, v2):
+    *   v1  the fragmented layout's per-file manifest — 4 append passes
+    *       (one per l_orderkey%4 group, each repartitioned to one task
+    *       per month) leave COUNT(DISTINCT l_orderkey%4) files per month;
+    *   v2  after compacting the 1997 months: their fragments are
+    *       REPLACED in the manifest by one range-written file per month,
+    *       while non-1997 rows carry over from v1 UNTOUCHED — no rescan.
+    * The compaction appends new files but deletes nothing: disk holds
+    * both generations (old fragments await vacuum), and the MANIFEST is
+    * what keeps reads exactly-once — the consistency contract this
+    * operator exists to prove. Both manifests carry a snapshot column so
+    * s22Vacuum applies verbatim (v1 = snapshot 1, v2 = snapshot 2). */
+  private[graft] def s23Build(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = Tables.scratchPath("s23_table", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    // simulate an incremental writer: each group lands as its own append,
+    // fragmenting every month into one file per group that has rows there
+    for (g <- 0 until 4)
+      li.filter(pmod(col("l_orderkey"), lit(4)) === g)
+        .repartition(col("ship_month"))
+        .write.mode(if (g == 0) "overwrite" else "append")
+        .partitionBy("ship_month").parquet(root)
+    val fragFiles = listMonthFiles(root)
+    val v1 = fileStats(spark, root, fragFiles)
+      .withColumn("snapshot", lit(1)).localCheckpoint()
+    // compact ONLY the fragmented-and-hot months (1997), planning the
+    // rewrite from the manifest's file list — partitionBy(ship_month)
+    // keeps every file single-month, so the 1997 file set IS exactly the
+    // rows to rewrite (no other month is read)
+    val frag97 = v1.filter(col("ship_month").startsWith("1997"))
+      .select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
+    spark.read.option("basePath", root).parquet(frag97: _*)
+      .repartition(col("ship_month"))
+      .write.mode("append").partitionBy("ship_month").parquet(root)
+    val newFiles = listMonthFiles(root).diff(fragFiles)
+    // incremental manifest maintenance: non-1997 rows CARRY OVER (their
+    // files were not rescanned); the rewrite delta alone is re-stat'd
+    val v2 = v1.filter(!col("ship_month").startsWith("1997")).drop("snapshot")
+      .unionByName(fileStats(spark, root, newFiles))
+      .withColumn("snapshot", lit(2))
+      .localCheckpoint()
+    (v1, v2)
+  }
+
+  private def listMonthFiles(root: String): Seq[String] = {
+    val f = new java.io.File(root)
+    if (!f.isDirectory) Seq.empty
+    else f.listFiles().toSeq.filter(d => d.isDirectory && d.getName.startsWith("ship_month="))
+      .flatMap(d => listDataFiles(d.getPath))
+      .sorted
+  }
+
+  /** s23: COMPACTION↔MANIFEST CONSISTENCY — s15's compaction invalidates
+    * s19's per-file zone maps; this operator composes them the way a
+    * table format's OPTIMIZE does: rewrite the fragmented 1997 months
+    * (one range-clustered file per month), then bring the manifest
+    * current INCREMENTALLY — drop the replaced files' rows, stat only
+    * the rewrite delta, carry every untouched month over verbatim. The
+    * result is the v2 manifest aggregated per month (no data scan: the
+    * manifest IS the answer), and the oracle recomputes every stat from
+    * the source table — equality proves incremental-remanifest ==
+    * from-scratch. n_files pins the collapse: 1 for compacted months,
+    * COUNT(DISTINCT l_orderkey%4) (the fragment-group count) elsewhere.
+    * The old 1997 fragments are still on disk (vacuum's job, s22 — the
+    * spec composes the two); only the manifest keeps reads exactly-once. */
+  def s23(spark: SparkSession, dir: String): DataFrame = {
+    val (_, v2) = s23Build(spark, dir)
+    v2.groupBy("ship_month")
+      .agg(count(lit(1)).as("n_files"),
+        sum("n_rows").cast("bigint").as("n_rows"),
+        min("min_orderkey").as("min_orderkey"),
+        max("max_orderkey").as("max_orderkey"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+      .orderBy("ship_month")
+  }
+
+  // ---------------------------------------------------------------- s24
+
+  /** The commit log: a directory of atomically-created pointer files
+    * v00000.ptr, v00001.ptr, … whose CONTENT is the committed manifest's
+    * payload directory. Creating the next version's pointer is the
+    * commit — java.nio CREATE_NEW is atomic on the local fs, the same
+    * put-if-absent primitive Delta's _delta_log relies on from object
+    * stores. Losing a race costs a retry (re-read, re-merge, re-stage),
+    * never a lock held over data writes. */
+  private def ptrName(v: Int): String = f"v$v%05d.ptr"
+
+  private[graft] def s24Current(log: String): Int = {
+    val d = new java.io.File(log)
+    if (!d.isDirectory) -1
+    else d.listFiles().map(_.getName)
+      .filter(_.matches("v\\d{5}\\.ptr"))
+      .map(_.substring(1, 6).toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Atomic put-if-absent of the version pointer; true iff this writer
+    * won the version. */
+  private[graft] def s24TryCommit(log: String, version: Int, payload: String): Boolean = {
+    val dir = java.nio.file.Paths.get(log)
+    java.nio.file.Files.createDirectories(dir)
+    try {
+      val p = java.nio.file.Files.createFile(dir.resolve(ptrName(version)))
+      java.nio.file.Files.write(p,
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  private[graft] def s24Read(spark: SparkSession, log: String, version: Int): DataFrame = {
+    val p = java.nio.file.Paths.get(log).resolve(ptrName(version))
+    require(java.nio.file.Files.exists(p), s"no committed version $version in $log")
+    spark.read.parquet(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The manifest's monoid merge (s20's shape): counts add, min/max
+    * combine — associative+commutative, which is what makes "loser
+    * re-merges onto the winner's result" equal any serial order. */
+  private def s24Merge(cur: DataFrame, delta: DataFrame): DataFrame =
+    cur.unionByName(delta)
+      .groupBy("ship_month")
+      .agg(sum("n_rows").cast("bigint").as("n_rows"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+
+  private def s24Stats(df: DataFrame): DataFrame = df
+    .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    .groupBy("ship_month")
+    .agg(count(lit(1)).cast("bigint").as("n_rows"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"))
+
+  /** One optimistic writer: read current version, merge own delta, stage
+    * the merged manifest, attempt the next version; on conflict re-read
+    * and retry. Returns the version this writer committed. */
+  private[graft] def s24Writer(spark: SparkSession, log: String, stage: String,
+      delta: DataFrame, writerId: String, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = s24Current(log)
+      val merged =
+        if (v < 0) delta
+        else s24Merge(s24Read(spark, log, v), delta)
+      val payload = s"$stage/$writerId-v${v + 1}-a$attempt"
+      merged.write.mode("overwrite").parquet(payload)
+      if (s24TryCommit(log, v + 1, payload)) return v + 1
+      attempt += 1
+    }
+    sys.error(s"writer $writerId gave up after $maxAttempts conflicts")
+  }
+
+  /** s24: OPTIMISTIC CONCURRENT COMMIT — s20 assumed one writer; this is
+    * the lakehouse commit protocol under a forced race. A base writer
+    * commits v0; writers A and B both read v0, stage their merges, and
+    * race the v1 pointer: A wins, B's put-if-absent FAILS, and B
+    * recovers by re-reading v1 and re-merging its (unchanged) delta —
+    * committing v2. Because the merge is a commutative monoid, the final
+    * manifest equals either serial order (the spec runs all three
+    * interleavings); the oracle recomputes it from the full table, which
+    * proves no delta was lost or double-applied across the conflict.
+    * Output: final per-month manifest + the protocol's observables
+    * (final_version = 2, conflicts = 1). */
+  def s24(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.scratchPath("s24_log", dir)
+    val stage = Tables.scratchPath("s24_stage", dir)
+    // reset the log (scratch dirs are per-SF-deterministic; a rerun must
+    // replay the protocol from v0, not append to last run's log)
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val base = s24Stats(li.filter(!pmod(col("l_orderkey"), lit(10)).isin(0, 5)))
+    val deltaA = s24Stats(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    val deltaB = s24Stats(li.filter(pmod(col("l_orderkey"), lit(10)) === 5))
+    require(s24Writer(spark, log, stage, base, "base") == 0)
+    // forced race: BOTH writers read v0 before either commits
+    val v0 = s24Current(log)
+    val mergedA = s24Merge(s24Read(spark, log, v0), deltaA)
+    val mergedB = s24Merge(s24Read(spark, log, v0), deltaB)
+    mergedA.write.mode("overwrite").parquet(s"$stage/A-race")
+    mergedB.write.mode("overwrite").parquet(s"$stage/B-race")
+    require(s24TryCommit(log, v0 + 1, s"$stage/A-race"), "A must win v1")
+    val bConflicted = !s24TryCommit(log, v0 + 1, s"$stage/B-race")
+    require(bConflicted, "B's stale commit must be rejected")
+    // B recovers: the standard retry loop, now merging onto A's v1
+    val vFinal = s24Writer(spark, log, stage, deltaB, "B")
+    s24Read(spark, log, vFinal)
+      .withColumn("final_version", lit(vFinal))
+      .withColumn("conflicts", lit(1))
+      .select("ship_month", "n_rows", "min_price", "max_price",
+        "final_version", "conflicts")
+      .orderBy("ship_month")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_vacuum" -> s22,
+    "s23_compact_manifest" -> s23,
+    "s24_concurrent_commit" -> s24)
+
+  val oracles: Map[String, String] = Map(
+    // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
+    // both phases' stats are the full-table recompute; the data-file
+    // counts are the layout contract (4+2+3 files pre, 3 post) — the
+    // physical-deletion witness lives in the oracled result itself
+    "s22_vacuum" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT ship_month, COUNT(*) AS n_rows,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |         MIN(l_extendedprice) AS min_price,
+        |         MAX(l_extendedprice) AS max_price
+        |  FROM li GROUP BY ship_month)
+        |SELECT 'post' AS phase, ship_month, n_rows, key_sum, min_price,
+        |       max_price, CAST(3 AS BIGINT) AS n_data_files FROM s
+        |UNION ALL
+        |SELECT 'pre', ship_month, n_rows, key_sum, min_price, max_price,
+        |       CAST(9 AS BIGINT) FROM s
+        |ORDER BY phase, ship_month""".stripMargin,
+    // s23: every stat recomputed from the source table — equality proves
+    // the incrementally-maintained manifest == a from-scratch rebuild;
+    // n_files is 1 for compacted (1997) months and the fragment-group
+    // count (distinct l_orderkey%4 values present) elsewhere
+    "s23_compact_manifest" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(CASE WHEN strftime(l_shipdate, '%Y-%m') LIKE '1997%'
+        |                 THEN 1 ELSE COUNT(DISTINCT l_orderkey % 4)
+        |            END AS BIGINT) AS n_files,
+        |       COUNT(*) AS n_rows,
+        |       MIN(l_orderkey) AS min_orderkey,
+        |       MAX(l_orderkey) AS max_orderkey,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s24: the final manifest is the full-table stats (base ⊎ A ⊎ B with
+    // nothing lost or double-applied across the conflict), committed as
+    // v2 after exactly one rejected race
+    "s24_concurrent_commit" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       COUNT(*) AS n_rows,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price,
+        |       2 AS final_version, 1 AS conflicts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** s22 vacuum (retention set-algebra + physical deletion), s23
+  * compaction↔manifest consistency, s24 optimistic concurrent commit.
+  * The three compose: s23's superseded fragments are exactly what
+  * s22Vacuum must delete without touching a retained read.
+  */
+class LakehouseSpec extends SparkSuite {
+
+  private def asPath(u: String): String =
+    if (u.startsWith("file:")) new java.net.URI(u).getPath else u
+
+  test("s22: vacuum deletes exactly the unreferenced files; retained snapshot " +
+      "byte-identical; expired snapshot unreadable; idempotent") {
+    val manifest = operators.Lakehouse.s22Commit(spark, sf)
+    val snap3 = manifest.filter(col("snapshot") === 3)
+      .select("path").collect().map(r => asPath(r.getString(0))).toSet
+    val snap1n = operators.Lakehouse.s22AsOf(spark, manifest, 1).count()
+    val pre3 = Tables.orderAll(operators.Lakehouse.s22AsOf(spark, manifest, 3))
+      .collect()
+    assert(snap1n > 0 && pre3.nonEmpty)
+    val (pruned, deleted) = operators.Lakehouse.s22Vacuum(spark, manifest, 3)
+    // layout contract: 4 + 2 files expired, 3 retained
+    assert(deleted === 6L, s"expected 6 deleted files, got $deleted")
+    // filesystem walk: remaining data files == snapshot-3's set exactly,
+    // i.e. deleted ∩ referenced-by-retained = ∅ and nothing expired survives
+    val root = Tables.scratchPath("s22_table", sf)
+    val onDisk = (1 to 3).flatMap { c =>
+      val d = new java.io.File(s"$root/commit=$c")
+      if (d.isDirectory)
+        d.listFiles().map(_.getPath).filter(p =>
+          p.endsWith(".parquet") && !p.split('/').last.startsWith("_"))
+      else Array.empty[String]
+    }.toSet
+    assert(onDisk === snap3, s"disk after vacuum must be exactly snapshot 3: " +
+      s"extra=${onDisk.diff(snap3).take(3)} missing=${snap3.diff(onDisk).take(3)}")
+    // the retained snapshot reads byte-identically post-vacuum
+    val post3 = Tables.orderAll(operators.Lakehouse.s22AsOf(spark, pruned, 3))
+      .collect()
+    assert(post3.toSeq === pre3.toSeq)
+    // the expired snapshot fails with the retention contract named
+    val ex = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s22AsOf(spark, pruned, 1)
+    }
+    assert(ex.getMessage.contains("expired"))
+    // vacuum is idempotent: nothing left to delete
+    val (_, again) = operators.Lakehouse.s22Vacuum(spark, pruned, 3)
+    assert(again === 0L)
+    Fixpoint.release(manifest)
+    Fixpoint.release(pruned)
+  }
+
+  test("s23: incremental remanifest == from-scratch recompute; compacted months " +
+      "collapse to one file; manifest-driven reads never touch replaced fragments") {
+    val (v1, v2) = operators.Lakehouse.s23Build(spark, sf)
+    val root = Tables.scratchPath("s23_table", sf)
+    def monthFiles(m: DataFrame): Map[String, Set[String]] = m
+      .select("ship_month", "path").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(r => asPath(r.getString(1))).toSet }
+    val f1 = monthFiles(v1)
+    val f2 = monthFiles(v2)
+    assert(f1.keySet === f2.keySet, "compaction must not lose or invent months")
+    val m97 = f1.keySet.filter(_.startsWith("1997"))
+    assert(m97.nonEmpty)
+    // collapse: every compacted month → exactly 1 file, and at least one
+    // month was genuinely fragmented before (else the rewrite proved nothing)
+    m97.foreach(m => assert(f2(m).size === 1, s"$m: ${f2(m).size} files post-compaction"))
+    assert(m97.exists(m => f1(m).size > 1), "fixture never fragmented a 1997 month")
+    // replacement: new files are NEW; untouched months carry over verbatim
+    m97.foreach(m => assert(f2(m).intersect(f1(m)).isEmpty, s"$m kept an old fragment"))
+    f1.keySet.diff(m97).foreach(m => assert(f2(m) === f1(m), s"$m was rescanned/rewritten"))
+    // consistency: the incrementally-maintained v2 equals a from-scratch
+    // per-file recompute over v2's own file set
+    val v2files = v2.select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
+    val scratch = operators.Lakehouse.fileStats(spark, root, v2files)
+      .withColumn("snapshot", lit(2))
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map { r =>
+        (r.getString(0), asPath(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)).toString
+      }.toSet
+    assert(rows(v2) === rows(scratch))
+    // the manifest-planned read touches no replaced fragment: disk still
+    // holds both generations (vacuum hasn't run), the manifest decides
+    val replaced = m97.flatMap(f1)
+    val planned = spark.read.option("basePath", root)
+      .parquet(v2files: _*).inputFiles.map(asPath).toSet
+    assert(planned.intersect(replaced.toSet).isEmpty,
+      s"planned a replaced fragment: ${planned.intersect(replaced.toSet).take(2)}")
+    assert(replaced.forall(p => new java.io.File(p).exists()),
+      "pre-vacuum, superseded fragments must still be on disk")
+    // compose with s22: vacuum snapshot 1 away → exactly the replaced
+    // fragments die, and the retained manifest read is unchanged
+    val log = v1.select("snapshot", "path")
+      .unionByName(v2.select("snapshot", "path"))
+    val (_, deleted) = operators.Lakehouse.s22Vacuum(spark, log, 2)
+    assert(deleted === replaced.size.toLong,
+      s"vacuum deleted $deleted, expected ${replaced.size} replaced fragments")
+    assert(replaced.forall(p => !new java.io.File(p).exists()))
+    val postRead = spark.read.option("basePath", root).parquet(v2files: _*)
+    assert(postRead.count() === Tables.lineitem(spark, sf).count())
+    Fixpoint.release(v1)
+    Fixpoint.release(v2)
+  }
+
+  test("s24: conflict interleaving equals both serial orders; a stale commit " +
+      "is rejected; the retry loop recovers") {
+    def freshDirs(): (String, String) = {
+      val base = java.nio.file.Files.createTempDirectory("graft_s24_spec").toString
+      (s"$base/log", s"$base/stage")
+    }
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    def stats(mod: Int*): DataFrame = li
+      .filter(pmod(col("l_orderkey"), lit(10)).isin(mod.map(Integer.valueOf): _*))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+    val base = stats(1, 2, 3, 4, 6, 7, 8, 9)
+    val a = stats(0)
+    val b = stats(5)
+    def serial(first: DataFrame, second: DataFrame): Seq[String] = {
+      val (log, stage) = freshDirs()
+      operators.Lakehouse.s24Writer(spark, log, stage, base, "base")
+      operators.Lakehouse.s24Writer(spark, log, stage, first, "w1")
+      val v = operators.Lakehouse.s24Writer(spark, log, stage, second, "w2")
+      assert(v === 2)
+      operators.Lakehouse.s24Read(spark, log, v)
+        .orderBy("ship_month").collect().map(_.toString).toSeq
+    }
+    val ab = serial(a, b)
+    val ba = serial(b, a)
+    assert(ab === ba, "the merge monoid must make writer order irrelevant")
+    // the raced query path: same final manifest as either serial order
+    val raced = operators.Lakehouse.s24(spark, sf)
+      .select("ship_month", "n_rows", "min_price", "max_price")
+      .orderBy("ship_month").collect().map(_.toString).toSeq
+    assert(raced === ab)
+    // protocol primitive: the version pointer is put-if-absent — a second
+    // commit of the same version (a stale writer) must lose
+    val (log, stage) = freshDirs()
+    operators.Lakehouse.s24Writer(spark, log, stage, base, "base")
+    assert(operators.Lakehouse.s24TryCommit(log, 1, s"$stage/x"))
+    assert(!operators.Lakehouse.s24TryCommit(log, 1, s"$stage/y"),
+      "stale commit at an already-claimed version must be rejected")
+    assert(operators.Lakehouse.s24Current(log) === 1)
+  }
+}
