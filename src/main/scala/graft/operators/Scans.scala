@@ -222,6 +222,54 @@ object Scans extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** s18b: SCHEMA EVOLUTION BEYOND ADD-COLUMN — type widening and column
+    * rename across file generations, in ONE scan. s18's mergeSchema can
+    * express neither: widening (gen-1 wrote o_orderkey as INT32, gen-2 as
+    * INT64) makes mergeSchema throw a conflict, and a rename (gen-1's
+    * `amount` became gen-2's `total_price`) silently forks into two
+    * half-null columns under name-based matching. The table-format answer
+    * (Iceberg's column mapping) is FIELD IDS: every generation writes
+    * parquet field ids (Spark's writer emits them from the
+    * `parquet.field.id` metadata), and the read binds the requested
+    * schema to file columns BY ID (`spark.sql.parquet.fieldId.read
+    * .enabled`), so `total_price` finds gen-1's `amount` (same id 2) and
+    * the vectorized reader widens gen-1's INT32 into the requested
+    * BIGINT lane. One scan, footer-metadata-only extra cost, historical
+    * files never rewritten — the only way a 100 TB table survives a
+    * rename. Output is per-generation accounting; key_sum exceeds
+    * Int.MaxValue, so it proves the widened arithmetic, and the oracle
+    * recomputes both generations from the source table. */
+  def s18b(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Tables.scratchPath("s18b_evolved", dir)
+    def fid(i: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", i).build()
+    val orders = Tables.orders(spark, dir)
+    // gen 1: the original schema — narrow key, original column name
+    orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").cast("int").as("o_orderkey", fid(1)),
+        col("o_totalprice").as("amount", fid(2)))
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    // gen 2: widened key, renamed amount → total_price (same field id)
+    orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("o_orderkey", fid(1)),
+        col("o_totalprice").as("total_price", fid(2)))
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val readSchema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true, fid(1)),
+      StructField("total_price", DoubleType, nullable = true, fid(2)),
+      StructField("gen", IntegerType, nullable = true)))
+    spark.read.schema(readSchema).parquet(root)
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("total_price"))).cast("double").as("sum_price"),
+        min("total_price").as("min_price"),
+        max("total_price").as("max_price"))
+      .orderBy("gen")
+  }
+
   /** s19: ZONE-MAP MANIFEST SINK — write the fact table partitioned by a
     * derived key with a one-file-per-partition layout, then derive the
     * per-FILE min/max/count manifest from the written files themselves
@@ -584,6 +632,7 @@ object Scans extends QueryModule {
     "s13_source_jsonl" -> s13,
     "s15_sink_compact" -> s15,
     "s18_source_evolved" -> s18,
+    "s18b_evolve_widen_rename" -> s18b,
     "s19_sink_manifest" -> s19,
     "s20_manifest_upsert" -> s20,
     "s21_time_travel" -> s21,
@@ -705,6 +754,21 @@ object Scans extends QueryModule {
         |       MIN(l_extendedprice) AS min_price,
         |       MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s18b: both generations recomputed from the source table — gen 1 is
+    // the narrow-keyed 'amount' era, gen 2 post-widen-and-rename; the
+    // field-id read must make them one column family
+    "s18b_evolve_widen_rename" ->
+      """SELECT 1 AS gen, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE),
+        |       MIN(o_totalprice), MAX(o_totalprice)
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY gen""".stripMargin,
     "s18_source_evolved" ->
       """SELECT o_orderkey, o_totalprice,
         |       CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS gen

@@ -120,6 +120,52 @@ class LayoutSpec extends SparkSuite {
     assert(byGen(2) === ((nO, nO)), s"gen2: ${byGen(2)}")
   }
 
+  test("s18b: field-id read binds renamed columns and widens INT32 in ONE scan; " +
+      "name-based matching provably cannot") {
+    import org.apache.spark.sql.types._
+    val out = operators.Scans.s18b(spark, sf) // writes both generations
+    val root = Tables.scratchPath("s18b_evolved", sf)
+    // the gen-1 files genuinely store the OLD shape: INT32 key, old name
+    val gen1 = spark.read.parquet(s"$root/gen=1").schema
+    assert(gen1("o_orderkey").dataType === IntegerType)
+    assert(gen1.fieldNames.contains("amount") && !gen1.fieldNames.contains("total_price"))
+    // one scan over both generations (no per-generation union of reads)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 === 1,
+      s"expected exactly one parquet scan:\n${plan.take(600)}")
+    // mergeSchema CANNOT express the widening: the conflicting INT32/INT64
+    // generations make the footer merge throw
+    val merr = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(root).collect()
+    }
+    assert(merr.getMessage.toLowerCase.contains("merg"),
+      s"expected a schema-merge failure, got: ${merr.getMessage.take(200)}")
+    // and name-based matching CANNOT express the rename: with the id read
+    // disabled, gen-1 rows lose their payload into a null half-column
+    val readSchema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("total_price", DoubleType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build()),
+      StructField("gen", IntegerType, nullable = true)))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    try {
+      val byName = spark.read.schema(readSchema).parquet(root)
+        .groupBy("gen").agg(count(col("total_price")).as("n_price"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byName(1) === 0L, "name matching must NOT see gen-1's renamed column")
+      assert(byName(2) > 0L)
+    } finally spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // the id-bound read sees every row's payload in the one column family
+    val full = operators.Scans.s18b(spark, sf).collect()
+    assert(full.map(_.getInt(0)).toSeq === Seq(1, 2))
+    // key_sum lives in the widened BIGINT lane (at sf0.1 it exceeds
+    // Int.MaxValue; at this spec's SF we pin type + value instead)
+    val expect = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .agg(sum("o_orderkey")).collect().head.getLong(0)
+    assert(full.head.getLong(2) === expect)
+  }
+
   test("s12: the box predicate reaches the parquet scan as pushed filters") {
     val zdir = Tables.scratchPath("s12_zorder", sf)
     operators.Scans.s12(spark, sf).collect() // ensure files exist
