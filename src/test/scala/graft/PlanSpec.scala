@@ -530,4 +530,71 @@ class PlanSpec extends SparkSuite {
     assert(unmatched.queryExecution.executedPlan.toString.contains("events.parquet"),
       "non-rewritable aggregate must keep the raw scan")
   }
+
+  test("s16→CBO: ANALYZE column stats provably flip the physical join from " +
+      "shuffle to broadcast; results hash-identical both ways") {
+    import org.apache.spark.sql.functions._
+    // catalog tables + ANALYZE — the s16 surface, now closing the loop to
+    // an actual optimizer DECISION: without CBO the filtered dim keeps its
+    // full file-size estimate (size-only visitor), with CBO the column
+    // stats' ndv shrinks it by the equality selectivity; a broadcast
+    // threshold placed between the two estimates makes the join choice
+    // flip on stats alone. At 100 TB this is the difference between
+    // shuffling a fact table and broadcasting a filtered dim.
+    val base = Tables.scratchPath("cbo_flip", sf)
+    val tag = base.split('/').last
+    val fact = s"${tag}_lineitem"
+    val dim = s"${tag}_orders"
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").option("path", s"$base/fact").saveAsTable(fact)
+    Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").option("path", s"$base/dim").saveAsTable(dim)
+    spark.sql(s"ANALYZE TABLE $fact COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+    spark.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority")
+    // a ~2% key-range slice of one priority class: the equality uses the
+    // ndv stat (1/5), the range uses min/max interpolation (~1/50) —
+    // compound selectivity only COLUMN STATS can see (file size cannot)
+    val Array(lo, hi) = spark.table(dim)
+      .agg(min("o_orderkey"), max("o_orderkey")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    def filteredDim = spark.table(dim)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") <= lit(lo + (hi - lo) / 50))
+    def query = spark.table(fact)
+      .join(filteredDim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("rev"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // pin the ESTIMATE-driven choice (AQE would re-decide from runtime
+      // sizes, which is exactly not what this test is about)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val sizeOff = filteredDim.queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val sizeOn = filteredDim.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sizeOn < sizeOff,
+        s"CBO filter estimation must shrink the dim: on=$sizeOn off=$sizeOff")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((sizeOn + sizeOff) / 2).toString)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val planOff = query.queryExecution.executedPlan.toString
+      val rowsOff = query.orderBy("o_orderpriority").collect().toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val planOn = query.queryExecution.executedPlan.toString
+      val rowsOn = query.orderBy("o_orderpriority").collect().toSeq
+      assert(!planOff.contains("BroadcastHashJoin"),
+        s"without CBO the dim estimate exceeds the threshold — expected a shuffle join:\n$planOff")
+      assert(planOn.contains("BroadcastHashJoin"),
+        s"with CBO the filtered dim fits the threshold — expected a broadcast join:\n$planOn")
+      assert(rowsOn === rowsOff, "the flip must not change a single value")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
