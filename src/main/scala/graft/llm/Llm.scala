@@ -61,8 +61,8 @@ object Llm extends QueryModule {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
-  private val NumHashes = 8
-  private val RowsPerBand = 2 // 4 bands
+  private[llm] val NumHashes = 8
+  private[llm] val RowsPerBand = 2 // 4 bands
 
   /** MinHash band signatures (doc_id, band, m0, m1) of a distinct-shingle
     * table. K independent hash functions: seed-prefixed md5, low 60 bits
@@ -75,7 +75,7 @@ object Llm extends QueryModule {
     * no information. Bands (RowsPerBand consecutive minhashes each) derive
     * map-side: 4 rows per doc, no extra shuffle before the candidate
     * equi-join. */
-  private def bandSignatures(sh: DataFrame): DataFrame = {
+  private[llm] def bandSignatures(sh: DataFrame): DataFrame = {
     val minsig = sh.groupBy("doc_id").agg(
       min(expr(s"CAST(conv(substr(md5(concat('0|', sh)), 1, 15), 16, 10) AS BIGINT)")).as("mh0"),
       (1 until NumHashes).map(h =>
@@ -1084,7 +1084,7 @@ object Llm extends QueryModule {
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  private val duckShingles =
+  private[llm] val duckShingles =
     """t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-1),
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t)""".stripMargin

@@ -453,6 +453,93 @@ object Pipeline extends QueryModule {
     out
   }
 
+  /** l64: the DAILY-CLOSE DEDUP COMPOSITION — l25 (batch probe), l54
+    * (band-index upsert) and l63 (cluster-label maintenance) fused into
+    * the ONE query a daily pipeline actually runs at close, l19-style:
+    * a single shingle pass and a single banded candidate join feed all
+    * three legs instead of each registered query re-deriving them.
+    *
+    *  - shared spine: shingles → band signatures (both cached for the
+    *    plan's lifetime), capped candidate join, exact-Jaccard verify —
+    *    ONE pair graph serves the probe verdicts AND the CC delta edges;
+    *  - probe leg (l25): per new doc (doc_id%10==0), exact_dup via the
+    *    historical md5 index, near_dup via the shared pair graph's
+    *    hist-partner minimum — note it probes the PRODUCTION capped
+    *    graph, where l25 demonstrates the uncapped variant;
+    *  - index leg (l54): per new doc, how many of its band buckets are
+    *    first-ever (absent from the historical index) — the upsert's
+    *    insert-vs-merge split, from the same cached signatures;
+    *  - label leg (l63): persisted historical labels + delta contraction
+    *    + fixpoint on the contracted graph; the emitted label/cluster
+    *    size are POST-close (new docs merged in).
+    *
+    * The oracle recomputes all six columns from scratch in DuckDB (full
+    * recursive-CTE CC, uncontracted), so a pass proves composed-
+    * incremental == full rebuild in one gate; PipelineSpec pins the
+    * sharing itself (the fused run costs fewer jobs than the three legs
+    * run separately) and per-leg agreement with l25/l21. Scale posture
+    * is the legs' own: nothing here is corpus²; the fusion only REMOVES
+    * two shingle scans and a duplicate band exchange. */
+  def l64(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = (c: Column) => pmod(c, lit(10)) === 0
+    val sh = Llm.shinglesOf(docs).cache() // scoped: released before return
+    val bands = Llm.bandSignatures(sh).cache() // ditto
+    val cand = Llm.bandedCandidatePairs(
+      Llm.capBuckets(bands, Seq("band", "m0", "m1"), Llm.BandBucketCap))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
+        col("b") === col("b2") && col("sha") === col("shb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val pairs = common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 6) >= 0.4)
+      .select("a", "b")
+    val labels = incrementalCcLabels(spark, pairs, isNew,
+      Tables.scratchPath("l64_labels", dir))
+    val csize = labels.groupBy("label").agg(count(lit(1)).as("cs"))
+    val exactIdx = docs.filter(!isNew(col("doc_id")))
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("hist_id"))
+    val newExact = docs.filter(isNew(col("doc_id")))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(exactIdx, Seq("h"), "left")
+      .select(col("doc_id"), col("hist_id").as("exact_of"))
+    val near = pairs.select(col("a").as("d"), col("b").as("o"))
+      .unionAll(pairs.select(col("b").as("d"), col("a").as("o")))
+      .filter(isNew(col("d")) && !isNew(col("o")))
+      .groupBy("d").agg(min("o").as("near_of"))
+    val histBuckets = bands.filter(!isNew(col("doc_id")))
+      .groupBy("band", "m0", "m1").agg(count(lit(1)).as("n_hist"))
+    val newBuckets = bands.filter(isNew(col("doc_id")))
+      .join(histBuckets, Seq("band", "m0", "m1"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("n_hist").isNull, 1L).otherwise(0L)).as("n_new_buckets"))
+    val out = newExact
+      .join(near, col("doc_id") === col("d"), "left")
+      .join(labels.withColumnRenamed("id", "lid"),
+        col("doc_id") === col("lid"), "left")
+      .join(csize, Seq("label"), "left")
+      .join(newBuckets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        coalesce(col("label"), col("doc_id")).as("label"),
+        coalesce(col("cs"), lit(1L)).as("cluster_size"),
+        coalesce(col("n_new_buckets"), lit(0L)).as("n_new_buckets"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    graft.Fixpoint.release(labels)
+    bands.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** l63's merge engine over an arbitrary pair graph and batch
     * predicate — exposed so the spec can feed synthetic edge sets
     * (component bridges, label takeovers, delta-only nodes) and compare
@@ -534,6 +621,69 @@ object Pipeline extends QueryModule {
        |      FROM fl)
        |SELECT cluster_rep, doc_id AS keep_doc_id, quality_u, cluster_size
        |FROM r WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
+  }
+
+  /** l64's from-scratch restatement: the capped verified pair graph
+    * (l02's SQL) feeds a FULL recursive-CTE CC (no contraction, no
+    * persisted labels — equality proves composed-incremental == rebuild),
+    * the md5 index gives the exact leg, the band CTEs give the per-doc
+    * first-bucket count, and singletons default to (own id, size 1). */
+  private def l64Oracle: String = {
+    val pairSql = Llm.oracles("l02_dedup_near")
+      .replaceAll("\\s*ORDER BY a, b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($pairSql) qq),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+       |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+       |sz AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label),
+       |${Llm.duckShingles},
+       |hashed AS (
+       |  SELECT doc_id, sh, hs.h,
+       |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, ${Llm.NumHashes})) AS h) hs),
+       |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+       |bands0 AS (
+       |  SELECT doc_id, h // ${Llm.RowsPerBand} AS band,
+       |         MIN(CASE WHEN h % ${Llm.RowsPerBand} = 0 THEN mh END) AS m0,
+       |         MIN(CASE WHEN h % ${Llm.RowsPerBand} = 1 THEN mh END) AS m1
+       |  FROM minsig GROUP BY doc_id, band),
+       |hist AS (SELECT band, m0, m1, COUNT(*) AS n_hist
+       |         FROM bands0 WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+       |nb AS (SELECT b.doc_id,
+       |         CAST(SUM(CASE WHEN h.n_hist IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_new_buckets
+       |       FROM bands0 b LEFT JOIN hist h
+       |         ON b.band = h.band AND b.m0 = h.m0 AND b.m1 = h.m1
+       |       WHERE b.doc_id % 10 = 0 GROUP BY b.doc_id),
+       |exact_idx AS (
+       |  SELECT md5(text) AS h, MIN(doc_id) AS hist_id
+       |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text)),
+       |new_exact AS (
+       |  SELECT n.doc_id, e.hist_id AS exact_of
+       |  FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) n
+       |  LEFT JOIN exact_idx e ON n.h = e.h),
+       |near AS (
+       |  SELECT d, MIN(o) AS near_of FROM (
+       |    SELECT a AS d, b AS o FROM pairs
+       |    UNION ALL SELECT b AS d, a AS o FROM pairs) u
+       |  WHERE d % 10 = 0 AND o % 10 <> 0 GROUP BY d)
+       |SELECT ne.doc_id,
+       |       CASE WHEN ne.exact_of IS NOT NULL THEN 'exact_dup'
+       |            WHEN near.near_of IS NOT NULL THEN 'near_dup'
+       |            ELSE 'unique' END AS status,
+       |       COALESCE(ne.exact_of, near.near_of) AS dup_of,
+       |       COALESCE(lab.label, ne.doc_id) AS label,
+       |       COALESCE(sz.cluster_size, 1) AS cluster_size,
+       |       COALESCE(nb.n_new_buckets, 0) AS n_new_buckets
+       |FROM new_exact ne
+       |LEFT JOIN near ON near.d = ne.doc_id
+       |LEFT JOIN lab ON lab.id = ne.doc_id
+       |LEFT JOIN sz ON sz.label = lab.label
+       |LEFT JOIN nb ON nb.doc_id = ne.doc_id
+       |ORDER BY ne.doc_id""".stripMargin
   }
 
   private def l21Oracle: String = {
@@ -1179,6 +1329,7 @@ object Pipeline extends QueryModule {
     "l21_dedup_clusters" -> l21,
     "l53_dedup_keep_best" -> l53,
     "l63_cc_incremental" -> l63,
+    "l64_daily_close" -> l64,
     "l22_constraint_report" -> l22,
     "l23_chunk_overlap" -> l23,
     "l24_decontaminate_bloom" -> l24)
@@ -1704,5 +1855,6 @@ GROUP BY d.lang ORDER BY d.lang"""
     // (recursive CTE over the whole pair graph) — hash equality IS the
     // "incremental == rebuild" contract
     "l63_cc_incremental" -> l21Oracle,
+    "l64_daily_close" -> l64Oracle,
     "l53_dedup_keep_best" -> l53Oracle)
 }

@@ -510,6 +510,81 @@ class PipelineSpec extends SparkSuite {
     llm.Llm.clearPairsMemo()
   }
 
+  test("l64: fused day-close agrees with each leg (l25 verdicts, l21 labels, " +
+      "l54 first-bucket mass) and costs fewer jobs than the legs run separately") {
+    val rows = llm.Pipeline.l64(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.toMap
+    // probe leg == l25 (cap never binds at this SF, so capped == uncapped)
+    val l25rows = llm.Llm.l25(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    }.toMap
+    assert(rows.keySet === l25rows.keySet)
+    rows.foreach { case (id, (st, dup, _, _, _)) =>
+      assert((st, dup) === l25rows(id), s"doc $id probe verdict diverged from l25")
+    }
+    // label leg == l21 for graph members; singleton default elsewhere
+    val l21rows = llm.Pipeline.l21(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, (_, _, lab, cs, _)) =>
+      l21rows.get(id) match {
+        case Some((rep, size)) => assert((lab, cs) === ((rep, size)),
+          s"doc $id label/size diverged from l21")
+        case None => assert((lab, cs) === ((id, 1L)),
+          s"graph-free doc $id must be its own singleton")
+      }
+    }
+    // index leg: total first-ever buckets == l54's n_new mass in buckets
+    // with no historical member (each new member of a fresh bucket is one
+    // first-bucket contribution)
+    val l54fresh = llm.Llm.l54(spark, sf)
+      .filter(col("n_hist") === 0L)
+      .agg(org.apache.spark.sql.functions.sum("n_new")).collect()(0).getLong(0)
+    assert(rows.values.map(_._5).sum === l54fresh,
+      "per-doc first-bucket counts must tile l54's fresh-bucket mass")
+    llm.Pipeline.clearCcMemo()
+  }
+
+  test("l64: the fusion is real — one fused run costs fewer jobs than the " +
+      "three legs run cold and separately") {
+    def countJobs(group: String)(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(e.properties)
+              .exists(_.getProperty("spark.jobGroup.id") == group))
+            jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(group, group)
+      try {
+        body
+        org.apache.spark.GraftSparkBridge
+          .waitListenerBusEmpty(spark.sparkContext, 10000L)
+        jobs.get()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    }
+    llm.Pipeline.clearCcMemo() // cold on both sides: no pair/CC memo hits
+    val fused = countJobs("graft-l64-fused") {
+      llm.Pipeline.l64(spark, sf).collect()
+    }
+    llm.Pipeline.clearCcMemo()
+    val separate = countJobs("graft-l64-separate") {
+      llm.Llm.l25(spark, sf).collect()
+      llm.Llm.l54(spark, sf).collect()
+      llm.Pipeline.l63(spark, sf).collect()
+    }
+    llm.Pipeline.clearCcMemo()
+    info(s"fused=$fused jobs, separate=$separate jobs")
+    assert(fused < separate,
+      s"the composition must share the shingle/band derivation: $fused >= $separate")
+  }
+
   test("ccMemo staleness contract: same corpus hits, rewrite-in-place needs clearCcMemo") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ccmemo").toString
     def write(rows: Seq[(Long, String)]): Unit =
