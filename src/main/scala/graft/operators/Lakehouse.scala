@@ -372,12 +372,96 @@ object Lakehouse extends QueryModule {
       .orderBy("ship_month")
   }
 
+  // ---------------------------------------------------------------- s25
+
+  /** Write the s25 base table (4 files, deterministic) and its DELETION
+    * VECTOR sidecar for the predicate, WITHOUT touching a data file.
+    * The DV is the positional-delete form every merge-on-read format
+    * uses (Iceberg positional deletes / Delta deletion vectors): one
+    * (file, row_index) row per deleted position, derived from the
+    * written files' own `_metadata.row_index`. Returns (root, dvPath). */
+  private[graft] def s25Commit(spark: SparkSession, dir: String): (String, String) = {
+    val root = Tables.scratchPath("s25_table", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/base")
+    val dv = Tables.scratchPath("s25_dv", dir)
+    spark.read.parquet(s"$root/base")
+      .filter(s25Deleted)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(dv)
+    (root, dv)
+  }
+
+  /** The DELETE's predicate — row-level, not partition-aligned, so no
+    * file can simply be dropped: every file keeps live rows. */
+  private def s25Deleted: org.apache.spark.sql.Column =
+    col("l_quantity") < 5.0 || pmod(col("l_orderkey"), lit(97)) === 0
+
+  /** Merge-on-read: the logical table = base files ANTI-JOINED with the
+    * deletion vector on (file, position). The DV side is sidecar-sized
+    * (positions of deleted rows only) and broadcast, so the read costs
+    * one base scan + a map-side hash probe — the reason DVs beat
+    * copy-on-write for low-selectivity deletes at 100 TB (no terabyte
+    * rewrite to delete 0.1% of rows). */
+  private[graft] def s25MorRead(spark: SparkSession, root: String,
+      dvPath: String): DataFrame =
+    spark.read.parquet(s"$root/base")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(spark.read.parquet(dvPath)),
+        Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+
+  /** Copy-on-write APPLY (the compaction that retires a DV): rewrite the
+    * merge-on-read view into clean files; the base files + DV become
+    * vacuum-able. Returns the rewritten directory. */
+  private[graft] def s25Apply(spark: SparkSession, root: String,
+      dvPath: String): String = {
+    s25MorRead(spark, root, dvPath)
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$root/applied")
+    s"$root/applied"
+  }
+
+  /** s25: ROW-LEVEL DELETE VIA DELETION VECTORS — the merge-on-read leg
+    * of the lifecycle (Iceberg positional deletes / Delta DVs): a DELETE
+    * whose predicate crosses every file writes only a (file, row_index)
+    * sidecar; reads anti-join it; a later copy-on-write apply rewrites
+    * clean files and retires the DV (then s22's vacuum machinery owns
+    * the superseded originals — LakehouseSpec composes them). The query
+    * emits the surviving table's stats under BOTH read paths — 'mor'
+    * (base + DV anti-join) and 'cow' (post-apply rewrite) — plus the
+    * deleted-row count; the oracle restates both phases as the same
+    * NOT(predicate) aggregate, so a pass proves the two paths agree with
+    * each other and with the logical DELETE. */
+  def s25(spark: SparkSession, dir: String): DataFrame = {
+    val (root, dv) = s25Commit(spark, dir)
+    val nDeleted = spark.read.parquet(dv).count()
+    def stats(df: DataFrame, phase: String): DataFrame = df
+      .groupBy(col("l_quantity").cast("int").as("qty_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .withColumn("phase", lit(phase))
+      .withColumn("n_deleted", lit(nDeleted))
+    val applied = s25Apply(spark, root, dv)
+    stats(s25MorRead(spark, root, dv), "mor")
+      .unionByName(stats(spark.read.parquet(applied), "cow"))
+      .select("phase", "qty_band", "n_rows", "key_sum", "sum_price", "n_deleted")
+      .orderBy("phase", "qty_band")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_vacuum" -> s22,
     "s23_compact_manifest" -> s23,
-    "s24_concurrent_commit" -> s24)
+    "s24_concurrent_commit" -> s24,
+    "s25_delete_vectors" -> s25)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -425,5 +509,27 @@ object Lakehouse extends QueryModule {
         |       MIN(l_extendedprice) AS min_price,
         |       MAX(l_extendedprice) AS max_price,
         |       2 AS final_version, 1 AS conflicts
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s25: both read paths restated as the SAME logical DELETE — the
+    // surviving rows' stats, banded by integer quantity; n_deleted is
+    // the predicate's row count
+    "s25_delete_vectors" ->
+      """WITH kept AS (
+        |  SELECT * FROM lineitem
+        |  WHERE NOT (l_quantity < 5.0 OR l_orderkey % 97 = 0)),
+        |del AS (
+        |  SELECT COUNT(*) AS n_deleted FROM lineitem
+        |  WHERE l_quantity < 5.0 OR l_orderkey % 97 = 0),
+        |s AS (
+        |  SELECT CAST(l_quantity AS INTEGER) AS qty_band, COUNT(*) AS n_rows,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |  FROM kept GROUP BY 1)
+        |SELECT 'cow' AS phase, qty_band, n_rows, key_sum, sum_price,
+        |       del.n_deleted
+        |FROM s, del
+        |UNION ALL
+        |SELECT 'mor', qty_band, n_rows, key_sum, sum_price, del.n_deleted
+        |FROM s, del
+        |ORDER BY phase, qty_band""".stripMargin)
 }

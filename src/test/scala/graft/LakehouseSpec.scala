@@ -107,6 +107,59 @@ class LakehouseSpec extends SparkSuite {
     Fixpoint.release(v2)
   }
 
+  test("s25: deletion vectors touch no data file, the MOR anti-join is broadcast, " +
+      "MOR == COW row-for-row, and vacuum retires the superseded base") {
+    val (root, dv) = operators.Lakehouse.s25Commit(spark, sf)
+    def files(d: String): Set[String] = {
+      val f = new java.io.File(d)
+      if (!f.isDirectory) Set.empty
+      else f.listFiles().map(_.getPath).filter(p =>
+        p.endsWith(".parquet") && !p.split('/').last.startsWith("_")).toSet
+    }
+    val baseFiles = files(s"$root/base")
+    assert(baseFiles.size === 4, s"base files: ${baseFiles.toSeq.sorted.mkString("\n")}")
+    // the DELETE is row-level and crosses every file: each base file has
+    // both deleted and surviving rows, so no file-drop shortcut exists
+    val perFile = spark.read.parquet(s"$root/base")
+      .groupBy(col("_metadata.file_path"))
+      .agg(
+        sum(when(col("l_quantity") < 5.0
+          || pmod(col("l_orderkey"), lit(97)) === 0, 1).otherwise(0)).as("del"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perFile.length === 4)
+    perFile.foreach { case (del, n) =>
+      assert(del > 0 && del < n, s"predicate must cross the file: $del/$n")
+    }
+    // the DV covers exactly the predicate's rows
+    val nDel = perFile.map(_._1).sum
+    assert(spark.read.parquet(dv).count() === nDel)
+    // merge-on-read: broadcast LEFT ANTI against the sidecar, one base scan
+    val mor = operators.Lakehouse.s25MorRead(spark, root, dv)
+    val plan = mor.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MOR read must broadcast-anti-join the DV:\n${plan.take(600)}")
+    val morRows = Tables.orderAll(mor).collect()
+    // copy-on-write apply: identical logical table from clean files
+    val applied = operators.Lakehouse.s25Apply(spark, root, dv)
+    val cowRows = Tables.orderAll(spark.read.parquet(applied)).collect()
+    assert(morRows.toSeq === cowRows.toSeq)
+    assert(morRows.length === (perFile.map(_._2).sum - nDel).toInt)
+    // the apply retires base + DV: vacuum them via s22's set algebra
+    import spark.implicits._
+    val dvFiles = files(dv)
+    assert(dvFiles.nonEmpty)
+    val manifest = ((baseFiles ++ dvFiles).toSeq.map(p => (1, p)) ++
+      files(applied).toSeq.map(p => (2, p))).toDF("snapshot", "path")
+    val (pruned, deleted) = operators.Lakehouse.s22Vacuum(spark, manifest, 2)
+    assert(deleted === (baseFiles.size + dvFiles.size).toLong)
+    assert(files(s"$root/base").isEmpty && files(dv).isEmpty)
+    val postVacuum = Tables.orderAll(
+      operators.Lakehouse.s22AsOf(spark, pruned, 2)).collect()
+    assert(postVacuum.toSeq === cowRows.toSeq)
+    Fixpoint.release(pruned)
+  }
+
   test("s24: conflict interleaving equals both serial orders; a stale commit " +
       "is rejected; the retry loop recovers") {
     def freshDirs(): (String, String) = {
