@@ -201,28 +201,38 @@ object Llm extends QueryModule {
 
   private def minHashNearDupPairsUncached(docs: DataFrame, jaccMin: Double,
       bucketCap: Int): DataFrame = {
-    // scoped cache: 5 consumers below; released before returning — the
-    // (tiny) result is localCheckpoint-materialized so the returned plan
-    // reads stored blocks, not the unpersisted shingle table
+    // scoped cache: 5 consumers inside the spine; released before
+    // returning — the (tiny) result is localCheckpoint-materialized so
+    // the returned plan reads stored blocks, not the unpersisted shingles
     val sh = shinglesOf(docs).cache()
+    val out = verifiedPairsFrom(sh, bandSignatures(sh), jaccMin, bucketCap)
+      .orderBy("a", "b")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** The verified-pair spine from a PRECOMPUTED (shingles, bands) pair —
+    * ONE body shared by [[minHashNearDupPairsUncached]] and the fused
+    * day-close (Pipeline.l64), so the capped candidate join + exact
+    * Jaccard verify can never drift between the memoized path and a
+    * composition that also needs the bands for other legs. */
+  private[llm] def verifiedPairsFrom(sh: DataFrame, bands: DataFrame,
+      jaccMin: Double, bucketCap: Int): DataFrame = {
     val cand = bandedCandidatePairs(
-      capBuckets(bandSignatures(sh), Seq("band", "m0", "m1"), bucketCap))
+      capBuckets(bands, Seq("band", "m0", "m1"), bucketCap))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
         col("b") === col("b2") && col("sha") === col("shb"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val out = common
+    common
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= jaccMin)
       .select("a", "b", "jaccard")
-      .orderBy("a", "b")
-      .localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
   }
 
   /** l56: DEDUP-PIPELINE EVALUATION — l55's "measure, don't guess"
@@ -1084,6 +1094,21 @@ object Llm extends QueryModule {
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** DuckDB image of the MinHash band-signature derivation (hashed →
+    * minsig → bands0) — ONE text for every band-family oracle (l02, l25,
+    * l54, l56, l64), so the hashing scheme can never drift between them. */
+  private[llm] val duckBandCtes: String =
+    s"""hashed AS (
+       |  SELECT doc_id, sh, hs.h,
+       |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
+       |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
+       |bands0 AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
+       |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
+       |  FROM minsig GROUP BY doc_id, band)""".stripMargin
+
   private[llm] val duckShingles =
     """t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-1),
@@ -1095,16 +1120,7 @@ object Llm extends QueryModule {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "l02_dedup_near" ->
       s"""WITH $duckShingles,
-         |hashed AS (
-         |  SELECT doc_id, sh, hs.h,
-         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
-         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-         |bands0 AS (
-         |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
-         |  FROM minsig GROUP BY doc_id, band),
+         |$duckBandCtes,
          |bsz AS (SELECT band, m0, m1, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2, 3),
          |bands AS (
          |  SELECT b.doc_id, b.band, b.m0, b.m1
@@ -1135,16 +1151,7 @@ object Llm extends QueryModule {
       s"""WITH $duckShingles,
          |pm AS (SELECT greatest(1, count(*) // $ProbeTargetCount) AS m
          |       FROM documents),
-         |hashed AS (
-         |  SELECT doc_id, sh, hs.h,
-         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
-         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-         |bands0 AS (
-         |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
-         |  FROM minsig GROUP BY doc_id, band),
+         |$duckBandCtes,
          |bsz AS (SELECT band, m0, m1, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2, 3),
          |bands_c AS (
          |  SELECT b.doc_id, b.band, b.m0, b.m1
@@ -1206,19 +1213,10 @@ object Llm extends QueryModule {
          |  SELECT n.doc_id, e.hist_id AS exact_of
          |  FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) n
          |  LEFT JOIN exact_idx e ON n.h = e.h),
-         |hashed AS (
-         |  SELECT doc_id, sh, hs.h,
-         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
-         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-         |bands AS (
-         |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
-         |  FROM minsig GROUP BY doc_id, band),
+         |$duckBandCtes,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
+         |  FROM bands0 x JOIN bands0 y
          |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
          |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1245,16 +1243,7 @@ object Llm extends QueryModule {
     // bucket; the cap applies at candidate-join time)
     "l54_minhash_index" ->
       s"""WITH $duckShingles,
-         |hashed AS (
-         |  SELECT doc_id, sh, hs.h,
-         |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS h) hs),
-         |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-         |bands0 AS (
-         |  SELECT doc_id, h // $RowsPerBand AS band,
-         |         MIN(CASE WHEN h % $RowsPerBand = 0 THEN mh END) AS m0,
-         |         MIN(CASE WHEN h % $RowsPerBand = 1 THEN mh END) AS m1
-         |  FROM minsig GROUP BY doc_id, band),
+         |$duckBandCtes,
          |hist AS (SELECT band, m0, m1, COUNT(*) AS n_hist, MIN(doc_id) AS min_hist_doc
          |         FROM bands0 WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
          |newb AS (SELECT band, m0, m1, COUNT(*) AS n_new, MIN(doc_id) AS min_new_doc

@@ -485,19 +485,14 @@ object Pipeline extends QueryModule {
     val isNew = (c: Column) => pmod(c, lit(10)) === 0
     val sh = Llm.shinglesOf(docs).cache() // scoped: released before return
     val bands = Llm.bandSignatures(sh).cache() // ditto
-    val cand = Llm.bandedCandidatePairs(
-      Llm.capBuckets(bands, Seq("band", "m0", "m1"), Llm.BandBucketCap))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("doc_id").as("b2"), col("sh").as("shb")),
-        col("b") === col("b2") && col("sha") === col("shb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val pairs = common
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 6) >= 0.4)
+    // ONE shared spine body with the memoized l02 path (Llm.verified
+    // PairsFrom) — and materialized ONCE: three consumers below (CC's
+    // historical edges, the delta contraction, the near-probe leg) would
+    // otherwise each re-run the candidate join + Jaccard verify, the
+    // dedup family's dominant cost
+    val pairs = Llm.verifiedPairsFrom(sh, bands, 0.4, Llm.BandBucketCap)
       .select("a", "b")
+      .localCheckpoint()
     val labels = incrementalCcLabels(spark, pairs, isNew,
       Tables.scratchPath("l64_labels", dir))
     val csize = labels.groupBy("label").agg(count(lit(1)).as("cs"))
@@ -535,6 +530,7 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id")
       .localCheckpoint()
     graft.Fixpoint.release(labels)
+    graft.Fixpoint.release(pairs)
     bands.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     out
@@ -640,16 +636,7 @@ object Pipeline extends QueryModule {
        |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
        |sz AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label),
        |${Llm.duckShingles},
-       |hashed AS (
-       |  SELECT doc_id, sh, hs.h,
-       |         CAST(('0x' || substr(md5(hs.h || '|' || sh), 1, 15)) AS BIGINT) AS hv
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, ${Llm.NumHashes})) AS h) hs),
-       |minsig AS (SELECT doc_id, h, MIN(hv) AS mh FROM hashed GROUP BY doc_id, h),
-       |bands0 AS (
-       |  SELECT doc_id, h // ${Llm.RowsPerBand} AS band,
-       |         MIN(CASE WHEN h % ${Llm.RowsPerBand} = 0 THEN mh END) AS m0,
-       |         MIN(CASE WHEN h % ${Llm.RowsPerBand} = 1 THEN mh END) AS m1
-       |  FROM minsig GROUP BY doc_id, band),
+       |${Llm.duckBandCtes},
        |hist AS (SELECT band, m0, m1, COUNT(*) AS n_hist
        |         FROM bands0 WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
        |nb AS (SELECT b.doc_id,

@@ -255,6 +255,14 @@ object Scans extends QueryModule {
       .select(col("o_orderkey").as("o_orderkey", fid(1)),
         col("o_totalprice").as("total_price", fid(2)))
       .write.mode("overwrite").parquet(s"$root/gen=2")
+    // deliberately left ON for the session (no save/restore): the flag is
+    // read when the SCAN executes, which happens after this method
+    // returns (Verify/Bench collect the lazy frame later) — restoring it
+    // here would silently revert the read to name matching. It is inert
+    // for every other query: id-based binding only engages when the
+    // REQUESTED schema carries parquet.field.id metadata, which only
+    // this operator's read schema does (LayoutSpec's name-matching
+    // negative test forces it off and back on around its own read).
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema = StructType(Seq(
       StructField("o_orderkey", LongType, nullable = true, fid(1)),

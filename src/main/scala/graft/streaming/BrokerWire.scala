@@ -65,16 +65,18 @@ object BrokerWire {
       // splice params between the braces; concat_ws drops the null side,
       // so an all-null envelope ('{}' head — to_json omits null fields)
       // still yields valid JSON and classifies at the SCHEMA check, not
-      // as an unreadable payload. An EMPTY-string params_json is treated
-      // like null (field omitted): splicing it would emit `"params":}` —
-      // invalid JSON — turning a producer-side blank into a poison
-      // message that classifies 'unreadable' instead of failing here
+      // as an unreadable payload. A BLANK params_json (empty or
+      // whitespace-only — rlike(\S) guards both) is treated like null
+      // (field omitted): splicing it would emit `"params":}` or
+      // `"params": }` — invalid JSON — turning a producer-side blank
+      // into a poison message that classifies 'unreadable' instead of
+      // failing the schema check
       .withColumn("hb", expr("substring(h, 2, length(h)-2)"))
       .withColumn("json",
         concat(lit("{"),
           concat_ws(",",
             when(length(col("hb")) > 0, col("hb")),
-            when(length(col("params_json")) > 0,
+            when(col("params_json").rlike("\\S"),
               concat(lit("\"params\":"), col("params_json")))),
           lit("}")))
       .select(
@@ -127,19 +129,25 @@ object BrokerWire {
       // through `when` to the command branch)
       e.getField("id").isNotNull && e.getField("id").rlike(UuidRe) &&
         // Keyword check, DELIBERATELY narrowed under the JSON substitution
-        // to reader-syntax keywords: no whitespace (Unicode-aware via (?U)
-        // — the Clojure reader's whitespace is Character.isWhitespace
-        // based), non-empty. The reference's s/check is a TYPE check and
-        // (keyword "a b") / (keyword "") are valid Keyword instances that
-        // transit round-trips — JSON has no keyword type, so such names
-        // classify 'invalid' here but 'valid' there. \z-anchored for the
-        // same trailing-newline reason as UuidRe
-        e.getField("name").isNotNull && e.getField("name").rlike("(?U)^\\S+\\z") &&
-        // NonBlankStr = at least one non-whitespace char. (?U) makes \S
-        // Unicode-aware like clojure.string/blank? (Character.isWhitespace
-        // — a U+3000-only sub must fail); Spark's trim() strips only ASCII
-        // space, so a tab-only sub would pass a trim-based check
-        e.getField("sub").isNotNull && e.getField("sub").rlike("(?U)\\S") &&
+        // to reader-syntax keywords: no whitespace (the Clojure reader's
+        // whitespace IS Character.isWhitespace, which \p{javaWhitespace}
+        // matches exactly — (?U)'s Unicode White_Space set disagrees on
+        // NBSP and the U+001C-1F separators), non-empty. The reference's
+        // s/check is a TYPE check and (keyword "a b") / (keyword "") are
+        // valid Keyword instances that transit round-trips — JSON has no
+        // keyword type, so such names classify 'invalid' here but 'valid'
+        // there. \z-anchored for the same trailing-newline reason as UuidRe
+        e.getField("name").isNotNull &&
+        e.getField("name").rlike("^\\P{javaWhitespace}+\\z") &&
+        // NonBlankStr = at least one non-whitespace char under EXACTLY
+        // clojure.string/blank?'s notion of whitespace
+        // (Character.isWhitespace = \p{javaWhitespace}): a U+3000-only
+        // sub fails (isWhitespace true) while an NBSP-only sub PASSES
+        // (isWhitespace false — NBSP is non-breaking by definition);
+        // Spark's trim() strips only ASCII space, so a tab-only sub
+        // would pass a trim-based check
+        e.getField("sub").isNotNull &&
+        e.getField("sub").rlike("\\P{javaWhitespace}") &&
         // Params is a MAP (broker.clj:25-26): a present non-object params
         // fails the schema, mirroring s/check on {Any Any} — including a
         // present EXPLICIT-null ("params":null), which s/check on an

@@ -49,7 +49,9 @@ class BrokerWireSpec extends SparkSuite {
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":42}""", // params not a map
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":[1]}""", // params not a map
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"s","params":null}""", // explicit-null params: present key, s/check rejects nil
-      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"　"}""", // U+3000-only sub: blank? is Unicode-aware
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"　"}""", // U+3000-only sub: isWhitespace true → blank
+      """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":" "}""", // NBSP-only sub: isWhitespace FALSE → NOT blank, acks
+      "{\"id\":\"7f1d3a5e-0000-5000-8000-000000000001\",\"name\":\"n\",\"sub\":\"\\u001C\"}", // U+001C-only sub (JSON-escaped; a raw 0x1C is invalid JSON): isWhitespace true → blank (Unicode White_Space says no — javaWhitespace must win)
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001\n","name":"n","sub":"s"}""", // newline-terminated id: $ would match, \z must not
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n\n","sub":"s"}""", // newline-terminated name
       """{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"\t"}""", // tab-only sub: trim() keeps it, blank? rejects it
@@ -78,8 +80,14 @@ class BrokerWireSpec extends SparkSuite {
       (("invalid", "reject", false, "schema")))
     assert(got("""{"id":"7f1d3a5e-0000-5000-8000-000000000001","name":"n","sub":"　"}""") ===
       (("invalid", "reject", false, "schema")))
-    assert(rows.count(_._2._1 == "invalid") === 15)
-    assert(rows.count(_._2._1 == "command") === 1) // the uppercase-Uuid row
+    // U+001C: Character.isWhitespace true (blank → reject) though Unicode
+    // White_Space says no — the javaWhitespace class must win
+    assert(got("{\"id\":\"7f1d3a5e-0000-5000-8000-000000000001\",\"name\":\"n\",\"sub\":\"\\u001C\"}") ===
+      (("invalid", "reject", false, "schema")))
+    assert(rows.count(_._2._1 == "invalid") === 16)
+    // the uppercase-Uuid row AND the NBSP-sub row (isWhitespace(NBSP) is
+    // FALSE — non-breaking space is not blank under clojure blank?)
+    assert(rows.count(_._2._1 == "command") === 2)
     assert(got("<cmd>") === (("command", "ack", null, null)))
   }
 
@@ -107,6 +115,12 @@ class BrokerWireSpec extends SparkSuite {
         env.withColumn("params_json", lit("")), "t"))
       .select("payload", "branch").head()
     assert(r3 === Row("{}", "invalid"))
+    // ...and so does a WHITESPACE-only params_json — `{"params": }` is
+    // invalid JSON too, so the blank guard must be rlike(\S), not length
+    val r4 = BrokerWire.decode(BrokerWire.encode(
+        env.withColumn("params_json", lit(" \t ")), "t"))
+      .select("payload", "branch").head()
+    assert(r4 === Row("{}", "invalid"))
   }
 
   test("explicit-null params rejects (s/check on a present :params nil) " +
