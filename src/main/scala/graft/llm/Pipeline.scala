@@ -553,7 +553,17 @@ object Pipeline extends QueryModule {
     val histCc = graft.Fixpoint.connectedComponentsStar(histEdges)
     histCc.write.mode("overwrite").parquet(labelPath)
     graft.Fixpoint.release(histCc)
-    val histLabels = spark.read.parquet(labelPath)
+    ccMergeStep(spark.read.parquet(labelPath), deltaEdges)
+  }
+
+  /** ONE day-close merge: fold a delta edge set into a persisted (id,
+    * label) table — the repeatable unit [[incrementalCcLabels]] runs
+    * once and l65 runs once per ingest day. Precondition (inductively
+    * preserved): `histLabels` are component MINIMA of the graph seen so
+    * far. Returns the full labeling, localCheckpoint-materialized; the
+    * caller owns its release. */
+  private[graft] def ccMergeStep(histLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
     val contracted = contractDelta(deltaEdges, histLabels)
     // the union-find on the delta: fixpoint over the contracted graph
     // (nodes = affected component labels + delta-only doc ids)
@@ -577,6 +587,57 @@ object Pipeline extends QueryModule {
     val out = histFinal.unionByName(direct).localCheckpoint()
     graft.Fixpoint.release(mergedCc)
     out
+  }
+
+  /** l65: MULTI-DAY INCREMENTAL CLOSE — l63 proved ONE merge equals a
+    * rebuild; a production pipeline runs the merge EVERY day against the
+    * state the previous day persisted, and errors compound if the
+    * invariant (labels = component minima) doesn't survive iteration.
+    * This operator simulates three ingest days (doc_id%10 = 1, 2, 3;
+    * everything else is the base corpus): day 0 commits CC labels over
+    * base-only edges; each day d folds in exactly the edges whose newest
+    * endpoint arrived on day d ([[ccMergeStep]] against the PERSISTED
+    * previous-day table — never the text or pair derivation), and
+    * commits the result. The emitted labeling after day 3 is oracled
+    * against l21's from-scratch recursive-CTE CC over the WHOLE pair
+    * graph: equality proves the merge invariant is closed under
+    * iteration (3 merges == 1 rebuild). PipelineSpec additionally pins
+    * each intermediate day against a from-scratch CC over its prefix
+    * graph. Scale posture: each day pays one delta-edge contraction
+    * join, a delta-sized fixpoint, and a broadcast relabel — the corpus
+    * is never rescanned after day 0. */
+  def l65(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Llm.minHashNearDupPairs(Tables.documents(spark, dir))
+      .select("a", "b")
+    val labels = l65Close(spark, pairs, Tables.scratchPath("l65_labels", dir))
+    val out = l21From(labels).localCheckpoint()
+    graft.Fixpoint.release(labels)
+    out
+  }
+
+  /** The three-day close over an arbitrary pair graph: day of an id is
+    * id%10 if in {1,2,3} else 0 (base). Returns the final persisted-day
+    * labeling (checkpointed; caller releases). Exposed for the spec's
+    * prefix-graph pins. */
+  private[graft] def l65Close(spark: SparkSession, pairs: DataFrame,
+      labelRoot: String): DataFrame = {
+    def day(c: Column): Column =
+      when(pmod(c, lit(10)).isin(1, 2, 3), pmod(c, lit(10))).otherwise(lit(0L))
+    val base = graft.Fixpoint.connectedComponentsStar(
+      pairs.filter(day(col("a")) === 0 && day(col("b")) === 0))
+    base.write.mode("overwrite").parquet(s"$labelRoot/day0")
+    graft.Fixpoint.release(base)
+    var labels = spark.read.parquet(s"$labelRoot/day0")
+    for (d <- 1 to 3) {
+      val delta = pairs.filter(
+        greatest(day(col("a")), day(col("b"))) === d)
+      val merged = ccMergeStep(labels, delta)
+      // commit today's state; tomorrow reads THIS table, not the lineage
+      merged.write.mode("overwrite").parquet(s"$labelRoot/day$d")
+      graft.Fixpoint.release(merged)
+      labels = spark.read.parquet(s"$labelRoot/day$d")
+    }
+    labels.localCheckpoint()
   }
 
   /** The merge graph: delta endpoints contracted through the persisted
@@ -1317,6 +1378,7 @@ object Pipeline extends QueryModule {
     "l53_dedup_keep_best" -> l53,
     "l63_cc_incremental" -> l63,
     "l64_daily_close" -> l64,
+    "l65_multiday_close" -> l65,
     "l22_constraint_report" -> l22,
     "l23_chunk_overlap" -> l23,
     "l24_decontaminate_bloom" -> l24)
@@ -1843,5 +1905,9 @@ GROUP BY d.lang ORDER BY d.lang"""
     // "incremental == rebuild" contract
     "l63_cc_incremental" -> l21Oracle,
     "l64_daily_close" -> l64Oracle,
+    // l65: same truth as l21/l63 — the from-scratch CC over the whole
+    // pair graph; equality after three sequential merges proves the
+    // invariant is closed under iteration
+    "l65_multiday_close" -> l21Oracle,
     "l53_dedup_keep_best" -> l53Oracle)
 }

@@ -67,7 +67,7 @@ object Lakehouse extends QueryModule {
   /** Snapshot read: plan exactly the files the manifest attributes to
     * snapshot n — a VACUUMED (or never-committed) snapshot fails with the
     * retention contract named, not a file-not-found at scan time. */
-  private[graft] def s22AsOf(spark: SparkSession, manifest: DataFrame,
+  def s22AsOf(spark: SparkSession, manifest: DataFrame,
       n: Int): DataFrame = {
     val files = manifest.filter(col("snapshot") === n)
       .select("path").collect().map(_.getString(0)).sorted
@@ -85,7 +85,7 @@ object Lakehouse extends QueryModule {
     * deleted ∩ retained = ∅). The delete itself runs executor-side over
     * the expired-file frame — at 100 TB this is a distributed
     * object-store delete fanned over the cluster, not a driver loop. */
-  private[graft] def s22Vacuum(spark: SparkSession, manifest: DataFrame,
+  def s22Vacuum(spark: SparkSession, manifest: DataFrame,
       retainFrom: Int): (DataFrame, Long) = {
     val retained = manifest.filter(col("snapshot") >= retainFrom)
     val deletable = manifest.filter(col("snapshot") < retainFrom)
@@ -313,7 +313,7 @@ object Lakehouse extends QueryModule {
   /** One optimistic writer: read current version, merge own delta, stage
     * the merged manifest, attempt the next version; on conflict re-read
     * and retry. Returns the version this writer committed. */
-  private[graft] def s24Writer(spark: SparkSession, log: String, stage: String,
+  def s24Writer(spark: SparkSession, log: String, stage: String,
       delta: DataFrame, writerId: String, maxAttempts: Int = 5): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -407,7 +407,7 @@ object Lakehouse extends QueryModule {
     * one base scan + a map-side hash probe — the reason DVs beat
     * copy-on-write for low-selectivity deletes at 100 TB (no terabyte
     * rewrite to delete 0.1% of rows). */
-  private[graft] def s25MorRead(spark: SparkSession, root: String,
+  def s25MorRead(spark: SparkSession, root: String,
       dvPath: String): DataFrame =
     spark.read.parquet(s"$root/base")
       .withColumn("file_path", col("_metadata.file_path"))
@@ -419,7 +419,7 @@ object Lakehouse extends QueryModule {
   /** Copy-on-write APPLY (the compaction that retires a DV): rewrite the
     * merge-on-read view into clean files; the base files + DV become
     * vacuum-able. Returns the rewritten directory. */
-  private[graft] def s25Apply(spark: SparkSession, root: String,
+  def s25Apply(spark: SparkSession, root: String,
       dvPath: String): String = {
     s25MorRead(spark, root, dvPath)
       .repartition(2)

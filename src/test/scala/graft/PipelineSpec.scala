@@ -585,6 +585,48 @@ class PipelineSpec extends SparkSuite {
       s"the composition must share the shingle/band derivation: $fused >= $separate")
   }
 
+  test("l65: the merge invariant survives iteration — every persisted day's " +
+      "labels equal a from-scratch CC over that day's prefix graph") {
+    import spark.implicits._
+    // day(id) = id%10 when in {1,2,3}, else base(0). The graph forces the
+    // shapes that would expose a broken invariant under ITERATION:
+    //  base : {14,15,16} and {24,25}
+    //  day 1: 21 attaches to the 14-component; (31,41) is delta-only
+    //  day 2: 2 TAKES OVER the 24-component's label (2 < 24); 22 attaches
+    //         to the 14-component — day 3 must contract through BOTH
+    //         rewritten labels, not the day-0 ones
+    //  day 3: 3 re-takes the 2-component; 23 attaches to {31,41}; 33
+    //         bridges the 14- and 2-components into one giant merge
+    val edges = Seq(
+      (14L, 15L), (15L, 16L), (24L, 25L), // base
+      (16L, 21L), (31L, 41L), // day 1
+      (2L, 24L), (22L, 14L), // day 2
+      (3L, 2L), (23L, 41L), (33L, 22L), (33L, 25L) // day 3
+    ).toDF("a", "b")
+    def day(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(10)).isin(1, 2, 3), pmod(c, lit(10))).otherwise(lit(0L))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_l65_spec").toString + "/labels"
+    val fin = llm.Pipeline.l65Close(spark, edges, root)
+    for (d <- 0 to 3) {
+      val prefix = edges.filter(greatest(day(col("a")), day(col("b"))) <= d)
+      val scratch = graft.Fixpoint.connectedComponentsStar(prefix)
+      val expected = scratch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Fixpoint.release(scratch)
+      val got = spark.read.parquet(s"$root/day$d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"day $d diverged from the prefix rebuild")
+    }
+    // the takeover chain really happened: 3 ends up labeling the merged
+    // giant component that contains base, day-1, day-2 and day-3 docs
+    val lab3 = spark.read.parquet(s"$root/day3")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(14L, 21L, 22L, 24L, 33L, 2L).forall(lab3(_) == 2L),
+      s"expected the giant merge under label 2: $lab3")
+    assert(lab3(23L) === 23L && lab3(31L) === 23L && lab3(41L) === 23L)
+    graft.Fixpoint.release(fin)
+  }
+
   test("ccMemo staleness contract: same corpus hits, rewrite-in-place needs clearCcMemo") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ccmemo").toString
     def write(rows: Seq[(Long, String)]): Unit =

@@ -531,6 +531,65 @@ class PlanSpec extends SparkSuite {
       "non-rewritable aggregate must keep the raw scan")
   }
 
+  test("s16→CBO: cost-based join REORDER moves the big fact last in a 3-table " +
+      "chain written fact-first; values unchanged") {
+    import org.apache.spark.sql.functions._
+    // syntactically the query joins (fact ⋈ mid) ⋈ tiny-filtered-dim; with
+    // rowCount + column stats and spark.sql.cbo.joinReorder.enabled the
+    // DP reorderer should start from the small (mid ⋈ dim) pair instead —
+    // at 100 TB the difference between shuffling the fact table once into
+    // a tiny build side and shuffling it into an unreduced mid table
+    val base = Tables.scratchPath("cbo_reorder", sf)
+    val tag = base.split('/').last
+    val (fact, mid, dim) = (s"${tag}_li", s"${tag}_ord", s"${tag}_cust")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").option("path", s"$base/f").saveAsTable(fact)
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").option("path", s"$base/m").saveAsTable(mid)
+    Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+      .write.mode("overwrite").option("path", s"$base/d").saveAsTable(dim)
+    spark.sql(s"ANALYZE TABLE $fact COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+    spark.sql(s"ANALYZE TABLE $mid COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+    spark.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS FOR COLUMNS c_custkey, c_acctbal")
+    val Array(lo, hi) = spark.table(dim)
+      .agg(min("c_custkey"), max("c_custkey")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    def query = spark.table(fact)
+      .join(spark.table(mid), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(dim).filter(col("c_custkey") <= lit(lo + (hi - lo) / 20)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("rev"))
+    def leafOrder: Seq[String] =
+      query.queryExecution.optimizedPlan.collectLeaves().map {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse(r.nodeName)
+        case other => other.nodeName
+      }
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val orderOff = leafOrder
+      val rowsOff = query.collect().toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val orderOn = leafOrder
+      val rowsOn = query.collect().toSeq
+      assert(orderOff.head === fact,
+        s"without CBO the join order is syntactic (fact first): $orderOff")
+      assert(orderOn !== orderOff,
+        s"stats + joinReorder must change the join order: $orderOn")
+      assert(orderOn.head !== fact,
+        s"the reordered plan must not start from the big fact: $orderOn")
+      assert(rowsOn === rowsOff, "the reorder must not change a single value")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   test("s16→CBO: ANALYZE column stats provably flip the physical join from " +
       "shuffle to broadcast; results hash-identical both ways") {
     import org.apache.spark.sql.functions._
