@@ -455,13 +455,102 @@ object Lakehouse extends QueryModule {
       .orderBy("phase", "qty_band")
   }
 
+  // ---------------------------------------------------------------- s26
+
+  /** Build the s26 table: the same logical table under TWO partition
+    * specs. Generation A (history, shipdate < 1996) predates partitioning
+    * — written as plain range-clustered files with ship_month as a DATA
+    * column; generation B (1996+) was written after the spec evolved to
+    * partitionBy(ship_month). The manifest carries a month zone map per
+    * file — for A from the files' contents, for B from the partition
+    * value (min == max) — which is what lets ONE predicate prune BOTH
+    * generations. Returns (root, manifest(gen, path, min_month,
+    * max_month)). */
+  private[graft] def s26Build(spark: SparkSession, dir: String): (String, DataFrame) = {
+    val root = Tables.scratchPath("s26_table", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.filter(col("ship_month") < "1996-01")
+      .repartitionByRange(4, col("ship_month"))
+      .sortWithinPartitions("ship_month")
+      .write.mode("overwrite").parquet(s"$root/genA")
+    li.filter(col("ship_month") >= "1996-01")
+      .repartition(col("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$root/genB")
+    val mA = spark.read.parquet(s"$root/genA")
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(min("ship_month").as("min_month"), max("ship_month").as("max_month"))
+      .withColumn("gen", lit("A"))
+    val mB = spark.read.option("basePath", s"$root/genB").parquet(s"$root/genB")
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(min("ship_month").as("min_month"), max("ship_month").as("max_month"))
+      .withColumn("gen", lit("B"))
+    (root, mA.unionByName(mB).select("gen", "path", "min_month", "max_month")
+      .localCheckpoint())
+  }
+
+  /** Manifest-driven month-range read across BOTH partition specs: files
+    * whose [min_month, max_month] zone intersects [lo, hi] are planned,
+    * each generation as its own scan group (exactly how a table format
+    * reads across partition-spec generations — per-spec scan groups,
+    * unioned), A surfacing ship_month from data, B from the directory
+    * key. Pruning is the point: the SAME predicate skips A files via
+    * zone maps and B files via partition values, so evolving the spec
+    * never required rewriting history. */
+  def s26Read(spark: SparkSession, root: String, manifest: DataFrame,
+      lo: String, hi: String): DataFrame = {
+    def planned(gen: String): Seq[String] = manifest
+      .filter(col("gen") === gen
+        && col("max_month") >= lo && col("min_month") <= hi)
+      .select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
+    val cols = Seq("l_orderkey", "l_shipdate", "l_extendedprice", "ship_month")
+    val (fa, fb) = (planned("A"), planned("B"))
+    val a = if (fa.isEmpty) None
+      else Some(spark.read.parquet(fa: _*).select(cols.map(col): _*))
+    val b = if (fb.isEmpty) None
+      else Some(spark.read.option("basePath", s"$root/genB").parquet(fb: _*)
+        .select(cols.map(col): _*))
+    val scan = (a, b) match {
+      case (Some(x), Some(y)) => x.unionByName(y)
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case _ => sys.error(s"no files intersect [$lo, $hi]")
+    }
+    // zone maps prune FILES; the row predicate still applies (an A file
+    // can span the boundary)
+    scan.filter(col("ship_month").between(lo, hi))
+  }
+
+  /** s26: PARTITION-SPEC EVOLUTION — the layout analogue of s18b's
+    * column evolution (Iceberg's flagship: specs evolve, history is
+    * never rewritten). A month-window query spanning the spec boundary
+    * (1995-10..1996-03) reads pre-partitioning files via their zone maps
+    * and post-evolution files via partition values, through one
+    * manifest; the oracle restates the window from the source table, so
+    * equality proves the two generations compose to exactly the logical
+    * table. LakehouseSpec pins the pruning itself (planned ∩
+    * non-matching = ∅ on both generations, and at least one file of
+    * each generation is skipped). */
+  def s26(spark: SparkSession, dir: String): DataFrame = {
+    val (root, manifest) = s26Build(spark, dir)
+    s26Read(spark, root, manifest, "1995-10", "1996-03")
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("ship_month")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_vacuum" -> s22,
     "s23_compact_manifest" -> s23,
     "s24_concurrent_commit" -> s24,
-    "s25_delete_vectors" -> s25)
+    "s25_delete_vectors" -> s25,
+    "s26_partition_evolution" -> s26)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -531,5 +620,17 @@ object Lakehouse extends QueryModule {
         |UNION ALL
         |SELECT 'mor', qty_band, n_rows, key_sum, sum_price, del.n_deleted
         |FROM s, del
-        |ORDER BY phase, qty_band""".stripMargin)
+        |ORDER BY phase, qty_band""".stripMargin,
+    // s26: the cross-spec window restated from the source table —
+    // equality proves the two partition-spec generations compose to
+    // exactly the logical table
+    "s26_partition_evolution" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1995-10' AND '1996-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -160,6 +160,40 @@ class LakehouseSpec extends SparkSuite {
     Fixpoint.release(pruned)
   }
 
+  test("s26: one predicate prunes BOTH partition-spec generations — zone maps " +
+      "for pre-partitioning files, partition values for evolved files") {
+    val (root, manifest) = operators.Lakehouse.s26Build(spark, sf)
+    val (lo, hi) = ("1995-10", "1996-03")
+    val out = operators.Lakehouse.s26Read(spark, root, manifest, lo, hi)
+    // the planned file set, by generation
+    val planned = out.inputFiles.map(asPath).toSet
+    val m = manifest.collect().map(r => (r.getString(0), asPath(r.getString(1)),
+      r.getString(2), r.getString(3)))
+    val matching = m.filter { case (_, _, mn, mx) => mx >= lo && mn <= hi }
+      .map(_._2).toSet
+    val nonMatching = m.map(_._2).toSet.diff(matching)
+    assert(planned.nonEmpty && planned.subsetOf(matching),
+      s"planned a non-matching file: ${planned.diff(matching).take(2)}")
+    assert(planned.intersect(nonMatching).isEmpty)
+    // pruning bites on BOTH generations: at least one A file (zone map)
+    // and one B file (partition value) is skipped
+    val skipped = m.filter(t => !planned.contains(t._2))
+    assert(skipped.exists(_._1 == "A"), "no pre-partitioning file was zone-pruned")
+    assert(skipped.exists(_._1 == "B"), "no evolved-partition file was pruned")
+    // both generations contribute rows to the boundary-spanning window
+    val gens = out.withColumn("g",
+        when(col("ship_month") < "1996-01", "A").otherwise("B"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gens.getOrElse("A", 0L) > 0 && gens.getOrElse("B", 0L) > 0,
+      s"window must span the spec boundary: $gens")
+    // row-level truth: the cross-spec read == the source table's window
+    val expect = Tables.lineitem(spark, sf)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("ship_month").between(lo, hi)).count()
+    assert(out.count() === expect)
+    Fixpoint.release(manifest)
+  }
+
   test("s24: conflict interleaving equals both serial orders; a stale commit " +
       "is rejected; the retry loop recovers") {
     def freshDirs(): (String, String) = {
