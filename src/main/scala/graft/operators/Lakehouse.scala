@@ -455,6 +455,50 @@ object Lakehouse extends QueryModule {
       .orderBy("phase", "qty_band")
   }
 
+  // ---------------------------------------------------------------- s27
+
+  /** s27: MERGE-ON-READ UPSERT — the production MERGE INTO, expressed
+    * with the s25 deletion-vector machinery plus an append commit
+    * (exactly Delta's DV-based MERGE): matched base rows (o_orderkey%7
+    * == 0, the update set) are tombstoned by POSITION in a DV sidecar —
+    * no base file rewritten — while the source's updated versions and
+    * its brand-new rows (shifted keys, status 'N') land as a new
+    * commit's files; the logical table is MOR(base, DV) ∪ commit-2.
+    * At 100 TB this is why MERGE doesn't rewrite the fact table: the
+    * write cost is |source| + a positions sidecar, reads pay one
+    * broadcast anti-join. The oracle restates the merged table from the
+    * source relation (unmatched ∪ updated ∪ inserted), so a pass proves
+    * update-by-tombstone+append == the logical MERGE. LakehouseSpec
+    * pins row-level equality against a frame-computed merge, exact DV
+    * coverage, and base files untouched. */
+  def s27(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s27_table", dir)
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    val matched = pmod(col("o_orderkey"), lit(7)) === 0
+    // the MERGE source: updated versions of matched keys + new rows
+    val updates = orders.filter(matched)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val dv = Tables.scratchPath("s27_dv", dir)
+    spark.read.parquet(s"$root/base").filter(matched)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(dv)
+    updates.unionByName(inserts)
+      .repartition(2).write.mode("overwrite").parquet(s"$root/commit2")
+    s25MorRead(spark, root, dv)
+      .unionByName(spark.read.parquet(s"$root/commit2"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- s26
 
   /** Build the s26 table: the same logical table under TWO partition
@@ -550,7 +594,8 @@ object Lakehouse extends QueryModule {
     "s23_compact_manifest" -> s23,
     "s24_concurrent_commit" -> s24,
     "s25_delete_vectors" -> s25,
-    "s26_partition_evolution" -> s26)
+    "s26_partition_evolution" -> s26,
+    "s27_merge_upsert" -> s27)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -632,5 +677,22 @@ object Lakehouse extends QueryModule {
         |       MAX(l_extendedprice) AS max_price
         |FROM lineitem
         |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1995-10' AND '1996-03'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s27: the logical MERGE restated relationally — unmatched base rows,
+    // updated versions of matched keys, inserted new keys; double adds
+    // are IEEE-identical across engines, sums accumulate in DECIMAL
+    "s27_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
 }

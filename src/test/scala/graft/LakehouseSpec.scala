@@ -194,6 +194,43 @@ class LakehouseSpec extends SparkSuite {
     Fixpoint.release(manifest)
   }
 
+  test("s27: DV-based MERGE equals the frame-computed merge row-for-row; " +
+      "base files untouched; the DV covers exactly the matched positions") {
+    operators.Lakehouse.s27(spark, sf).collect() // builds base + DV + commit2
+    val root = Tables.scratchPath("s27_table", sf)
+    val dv = Tables.scratchPath("s27_dv", sf)
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // the physical merged table, read back MOR ∪ commit2
+    val got = operators.Lakehouse.s25MorRead(spark, root, dv)
+      .unionByName(spark.read.parquet(s"$root/commit2"))
+    // the logical merge computed directly on frames
+    val expect = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    assert(got.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(got).count() === 0L)
+    // DV coverage == the matched set, and the update is a TOMBSTONE:
+    // no base file was rewritten (base still holds every original row)
+    val nMatched = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0).count()
+    assert(spark.read.parquet(dv).count() === nMatched)
+    assert(spark.read.parquet(s"$root/base").count() === orders.count(),
+      "MERGE must not rewrite base files — the update is positional")
+    // updated rows really carry the new version — bit-exact against the
+    // same IEEE add, not a subtraction round-trip ((x+1000)-x ≠ 1000 in
+    // general; x+1000.0 is deterministic in both engines)
+    val upd = got.filter(pmod(col("o_orderkey"), lit(7)) === 0
+        && col("o_orderkey") < 100000000L)
+      .join(orders.withColumnRenamed("o_totalprice", "old_price"),
+        Seq("o_orderkey", "o_orderstatus"))
+    assert(upd.count() === nMatched)
+    assert(upd.filter(col("o_totalprice") =!= col("old_price") + 1000.0)
+      .count() === 0L, "an updated row does not carry old + 1000.0")
+  }
+
   test("s24: conflict interleaving equals both serial orders; a stale commit " +
       "is rejected; the retry loop recovers") {
     def freshDirs(): (String, String) = {
