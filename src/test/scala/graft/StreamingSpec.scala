@@ -754,4 +754,46 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(batchCounts(t0) === 6L)
   }
+
+  test("streaming ingest commits every micro-batch through the optimistic " +
+      "commit log; the final manifest equals one-shot batch stats") {
+    // the streaming↔lakehouse composition: foreachBatch folds each
+    // micro-batch's stats into the s24 commit log (put-if-absent version
+    // pointers, monoid merge) — a restart-safe manifest maintained by a
+    // stream, the shape a production ingest writer actually has. The
+    // merge columns reuse s24's manifest schema (key column named
+    // ship_month) — the monoid, not the name, is the contract.
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_lake").toString
+    val (log, stage) = (s"$base/log", s"$base/stage")
+    val ckpt = Files.createTempDirectory("graft_stream_lake_ckpt").toString
+    def stats(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type").as("ship_month"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        min("value").as("min_price"), max("value").as("max_price"))
+    val rows = batchEvents.as[Ev].collect().sortBy(_.event_id)
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        operators.Lakehouse.s24Writer(spark, log, s"$stage/$id", stats(df), s"mb$id")
+        ()
+      }.start()
+    stream.addData(rows.take(300).toIndexedSeq); q.processAllAvailable()
+    stream.addData(rows.slice(300, 700).toIndexedSeq); q.processAllAvailable()
+    stream.addData(rows.drop(700).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val v = operators.Lakehouse.s24Current(log)
+    assert(v >= 2, s"expected one commit per micro-batch, log is at v$v")
+    def toMap(df: DataFrame): Map[String, (Long, Double, Double)] =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val got = toMap(operators.Lakehouse.s24Read(spark, log, v)
+      .select("ship_month", "n_rows", "min_price", "max_price"))
+    val expect = toMap(stats(batchEvents))
+    assert(got === expect,
+      "micro-batch monoid commits must compose to the one-shot stats")
+  }
 }
