@@ -559,7 +559,13 @@ object Lakehouse extends QueryModule {
       case (Some(x), Some(y)) => x.unionByName(y)
       case (Some(x), None) => x
       case (None, Some(y)) => y
-      case _ => sys.error(s"no files intersect [$lo, $hi]")
+      // an empty window is a lawful query result, not a contract
+      // violation — yield a 0-row frame with the declared schema
+      case _ => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, " +
+            "l_extendedprice DOUBLE, ship_month STRING"))
     }
     // zone maps prune FILES; the row predicate still applies (an A file
     // can span the boundary)

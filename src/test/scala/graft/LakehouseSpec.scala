@@ -191,6 +191,11 @@ class LakehouseSpec extends SparkSuite {
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .filter(col("ship_month").between(lo, hi)).count()
     assert(out.count() === expect)
+    // an empty window is a lawful result: 0 rows, declared schema, no throw
+    val empty = operators.Lakehouse.s26Read(spark, root, manifest, "2050-01", "2050-02")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("l_orderkey", "l_shipdate", "l_extendedprice", "ship_month"))
     Fixpoint.release(manifest)
   }
 

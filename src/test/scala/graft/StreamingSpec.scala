@@ -774,6 +774,11 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).cast("bigint").as("n_rows"),
         min("value").as("min_price"), max("value").as("max_price"))
     val rows = batchEvents.as[Ev].collect().sortBy(_.event_id)
+    // three non-empty micro-batches at ANY fixture size (a hardcoded
+    // split would silently collapse to fewer commits on a smaller
+    // regeneration and fail with a misleading message)
+    val c = rows.length / 3
+    assume(c >= 1, s"fixture too small for 3 batches: ${rows.length} events")
     val stream = MemoryStream[Ev]
     val q = stream.toDF().writeStream
       .option("checkpointLocation", ckpt)
@@ -781,10 +786,14 @@ class StreamingSpec extends SparkSuite {
         operators.Lakehouse.s24Writer(spark, log, s"$stage/$id", stats(df), s"mb$id")
         ()
       }.start()
-    stream.addData(rows.take(300).toIndexedSeq); q.processAllAvailable()
-    stream.addData(rows.slice(300, 700).toIndexedSeq); q.processAllAvailable()
-    stream.addData(rows.drop(700).toIndexedSeq); q.processAllAvailable()
-    q.stop()
+    // stop in finally: a writer failure inside foreachBatch rethrows from
+    // processAllAvailable, and a still-running query would pollute the
+    // shared session for the rest of the suite (runStream's discipline)
+    try {
+      stream.addData(rows.take(c).toIndexedSeq); q.processAllAvailable()
+      stream.addData(rows.slice(c, 2 * c).toIndexedSeq); q.processAllAvailable()
+      stream.addData(rows.drop(2 * c).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
     val v = operators.Lakehouse.s24Current(log)
     assert(v >= 2, s"expected one commit per micro-batch, log is at v$v")
     def toMap(df: DataFrame): Map[String, (Long, Double, Double)] =
