@@ -170,6 +170,30 @@ object Bench {
     }
     currentQuery = "post-sweep"
     val ok = results.collect { case QueryResult(n, Right(t), _, _, _, _) => n -> t }
+    // Read-plan vs lifecycle-sink split: the lakehouse/sink family WRITES
+    // real files as part of the measured query, so its numbers track the
+    // sandbox's disk as much as the plans; pure-read queries track plans
+    // only. Publishing both totals keeps the 2×-of-baseline budget
+    // meaningful per class as the sink family grows. Membership = every
+    // query whose execution writes beyond reading the fixture tables
+    // (maintained alongside the Tables.scratchPath call sites; the
+    // subset check below catches renames going stale).
+    val sinkIds = Set(
+      "h09_mv_rewrite", "l63_cc_incremental", "l64_daily_close",
+      "l65_multiday_close", "l66_cdc_to_features",
+      "s05_sink_roundtrip", "s07_sink_partitioned", "s09_source_csv",
+      "s10_sink_orc", "s11_sink_bucketed", "s12_sink_zorder",
+      "s13_source_jsonl", "s14_source_binary", "s15_sink_compact",
+      "s16_analyze_cbo_stats", "s17_sink_lineage", "s18_source_evolved",
+      "s18b_evolve_widen_rename", "s19_sink_manifest", "s20_manifest_upsert",
+      "s21_time_travel", "s22_vacuum", "s23_compact_manifest",
+      "s24_concurrent_commit", "s25_delete_vectors",
+      "s26_partition_evolution", "s27_merge_upsert",
+      "s28_change_data_feed", "s29_equality_deletes", "t30_stream_commit")
+    require(sinkIds.subsetOf(SparkEntry.queries.keySet),
+      s"stale sink-class ids: ${sinkIds.diff(SparkEntry.queries.keySet)}")
+    val totalSink = ok.collect { case (n, t) if sinkIds(n) => t }.sum
+    val totalRead = ok.collect { case (n, t) if !sinkIds(n) => t }.sum
     // Fresh-JVM re-probe targets (full sweeps only). Two triggers, both
     // recorded in bench_full.json so a verdict can see WHY each probe
     // ran: "tail" = the top-3 slowest of this sweep (r8's l53 measured
@@ -285,6 +309,8 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(25).sortBy(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""total_read":${f3(totalRead)},"total_sink":${f3(totalSink)},""" +
+      s""""n_sink":${ok.count(e => sinkIds(e._1))},""" +
       s""""queries":${qsJson(slowest)},"n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
       s""""semantics":"memo-cold-best-of-2","sf":"$sfDir"}"""
@@ -319,7 +345,10 @@ object Bench {
       .mkString("{", ",", "}")
     def nJson(entries: Seq[(String, Long)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val full = s"""{"total":${f3(total)},$ctx,"queries":${qsJson(ok)},""" +
+    val full = s"""{"total":${f3(total)},"total_read":${f3(totalRead)},""" +
+      s""""total_sink":${f3(totalSink)},""" +
+      s""""sink_ids":${sinkIds.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s"""$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},"runs":${runsJson(runsByQuery)},""" +
       s""""memo_pre":${nJson(memoPreByQuery)},""" +
       s""""memo_cold":${nJson(memoColdByQuery)},""" +

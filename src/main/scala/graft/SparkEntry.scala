@@ -31,6 +31,8 @@ object SparkEntry {
     llm.Semantic,
     llm.Spans,
     llm.Quantize,
+    llm.Features,
+    streaming.StreamCommit,
     odm.OdmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

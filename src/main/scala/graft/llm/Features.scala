@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.operators.Lakehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** l66: CDC→FEATURES — incremental feature-store maintenance, the
+  * composition that turns s28's change data feed into a downstream
+  * pipeline: a persisted point-in-time feature table (h08's
+  * training-serving-skew guard) is brought current after a dimension
+  * commit by re-joining ONLY the keys the change feed names; every
+  * untouched key's rows carry over from the previous feature table
+  * verbatim. The oracle is the FULL recompute (h06's incremental ==
+  * rebuild contract extended to the PIT join): the incrementally
+  * maintained table must hash-equal a from-scratch PIT join against the
+  * new dimension version.
+  *
+  * Scale shape: the feature table is parquet-to-parquet state (exactly a
+  * daily feature job's handoff); per commit the work is one delta-sized
+  * change-feed read, one key-filtered PIT re-join (facts and dimension
+  * both semi-joined to the changed keys — delta-sized inputs on the
+  * user_id exchange), and one anti-join carry-over of the untouched
+  * rows. The corpus-sized PIT join runs ONCE, at bootstrap; 100 TB of
+  * facts are never rescanned for a day's dimension delta.
+  */
+object Features extends QueryModule {
+
+  /** h08's point-in-time join shape: dimension events become an SCD2
+    * interval chain per user; each fact binds the state valid AT ITS OWN
+    * time (equi user_id join, residual interval filter — a user's
+    * intervals partition time, so no fan-out). */
+  private[graft] def pit(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val scd = dim.withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id").as("s_user_id"),
+        col("event_type").as("state_type"), col("value").as("state_value"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"))
+    facts.join(scd,
+        facts("user_id") === col("s_user_id") &&
+          col("valid_from_ms") <= col("fact_ts_ms") &&
+          (col("valid_to_ms").isNull || col("fact_ts_ms") < col("valid_to_ms")),
+        "left")
+      .select(col("user_id"), col("fact_id"), col("fact_type"),
+        col("fact_ts_ms"), col("state_type"), col("state_value"))
+  }
+
+  /** Build the versioned dimension (s28's manifest log: v0 = states up
+    * to the data-derived time cut, v1 = +the later states), bootstrap
+    * the feature table at v0, then maintain it incrementally from the
+    * v0→v1 change feed. Returns (incrementally-maintained feature
+    * frame, facts, changed-user frame, log path) — the spec pins the
+    * frame row-for-row against a from-scratch rebuild and the
+    * delta-sized re-join inputs. */
+  private[graft] def l66State(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, String) = {
+    val root = Tables.scratchPath("l66_features", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val e = Tables.events(spark, dir)
+    val states = e
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+    val facts = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        col("event_type").as("fact_type"), col("ts_ms").as("fact_ts_ms"))
+    // the CDC delta: LATE-ARRIVING state events (second half of time,
+    // h07's data-derived cut) for ONE user cohort (user_id%4==0) — a
+    // day's dimension feed touches SOME keys, which is what makes
+    // incremental maintenance non-trivial (the other cohorts' rows must
+    // carry over untouched, and the spec pins that they do)
+    val cut = states.agg(expr("(min(ts_ms) + max(ts_ms)) div 2"))
+      .collect()(0).getLong(0) // 1-row parameter fetch
+    val delta = col("ts_ms") > cut && pmod(col("user_id"), lit(4)) === 0
+    states.filter(!delta)
+      .repartition(2).write.mode("overwrite").parquet(s"$root/dim0")
+    val adds0 = Lakehouse.listDataFiles(s"$root/dim0").map(("add", _))
+    Lakehouse.s28Commit(spark, log, 0, s"$root/m0", adds0)
+    states.filter(delta)
+      .repartition(1).write.mode("overwrite").parquet(s"$root/dim1delta")
+    Lakehouse.s28Commit(spark, log, 1, s"$root/m1",
+      adds0 ++ Lakehouse.listDataFiles(s"$root/dim1delta").map(("add", _)))
+    // bootstrap: the corpus-sized PIT join runs once, persisted parquet
+    pit(facts, Lakehouse.s28Snapshot(spark, log, 0))
+      .write.mode("overwrite").parquet(s"$root/ft0")
+    // the change feed names the touched keys — delta-sized by design
+    val changed = Lakehouse.s28Cdf(spark, log, 0, 1, "event_id")
+      .select("user_id").distinct()
+    val inc = spark.read.parquet(s"$root/ft0")
+      .join(changed, Seq("user_id"), "left_anti") // untouched rows carry over
+      .unionByName(pit(
+        facts.join(changed, Seq("user_id"), "left_semi"),
+        Lakehouse.s28Snapshot(spark, log, 1)
+          .join(changed, Seq("user_id"), "left_semi")))
+    (inc, facts, changed, log)
+  }
+
+  def l66(spark: SparkSession, dir: String): DataFrame = {
+    val (inc, _, _, _) = l66State(spark, dir)
+    inc
+      // facts before any state (or of state-less users) are a lawful
+      // NULL-state group; name it so the ORDER BY key is null-free in
+      // both engines (the driver compares rows in emitted order)
+      .withColumn("state_type", coalesce(col("state_type"), lit("none")))
+      .groupBy("fact_type", "state_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        sum(Tables.dec(col("state_value"))).cast("double").as("sum_state"))
+      .orderBy("fact_type", "state_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("l66_cdc_to_features" -> l66)
+
+  val oracles: Map[String, String] = Map(
+    // the FULL recompute: a from-scratch PIT join of all facts against
+    // the complete dimension (== version 1's snapshot) — equality proves
+    // carry-over ∪ changed-key-re-join == rebuild
+    "l66_cdc_to_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |scd AS (
+        |  SELECT user_id, event_type AS state_type, value AS state_value,
+        |         ts_ms AS valid_from_ms,
+        |         lead(ts_ms) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_ms, event_id) AS valid_to_ms
+        |  FROM e WHERE event_type IN ('signup', 'purchase', 'error')),
+        |f AS (
+        |  SELECT user_id, event_id AS fact_id, event_type AS fact_type,
+        |         ts_ms AS fact_ts_ms
+        |  FROM e WHERE event_type IN ('click', 'view'))
+        |SELECT fact_type, COALESCE(state_type, 'none') AS state_type,
+        |       COUNT(*) AS n_rows, COUNT(DISTINCT f.user_id) AS n_users,
+        |       CAST(SUM(CAST(state_value AS DECIMAL(38,4))) AS DOUBLE) AS sum_state
+        |FROM f LEFT JOIN scd ON f.user_id = scd.user_id
+        |  AND valid_from_ms <= fact_ts_ms
+        |  AND (valid_to_ms IS NULL OR fact_ts_ms < valid_to_ms)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

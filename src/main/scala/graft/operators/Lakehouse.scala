@@ -108,7 +108,7 @@ object Lakehouse extends QueryModule {
 
   /** Data files under a directory (driver-side listing = the one-time
     * manifest-construction step; all later planning reads the manifest). */
-  private def listDataFiles(d: String): Seq[String] = {
+  private[graft] def listDataFiles(d: String): Seq[String] = {
     val f = new java.io.File(d)
     if (!f.isDirectory) Seq.empty
     else f.listFiles().toSeq.map(_.getPath)
@@ -272,18 +272,23 @@ object Lakehouse extends QueryModule {
   }
 
   /** Atomic put-if-absent of the version pointer; true iff this writer
-    * won the version. */
+    * won the version. The payload is staged to a temp file and LINKED
+    * into place (link(2) fails with EEXIST if the version is taken), so
+    * the pointer becomes visible ONLY with its full content — a
+    * concurrent reader or a crash can never observe a committed-but-empty
+    * version slot (createFile-then-write had exactly that window). */
   private[graft] def s24TryCommit(log: String, version: Int, payload: String): Boolean = {
     val dir = java.nio.file.Paths.get(log)
     java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".commit", ".tmp")
     try {
-      val p = java.nio.file.Files.createFile(dir.resolve(ptrName(version)))
-      java.nio.file.Files.write(p,
+      java.nio.file.Files.write(tmp,
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.createLink(dir.resolve(ptrName(version)), tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   private[graft] def s24Read(spark: SparkSession, log: String, version: Int): DataFrame = {
@@ -560,12 +565,11 @@ object Lakehouse extends QueryModule {
       case (Some(x), None) => x
       case (None, Some(y)) => y
       // an empty window is a lawful query result, not a contract
-      // violation — yield a 0-row frame with the declared schema
-      case _ => spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, " +
-            "l_extendedprice DOUBLE, ship_month STRING"))
+      // violation — yield a 0-row frame whose schema is DERIVED from the
+      // table itself (genB is always non-empty at build time), so it can
+      // never drift from the parquet fixtures or the ship_month derivation
+      case _ => spark.read.option("basePath", s"$root/genB")
+        .parquet(s"$root/genB").select(cols.map(col): _*).limit(0)
     }
     // zone maps prune FILES; the row predicate still applies (an A file
     // can span the boundary)
@@ -593,6 +597,258 @@ object Lakehouse extends QueryModule {
       .orderBy("ship_month")
   }
 
+  // ---------------------------------------------------------------- s28
+
+  /** Commit a (kind, path) MANIFEST as `version` of the s28-style log:
+    * kind 'add' = data file in the snapshot, kind 'dv' = positional
+    * deletion-vector sidecar directory (s25's form). The manifest is
+    * planner metadata (KBs per thousand files); the pointer creation is
+    * s24's atomic put-if-absent. Shared with l66's dimension log. */
+  private[graft] def s28Commit(spark: SparkSession, log: String, version: Int,
+      manifestDir: String, entries: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    entries.toDF("kind", "path").coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir)
+    require(s24TryCommit(log, version, manifestDir),
+      s"version $version must commit (stale log? wipe $log before rebuild)")
+  }
+
+  /** Snapshot at `version`: the manifest's add-files, merge-on-read
+    * anti-joined with every DV sidecar the manifest carries (s25's
+    * positional form). An expired (vacuumed) or never-committed version
+    * refuses with the retention contract named, never a scan-time
+    * file-not-found. */
+  private[graft] def s28Snapshot(spark: SparkSession, log: String,
+      version: Int): DataFrame = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(log).resolve(ptrName(version))),
+      s"version $version is expired or was never committed — not readable")
+    val m = s24Read(spark, log, version)
+    def paths(k: String): Seq[String] = m.filter(col("kind") === k)
+      .select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
+    val base = spark.read.parquet(paths("add"): _*)
+    val dvs = paths("dv")
+    if (dvs.isEmpty) base
+    else base
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(dvs.map(spark.read.parquet(_)).reduce(_ unionByName _)),
+        Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+  }
+
+  /** CHANGE DATA FEED between two committed versions — row-level changes
+    * derived ONLY from the commit log's artifacts (Delta CDF / Iceberg
+    * changelog): the manifest diff names the delta (add-files and DV
+    * sidecars new in `vTo`); pre-images are read from EXACTLY the base
+    * files the new DVs touch (minus positions already dead at `vFrom`);
+    * post-images from exactly the new add-files (minus positions `vTo`'s
+    * DVs already tombstone). Classification matches removed vs added
+    * rows on the table's declared row-identity `key`: both sides →
+    * update_preimage/update_postimage, removed-only → delete,
+    * added-only → insert.
+    *
+    * Scale: cost ∝ the commit delta, never a snapshot scan — the
+    * property that turns the lakehouse into an incremental pipeline
+    * SOURCE (a downstream consumer reads row changes instead of diffing
+    * 100 TB snapshots). The key-match join is delta×delta; AQE
+    * broadcasts the (typically batch-sized) smaller side. */
+  def s28Cdf(spark: SparkSession, log: String, vFrom: Int, vTo: Int,
+      key: String): DataFrame = {
+    for (v <- Seq(vFrom, vTo))
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(log).resolve(ptrName(v))),
+        s"version $v is expired or was never committed — change feed unavailable")
+    val mF = s24Read(spark, log, vFrom)
+    val mT = s24Read(spark, log, vTo)
+    def paths(m: DataFrame, k: String): Set[String] = m
+      .filter(col("kind") === k)
+      .select("path").collect().map(_.getString(0)).toSet
+    val newAdds = (paths(mT, "add") -- paths(mF, "add")).toSeq.sorted
+    val newDvs = (paths(mT, "dv") -- paths(mF, "dv")).toSeq.sorted
+    val oldDvs = paths(mF, "dv").toSeq.sorted
+    def readDvs(ps: Seq[String]): Option[DataFrame] =
+      if (ps.isEmpty) None
+      else Some(ps.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    // pre-images: positions newly tombstoned in the window = new DV rows
+    // minus positions already dead at vFrom; read ONLY the files those
+    // positions live in (the file list is planner metadata)
+    val removed = readDvs(newDvs) match {
+      case None => None
+      case Some(nd) =>
+        val dead = readDvs(oldDvs)
+          .map(od => nd.join(od, Seq("file_path", "row_index"), "left_anti"))
+          .getOrElse(nd)
+        val touched = dead.select("file_path").distinct()
+          .collect().map(_.getString(0)).sorted.toIndexedSeq
+        if (touched.isEmpty) None
+        else Some(spark.read.parquet(touched: _*)
+          .withColumn("file_path", col("_metadata.file_path"))
+          .withColumn("row_index", col("_metadata.row_index"))
+          .join(broadcast(dead), Seq("file_path", "row_index"), "left_semi")
+          .drop("file_path", "row_index"))
+    }
+    // post-images: rows of the new add-files still live at vTo
+    val added =
+      if (newAdds.isEmpty) None
+      else {
+        val a = spark.read.parquet(newAdds: _*)
+        Some(readDvs(paths(mT, "dv").toSeq.sorted) match {
+          case None => a
+          case Some(dv) => a
+            .withColumn("file_path", col("_metadata.file_path"))
+            .withColumn("row_index", col("_metadata.row_index"))
+            .join(broadcast(dv), Seq("file_path", "row_index"), "left_anti")
+            .drop("file_path", "row_index")
+        })
+      }
+    def keysOf(df: Option[DataFrame]): DataFrame = df match {
+      case Some(d) => d.select(col(key).as("_cdf_k")).distinct()
+      case None => spark.range(0).select(lit(null).cast("long").as("_cdf_k"))
+    }
+    val (remK, addK) = (keysOf(removed), keysOf(added))
+    val pre = removed.map(_
+      .join(addK, col(key) === col("_cdf_k"), "left")
+      .withColumn("change_type",
+        when(col("_cdf_k").isNotNull, "update_preimage").otherwise("delete"))
+      .drop("_cdf_k"))
+    val post = added.map(_
+      .join(remK, col(key) === col("_cdf_k"), "left")
+      .withColumn("change_type",
+        when(col("_cdf_k").isNotNull, "update_postimage").otherwise("insert"))
+      .drop("_cdf_k"))
+    (pre, post) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => s28Snapshot(spark, log, vTo).limit(0)
+        .withColumn("change_type", lit(""))
+    }
+  }
+
+  /** Build the s28 versioned table: v0 = the base orders table; v1 = a
+    * MERGE commit in s27's merge-on-read form — one DV sidecar
+    * tombstoning the deleted (o_orderkey%5==0, unless updated) and
+    * updated (o_orderkey%7==0) rows by position, plus one appended file
+    * carrying the updated versions (+1000.0) and the brand-new keys
+    * (%13, shifted, status 'N'). Returns the commit-log path. */
+  private[graft] def s28Build(spark: SparkSession, dir: String): String = {
+    val root = Tables.scratchPath("s28_table", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    val baseAdds = listDataFiles(s"$root/base").map(("add", _))
+    s28Commit(spark, log, 0, s"$root/m0", baseAdds)
+    val updated = pmod(col("o_orderkey"), lit(7)) === 0
+    val deleted = pmod(col("o_orderkey"), lit(5)) === 0 && !updated
+    spark.read.parquet(s"$root/base")
+      .filter(updated || deleted)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv1")
+    orders.filter(updated)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+      .repartition(2).write.mode("overwrite").parquet(s"$root/add1")
+    s28Commit(spark, log, 1, s"$root/m1",
+      baseAdds ++ listDataFiles(s"$root/add1").map(("add", _))
+        :+ (("dv", s"$root/dv1")))
+    log
+  }
+
+  /** s28: CHANGE DATA FEED — the read-side leg that makes the lakehouse
+    * an incremental pipeline source: "give me the row-level changes
+    * between versions 0 and 1" answered from the commit log + DV
+    * sidecars alone, with insert/delete/update_preimage/update_postimage
+    * classification (Delta CDF / Iceberg changelog semantics). The
+    * oracle restates all four change classes from the source relation,
+    * so a pass proves the log-derived feed == the logical MERGE's
+    * row-level diff; LakehouseSpec additionally pins snapshot(v0) ∘
+    * applyCDF == snapshot(v1) row-for-row and that expired versions
+    * refuse the feed with the retention contract named. */
+  def s28(spark: SparkSession, dir: String): DataFrame = {
+    val log = s28Build(spark, dir)
+    s28Cdf(spark, log, 0, 1, "o_orderkey")
+      .groupBy("change_type", "o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("change_type", "o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- s29
+
+  /** s29: EQUALITY DELETES — Iceberg's second delete form, composed with
+    * s25's positional DVs (production tables carry BOTH: compactions and
+    * position-aware writers emit positional deletes; streaming CDC
+    * writers that never saw the base files emit equality deletes — rows
+    * of VALUES resolved against the scan at read time). The base table
+    * is never rewritten: one positional sidecar (l_quantity < 3 rows by
+    * (file, row_index)) and one equality sidecar (the l_orderkey VALUES
+    * where %19==0) are both anti-joined at read time — positional on
+    * position, equality on the delete's own column set. Both sidecars
+    * are delete-sized and broadcast, so the read stays one base scan +
+    * two map-side probes. The query emits the survivors' stats plus both
+    * deletion counts under the conservation law n_pos_del + n_eq_del +
+    * survivors == base rows (n_eq_del counts rows the equality delete
+    * removed that the positional one had not already); the oracle
+    * restates everything as the logical DELETE, and LakehouseSpec pins
+    * that the two sidecars compose order-independently. */
+  def s29(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s29_table", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base")
+    base.filter(col("l_quantity") < 3.0)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv")
+    // equality-delete sidecar: VALUES of the equality column set, the
+    // form a position-blind CDC writer emits
+    Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(19)) === 0)
+      .select("l_orderkey").distinct()
+      .write.mode("overwrite").parquet(s"$root/eq")
+    val survivors = s29MorRead(spark, root)
+    val nPos = spark.read.parquet(s"$root/dv").count()
+    val nEq = base
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(spark.read.parquet(s"$root/dv")),
+        Seq("file_path", "row_index"), "left_anti")
+      .join(broadcast(spark.read.parquet(s"$root/eq")),
+        Seq("l_orderkey"), "left_semi")
+      .count()
+    survivors
+      .groupBy(col("l_quantity").cast("int").as("qty_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .withColumn("n_pos_del", lit(nPos))
+      .withColumn("n_eq_del", lit(nEq))
+      .orderBy("qty_band")
+  }
+
+  /** Mixed-sidecar merge-on-read: base minus positional DV (on
+    * position) minus equality deletes (on the equality column set).
+    * Anti-joins commute, so the application order is immaterial —
+    * LakehouseSpec pins both orders equal. */
+  private[graft] def s29MorRead(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/base")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(spark.read.parquet(s"$root/dv")),
+        Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+      .join(broadcast(spark.read.parquet(s"$root/eq")),
+        Seq("l_orderkey"), "left_anti")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -601,7 +857,9 @@ object Lakehouse extends QueryModule {
     "s24_concurrent_commit" -> s24,
     "s25_delete_vectors" -> s25,
     "s26_partition_evolution" -> s26,
-    "s27_merge_upsert" -> s27)
+    "s27_merge_upsert" -> s27,
+    "s28_change_data_feed" -> s28,
+    "s29_equality_deletes" -> s29)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -700,5 +958,48 @@ object Lakehouse extends QueryModule {
         |SELECT o_orderstatus, COUNT(*) AS n_rows,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
-        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s28: all four change classes restated from the source relation —
+    // deletes are the %5 keys not also updated, updates carry both their
+    // pre- and post-image (price +1000.0, IEEE-identical across engines),
+    // inserts are the shifted %13 keys; equality proves the log-derived
+    // feed == the logical MERGE's row-level diff
+    "s28_change_data_feed" ->
+      """WITH chg AS (
+        |  SELECT 'delete' AS change_type, o_orderstatus, o_orderkey,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderstatus, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderstatus, o_orderkey,
+        |         o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 'N', o_orderkey + 100000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT change_type, o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s29: survivors = NOT(either delete); n_pos_del = the positional
+    // predicate's rows, n_eq_del = equality-deleted rows the positional
+    // sidecar had not already tombstoned — the conservation law
+    // n_pos + n_eq + survivors == base is checkable in the result itself
+    "s29_equality_deletes" ->
+      """WITH pos AS (
+        |  SELECT COUNT(*) AS n_pos FROM lineitem WHERE l_quantity < 3.0),
+        |eq AS (
+        |  SELECT COUNT(*) AS n_eq FROM lineitem
+        |  WHERE NOT l_quantity < 3.0 AND l_orderkey % 19 = 0),
+        |kept AS (
+        |  SELECT * FROM lineitem
+        |  WHERE NOT l_quantity < 3.0 AND l_orderkey % 19 <> 0)
+        |SELECT CAST(l_quantity AS INTEGER) AS qty_band, COUNT(*) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |       pos.n_pos AS n_pos_del, eq.n_eq AS n_eq_del
+        |FROM kept, pos, eq
+        |GROUP BY 1, pos.n_pos, eq.n_eq ORDER BY 1""".stripMargin)
 }

@@ -255,15 +255,30 @@ object Scans extends QueryModule {
       .select(col("o_orderkey").as("o_orderkey", fid(1)),
         col("o_totalprice").as("total_price", fid(2)))
       .write.mode("overwrite").parquet(s"$root/gen=2")
-    // deliberately left ON for the session (no save/restore): the flag is
-    // read when the SCAN executes, which happens after this method
-    // returns (Verify/Bench collect the lazy frame later) — restoring it
-    // here would silently revert the read to name matching. It is inert
-    // for every other query: id-based binding only engages when the
-    // REQUESTED schema carries parquet.field.id metadata, which only
-    // this operator's read schema does (LayoutSpec's name-matching
-    // negative test forces it off and back on around its own read).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-based binding is a GLOBAL session flag; scope it to exactly this
+    // read by materializing the (2-row) aggregate eagerly inside the
+    // window and restoring the flag's PRIOR value — no ordering-dependent
+    // state leaks to later reads whose user schemas might carry
+    // parquet.field.id metadata of their own.
+    val flag = "spark.sql.parquet.fieldId.read.enabled"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try s18bRead(spark, root)
+      .localCheckpoint() // force the scan while the flag is on
+    finally prior match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None    => spark.conf.unset(flag)
+    }
+  }
+
+  /** The lazy id-bound cross-generation read + aggregate (shared with
+    * LayoutSpec's plan assertions, which need the pre-checkpoint plan).
+    * Callers must have `spark.sql.parquet.fieldId.read.enabled` on when
+    * the scan EXECUTES. */
+  private[graft] def s18bRead(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def fid(i: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", i).build()
     val readSchema = StructType(Seq(
       StructField("o_orderkey", LongType, nullable = true, fid(1)),
       StructField("total_price", DoubleType, nullable = true, fid(2)),

@@ -279,5 +279,103 @@ class LakehouseSpec extends SparkSuite {
     assert(!operators.Lakehouse.s24TryCommit(log, 1, s"$stage/y"),
       "stale commit at an already-claimed version must be rejected")
     assert(operators.Lakehouse.s24Current(log) === 1)
+    // commit atomicity: a visible pointer ALWAYS carries its full payload
+    // (the link(2)-based commit publishes content and name in one step),
+    // and no staging temp survives or is mistaken for a version
+    val ptr = java.nio.file.Paths.get(log, "v00001.ptr")
+    assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
+      === s"$stage/x")
+    assert(!new java.io.File(log).listFiles().exists(_.getName.endsWith(".tmp")),
+      "staging temp files must not linger in the log")
+  }
+
+  test("s28: CDF ∘ apply == snapshot diff (v0 + changes == v1 row-for-row); " +
+      "classification partitions the delta; expired versions refuse the feed") {
+    val log = operators.Lakehouse.s28Build(spark, sf)
+    val snap0 = operators.Lakehouse.s28Snapshot(spark, log, 0)
+    val snap1 = operators.Lakehouse.s28Snapshot(spark, log, 1)
+    val cdf = operators.Lakehouse.s28Cdf(spark, log, 0, 1, "o_orderkey")
+      .localCheckpoint() // consumed four ways below
+    // v0 is exactly the base table
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert(snap0.exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(snap0).count() === 0L)
+    // applying the feed to v0 reconstructs v1 exactly: remove the
+    // pre-images (delete + update_preimage), add the post-images
+    // (insert + update_postimage)
+    val pre = cdf.filter(col("change_type")
+      .isin("delete", "update_preimage")).drop("change_type")
+    val post = cdf.filter(col("change_type")
+      .isin("insert", "update_postimage")).drop("change_type")
+    val applied = snap0.exceptAll(pre).unionByName(post)
+    assert(applied.exceptAll(snap1).count() === 0L,
+      "CDF-applied v0 has rows v1 lacks")
+    assert(snap1.exceptAll(applied).count() === 0L,
+      "v1 has rows the CDF missed")
+    // classification is a partition of the delta: updates carry matching
+    // pre/post key sets; deletes and inserts never share a key with them
+    def keys(ct: String): Set[Long] = cdf.filter(col("change_type") === ct)
+      .select("o_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val (kDel, kIns) = (keys("delete"), keys("insert"))
+    val (kPre, kPost) = (keys("update_preimage"), keys("update_postimage"))
+    assert(kPre === kPost, "update pre/post images must cover the same keys")
+    assert((kDel intersect kPre).isEmpty && (kIns intersect kPost).isEmpty)
+    assert(kDel.forall(k => k % 5 == 0 && k % 7 != 0))
+    assert(kPre.forall(_ % 7 == 0))
+    assert(kIns.forall(_ >= 100000000L), "inserts are the shifted new keys")
+    // an expired (vacuumed) version refuses the feed with the contract
+    // named — never a scan-time file-not-found
+    java.nio.file.Files.delete(java.nio.file.Paths.get(log, "v00000.ptr"))
+    val ex = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s28Cdf(spark, log, 0, 1, "o_orderkey")
+    }
+    assert(ex.getMessage.contains("expired"))
+    val ex2 = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s28Snapshot(spark, log, 0)
+    }
+    assert(ex2.getMessage.contains("expired"))
+    Fixpoint.release(cdf)
+  }
+
+  test("s29: positional + equality sidecars compose order-independently; " +
+      "conservation n_pos + n_eq + survivors == base; base files untouched; " +
+      "equality deletes reach rows in every file, position-blind") {
+    val out = operators.Lakehouse.s29(spark, sf).collect() // builds the table
+    val root = Tables.scratchPath("s29_table", sf)
+    val base = spark.read.parquet(s"$root/base")
+    val nBase = base.count()
+    assert(nBase === Tables.lineitem(spark, sf).count(),
+      "neither delete form may rewrite a base file")
+    // the registered read applies positional-then-equality; build the
+    // reverse order and pin row-set equality (anti-joins commute).
+    // `_metadata` is a scan-relation column — surface it BEFORE any join
+    val withPos = base
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+    val eqFirst = withPos
+      .join(broadcast(spark.read.parquet(s"$root/eq")),
+        Seq("l_orderkey"), "left_anti")
+      .join(broadcast(spark.read.parquet(s"$root/dv")),
+        Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+    val posFirst = operators.Lakehouse.s29MorRead(spark, root)
+    assert(posFirst.exceptAll(eqFirst).count() === 0L)
+    assert(eqFirst.exceptAll(posFirst).count() === 0L)
+    // conservation: every base row is survivor, positionally deleted, or
+    // equality-deleted — exactly once (the query publishes the counts)
+    val nSurvivors = out.map(_.getLong(1)).sum
+    val (nPos, nEq) = (out.head.getLong(4), out.head.getLong(5))
+    assert(nPos + nEq + nSurvivors === nBase,
+      s"conservation broken: $nPos + $nEq + $nSurvivors != $nBase")
+    // the equality delete is position-blind: its keys hit rows in EVERY
+    // base file (4 files, keys spread by repartition)
+    val eqFiles = base
+      .withColumn("file_path", col("_metadata.file_path"))
+      .join(broadcast(spark.read.parquet(s"$root/eq")),
+        Seq("l_orderkey"), "left_semi")
+      .select("file_path").distinct().count()
+    assert(eqFiles === 4L,
+      s"equality deletes must reach all 4 base files, hit $eqFiles")
   }
 }

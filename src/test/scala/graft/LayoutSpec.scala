@@ -123,14 +123,17 @@ class LayoutSpec extends SparkSuite {
   test("s18b: field-id read binds renamed columns and widens INT32 in ONE scan; " +
       "name-based matching provably cannot") {
     import org.apache.spark.sql.types._
-    val out = operators.Scans.s18b(spark, sf) // writes both generations
+    operators.Scans.s18b(spark, sf) // writes both generations
     val root = Tables.scratchPath("s18b_evolved", sf)
     // the gen-1 files genuinely store the OLD shape: INT32 key, old name
     val gen1 = spark.read.parquet(s"$root/gen=1").schema
     assert(gen1("o_orderkey").dataType === IntegerType)
     assert(gen1.fieldNames.contains("amount") && !gen1.fieldNames.contains("total_price"))
-    // one scan over both generations (no per-generation union of reads)
-    val plan = out.queryExecution.executedPlan.toString
+    // one scan over both generations (no per-generation union of reads) —
+    // asserted on the LAZY shared read (s18b itself returns a checkpoint-
+    // materialized frame so the global fieldId flag can be scoped/restored)
+    val plan = operators.Scans.s18bRead(spark, root)
+      .queryExecution.executedPlan.toString
     assert(plan.split("Scan parquet").length - 1 === 1,
       s"expected exactly one parquet scan:\n${plan.take(600)}")
     // mergeSchema CANNOT express the widening: the conflicting INT32/INT64
@@ -148,14 +151,19 @@ class LayoutSpec extends SparkSuite {
       StructField("total_price", DoubleType, nullable = true,
         new MetadataBuilder().putLong("parquet.field.id", 2L).build()),
       StructField("gen", IntegerType, nullable = true)))
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    val fidFlag = "spark.sql.parquet.fieldId.read.enabled"
+    val fidPrior = spark.conf.getOption(fidFlag)
+    spark.conf.set(fidFlag, "false")
     try {
       val byName = spark.read.schema(readSchema).parquet(root)
         .groupBy("gen").agg(count(col("total_price")).as("n_price"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(byName(1) === 0L, "name matching must NOT see gen-1's renamed column")
       assert(byName(2) > 0L)
-    } finally spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    } finally fidPrior match { // restore the PRIOR value, not a constant
+      case Some(v) => spark.conf.set(fidFlag, v)
+      case None    => spark.conf.unset(fidFlag)
+    }
     // the id-bound read sees every row's payload in the one column family
     val full = operators.Scans.s18b(spark, sf).collect()
     assert(full.map(_.getInt(0)).toSeq === Seq(1, 2))

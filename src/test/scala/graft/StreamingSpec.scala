@@ -805,4 +805,28 @@ class StreamingSpec extends SparkSuite {
     assert(got === expect,
       "micro-batch monoid commits must compose to the one-shot stats")
   }
+
+  test("t30: the registered stream→commit-log query equals one-shot batch " +
+      "stats, commits exactly one version per staged file, and reruns " +
+      "deterministically from v0") {
+    val first = streaming.StreamCommit.t30(spark, sf).collect()
+    // one commit per staged chunk file: versions 0,1,2
+    assert(first.forall(_.getInt(4) === 2),
+      "three staged files must drive exactly three commits (final v2)")
+    // the committed manifest == the one-shot batch aggregate
+    val expect = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val got = first.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq,
+      "stream-maintained manifest must equal the one-shot stats")
+    // a rerun must wipe checkpoint + log and replay from v0 — same result,
+    // same final version (Bench runs every query twice)
+    val second = streaming.StreamCommit.t30(spark, sf).collect()
+    assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
+  }
 }
