@@ -179,7 +179,8 @@ object Bench {
     // (maintained alongside the Tables.scratchPath call sites; the
     // subset check below catches renames going stale).
     val sinkIds = Set(
-      "h09_mv_rewrite", "l63_cc_incremental", "l64_daily_close",
+      "h09_mv_rewrite", "h14_cdf_view_maintain",
+      "l63_cc_incremental", "l64_daily_close",
       "l65_multiday_close", "l66_cdc_to_features",
       "s05_sink_roundtrip", "s07_sink_partitioned", "s09_source_csv",
       "s10_sink_orc", "s11_sink_bucketed", "s12_sink_zorder",
@@ -189,7 +190,8 @@ object Bench {
       "s21_time_travel", "s22_vacuum", "s23_compact_manifest",
       "s24_concurrent_commit", "s25_delete_vectors",
       "s26_partition_evolution", "s27_merge_upsert",
-      "s28_change_data_feed", "s29_equality_deletes", "t30_stream_commit")
+      "s28_change_data_feed", "s29_equality_deletes",
+      "s30_conflict_detection", "t30_stream_commit")
     require(sinkIds.subsetOf(SparkEntry.queries.keySet),
       s"stale sink-class ids: ${sinkIds.diff(SparkEntry.queries.keySet)}")
     val totalSink = ok.collect { case (n, t) if sinkIds(n) => t }.sum

@@ -457,7 +457,48 @@ object History extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** h14: CDF-DRIVEN VIEW MAINTENANCE — h07's retraction algebra fed by
+    * the lakehouse CHANGE DATA FEED instead of a hand-split changelog:
+    * the stored view V₀ aggregates snapshot v0; each change-feed row
+    * becomes a SIGNED delta (delete/update_preimage retract −1/−value,
+    * insert/update_postimage insert +1/+value); V₁ = reaggregate(V₀ ∪
+    * ΣΔ). This is the composition that makes s28 a pipeline source for
+    * materialized views: the downstream MV refreshes from row changes,
+    * never rescanning the table. Counts, key sums, and DECIMAL(38,4)
+    * price sums are invertible (x + v − v = x exactly), so the
+    * maintained view is bit-identical to the full recompute the oracle
+    * runs over the post-commit table (min/max would need h02-style full
+    * partials — the documented boundary, same as h07's). Per commit the
+    * work is one delta-sized feed read + one ≤|groups| merge. */
+  def h14(spark: SparkSession, dir: String): DataFrame = {
+    val lake = graft.operators.Lakehouse
+    val log = lake.s28Table(spark, dir)
+    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    def viewOf(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("o_orderkey").cast("long").as("k"),
+        sum(dec(col("o_totalprice"))).cast(d384).as("s"))
+    val v0 = viewOf(lake.s28Snapshot(spark, log, 0))
+    val w = when(col("change_type")
+      .isin("delete", "update_preimage"), -1L).otherwise(1L)
+    val deltas = lake.s28Cdf(spark, log, 0, 1, "o_orderkey")
+      .select(col("o_orderstatus"), w.as("w"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("w")).cast("long").as("n"),
+        sum(col("w") * col("o_orderkey")).cast("long").as("k"),
+        sum(col("w") * col("p")).cast(d384).as("s"))
+    v0.unionByName(deltas)
+      .groupBy("o_orderstatus")
+      .agg(sum("n").cast("long").as("n_rows"),
+        sum("k").cast("bigint").as("key_sum"),
+        sum("s").cast("double").as("sum_price"))
+      .filter(col("n_rows") > 0) // groups maintained to zero drop out
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h14_cdf_view_maintain" -> h14,
     "h11_snapshot_diff" -> h11,
     "h10_bitemporal" -> h10,
     "h09_mv_rewrite" -> h09,
@@ -473,6 +514,23 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h14: the FULL recompute over the post-commit table (v1 = base
+    // minus deleted minus updated-pre, plus updated-post and inserts) —
+    // the retraction-maintained view must equal it bit-for-bit
+    "h14_cdf_view_maintain" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // h11: both snapshots spelled as the same latest-op-wins rank; the
     // diff is the identical full-outer classification
     "h11_snapshot_diff" ->

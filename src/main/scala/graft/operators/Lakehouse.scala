@@ -761,6 +761,43 @@ object Lakehouse extends QueryModule {
     log
   }
 
+  /** Session memo over the deterministic s28 table build: one build per
+    * input dir per session — s28 and h14 share the committed table the
+    * way l21 rides l02's pair graph (Bench tags the reuse as memo_pre
+    * and evictSince re-pays it, keeping best-of-2 cold). A hit is
+    * revalidated against the log's version pointers before reuse
+    * (LakehouseSpec deliberately expires v0 to test CDF refusal — a
+    * stale hit would hand that broken log to the next query). */
+  private object S28BuildMemo extends graft.SessionMemos.Member {
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    graft.SessionMemos.register(this)
+    override def evictSince(mark: Long): Int = {
+      var n = 0
+      entries.forEach { (k, v) =>
+        if (v._1 > mark) { entries.remove(k); n += 1 }
+      }
+      n
+    }
+    def getOrBuild(dir: String)(build: => String): String = {
+      val hit = entries.get(dir)
+      if (hit != null) {
+        val ok = Seq(0, 1).forall(v => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(hit._2).resolve(ptrName(v))))
+        if (ok) { graft.SessionMemos.noteHit(hit._1); return hit._2 }
+        entries.remove(dir)
+      }
+      val log = build
+      entries.put(dir, (graft.SessionMemos.stamp(), log))
+      log
+    }
+  }
+
+  /** Memoized [[s28Build]] — what the registered consumers (s28, h14)
+    * call; a composed pipeline builds its source table once. */
+  private[graft] def s28Table(spark: SparkSession, dir: String): String =
+    S28BuildMemo.getOrBuild(dir)(s28Build(spark, dir))
+
   /** s28: CHANGE DATA FEED — the read-side leg that makes the lakehouse
     * an incremental pipeline source: "give me the row-level changes
     * between versions 0 and 1" answered from the commit log + DV
@@ -772,7 +809,7 @@ object Lakehouse extends QueryModule {
     * applyCDF == snapshot(v1) row-for-row and that expired versions
     * refuse the feed with the retention contract named. */
   def s28(spark: SparkSession, dir: String): DataFrame = {
-    val log = s28Build(spark, dir)
+    val log = s28Table(spark, dir)
     s28Cdf(spark, log, 0, 1, "o_orderkey")
       .groupBy("change_type", "o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
@@ -835,6 +872,107 @@ object Lakehouse extends QueryModule {
       .orderBy("qty_band")
   }
 
+  // ---------------------------------------------------------------- s30
+
+  /** file: URI (the `_metadata.file_path` form) → plain filesystem path
+    * (the manifest/listDataFiles form), for cross-form membership checks. */
+  private def asFsPath(p: String): String =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
+
+  /** The conflict VALIDATION a position-delete writer must run on retry:
+    * the files its DV references that are NOT in the current snapshot
+    * (a concurrent compaction rewrote them — the positions are
+    * meaningless against the new files). Empty = safe to commit as-is;
+    * non-empty = re-derive against the current snapshot. Manifest-only:
+    * no data file is read. */
+  private[graft] def s30StaleFiles(spark: SparkSession, log: String,
+      dvPath: String): Seq[String] = {
+    val current = s24Read(spark, log, s24Current(log))
+      .filter(col("kind") === "add").select("path")
+      .collect().map(r => asFsPath(r.getString(0))).toSet
+    spark.read.parquet(dvPath).select("file_path").distinct()
+      .collect().map(r => asFsPath(r.getString(0)))
+      .filterNot(current).sorted.toIndexedSeq
+  }
+
+  /** s30: SNAPSHOT-ISOLATION CONFLICT DETECTION — the leg s24's blind
+    * monoid merge cannot express: when a COMPACTION races a positional
+    * DELETE, "retry = re-merge" would corrupt the table, because the
+    * loser's DV references (file, row_index) positions in files the
+    * winner REMOVED from the snapshot. This is exactly the conflict
+    * Delta's commit validation / Iceberg's `validateDataFilesExist`
+    * exists for. Scenario:
+    *   v0  base, 4 files
+    *   A   compacts the first two files into one range-clustered file;
+    *       commits v1 (adds = {g, f3, f4})
+    *   B   concurrently derived a predicate DV against v0 (positions in
+    *       every base file); its blind v1 commit loses the pointer race,
+    *       and the retry VALIDATES: DV-referenced files ∖ current adds =
+    *       the two compacted files → stale → B re-runs its predicate
+    *       against the CURRENT snapshot and commits the re-derived DV
+    *       as v2. Positions in untouched files stay valid because data
+    *       files are immutable — only removal from the snapshot, never
+    *       content change, can invalidate a position.
+    * The result is the final merge-on-read stats plus the protocol's
+    * observables (final_version 2, conflicts 1, stale_files 2); the
+    * oracle restates the logical DELETE (compaction is logically the
+    * identity), so a pass proves revalidation re-found exactly the
+    * right rows. Validation itself is manifest-only — KBs, no data
+    * scan; the re-derivation reads the current snapshot once, the same
+    * cost the delete would have paid had it started after the
+    * compaction. */
+  def s30(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s30_table", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    val v0Adds = listDataFiles(s"$root/base")
+    s28Commit(spark, log, 0, s"$root/m0", v0Adds.map(("add", _)))
+    val pred = pmod(col("o_orderkey"), lit(9)) === 0
+    // B derives its positional DV against the v0 snapshot it read
+    spark.read.parquet(v0Adds: _*).filter(pred)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv_b0")
+    // A's compaction wins v1: first two files rewritten range-clustered
+    val (rewritten, untouched) = (v0Adds.take(2), v0Adds.drop(2))
+    spark.read.parquet(rewritten: _*)
+      .repartitionByRange(1, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/compact")
+    val v1Adds = listDataFiles(s"$root/compact") ++ untouched
+    s28Commit(spark, log, 1, s"$root/m1", v1Adds.map(("add", _)))
+    // B's blind commit loses the race — the put-if-absent rejects it
+    import spark.implicits._
+    (v0Adds.map(("add", _)) :+ (("dv", s"$root/dv_b0")))
+      .toDF("kind", "path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/mB")
+    val conflicted = !s24TryCommit(log, 1, s"$root/mB")
+    require(conflicted, "B's stale commit must lose the v1 race")
+    // retry path: validate, find the compacted files stale, re-derive
+    val stale = s30StaleFiles(spark, log, s"$root/dv_b0")
+    require(stale.nonEmpty, "the compaction must invalidate B's DV")
+    spark.read.parquet(v1Adds: _*).filter(pred)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv_b1")
+    s28Commit(spark, log, 2, s"$root/m2",
+      v1Adds.map(("add", _)) :+ (("dv", s"$root/dv_b1")))
+    s28Snapshot(spark, log, 2)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .withColumn("final_version", lit(2))
+      .withColumn("conflicts", lit(1))
+      .withColumn("stale_files", lit(stale.size))
+      .orderBy("o_orderstatus")
+  }
+
   /** Mixed-sidecar merge-on-read: base minus positional DV (on
     * position) minus equality deletes (on the equality column set).
     * Anti-joins commute, so the application order is immaterial —
@@ -859,7 +997,8 @@ object Lakehouse extends QueryModule {
     "s26_partition_evolution" -> s26,
     "s27_merge_upsert" -> s27,
     "s28_change_data_feed" -> s28,
-    "s29_equality_deletes" -> s29)
+    "s29_equality_deletes" -> s29,
+    "s30_conflict_detection" -> s30)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -1001,5 +1140,17 @@ object Lakehouse extends QueryModule {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
         |       pos.n_pos AS n_pos_del, eq.n_eq AS n_eq_del
         |FROM kept, pos, eq
-        |GROUP BY 1, pos.n_pos, eq.n_eq ORDER BY 1""".stripMargin)
+        |GROUP BY 1, pos.n_pos, eq.n_eq ORDER BY 1""".stripMargin,
+    // s30: compaction is logically the identity, so the final table is
+    // just the logical DELETE — equality proves the revalidated DV
+    // re-found exactly the rows B originally meant to delete. The
+    // observables pin the protocol: one rejected race, the two
+    // compacted files detected stale, final version 2
+    "s30_conflict_detection" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |       2 AS final_version, 1 AS conflicts, 2 AS stale_files
+        |FROM orders WHERE o_orderkey % 9 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -378,4 +378,57 @@ class LakehouseSpec extends SparkSuite {
     assert(eqFiles === 4L,
       s"equality deletes must reach all 4 base files, hit $eqFiles")
   }
+
+  test("s30: a compaction racing a positional delete is DETECTED (stale DV " +
+      "file refs), the re-derived DV restores the logical DELETE exactly, " +
+      "and a DV on untouched files passes validation") {
+    val out = operators.Lakehouse.s30(spark, sf).collect() // runs the race
+    val root = Tables.scratchPath("s30_table", sf)
+    val log = s"$root/log"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val pred = pmod(col("o_orderkey"), lit(9)) === 0
+    // the final snapshot is the logical DELETE, row-for-row — compaction
+    // plus revalidated delete lost nothing and resurrected nothing
+    val got = operators.Lakehouse.s28Snapshot(spark, log, 2)
+    val expect = orders.filter(!pred)
+    assert(got.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(got).count() === 0L)
+    // the stale set is exactly the two compacted files (B's DV referenced
+    // all four v0 files; two survived the compaction untouched)
+    assert(out.forall(_.getInt(6) === 2), "exactly the 2 rewritten files are stale")
+    val stale = operators.Lakehouse.s30StaleFiles(spark, log, s"$root/dv_b0")
+      .toSet
+    val v0Files = operators.Lakehouse.listDataFiles(s"$root/base").toSet
+    assert(stale.subsetOf(v0Files) && stale.size === 2)
+    // the no-conflict path: a DV whose references all survive the
+    // compaction validates clean (positions in immutable files stay
+    // valid; only snapshot REMOVAL invalidates)
+    val survivor = (v0Files -- stale).head
+    spark.read.parquet(survivor).filter(pred)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv_clean")
+    assert(operators.Lakehouse.s30StaleFiles(spark, log, s"$root/dv_clean")
+      .isEmpty, "a DV on untouched files must pass validation")
+    // the re-derived DV covers exactly the predicate's rows in the
+    // current snapshot
+    val nDv1 = spark.read.parquet(s"$root/dv_b1").count()
+    assert(nDv1 === orders.filter(pred).count())
+  }
+
+  test("h14: the CDF-maintained aggregate view equals a full recompute over " +
+      "the post-commit snapshot, bit-for-bit") {
+    val got = operators.History.h14(spark, sf)
+    val log = Tables.scratchPath("s28_table", sf) + "/log"
+    val recompute = operators.Lakehouse.s28Snapshot(spark, log, 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+    assert(got.collect().map(_.toString).toSeq
+      === recompute.collect().map(_.toString).toSeq,
+      "retraction maintenance must equal the full recompute exactly")
+  }
 }
