@@ -179,7 +179,7 @@ object Bench {
     // (maintained alongside the Tables.scratchPath call sites; the
     // subset check below catches renames going stale).
     val sinkIds = Set(
-      "h09_mv_rewrite", "h14_cdf_view_maintain",
+      "h09_mv_rewrite", "h14_cdf_view_maintain", "h15_cdf_multistep",
       "l63_cc_incremental", "l64_daily_close",
       "l65_multiday_close", "l66_cdc_to_features",
       "s05_sink_roundtrip", "s07_sink_partitioned", "s09_source_csv",

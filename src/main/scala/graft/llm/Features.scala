@@ -77,10 +77,10 @@ object Features extends QueryModule {
     states.filter(!delta)
       .repartition(2).write.mode("overwrite").parquet(s"$root/dim0")
     val adds0 = Lakehouse.listDataFiles(s"$root/dim0").map(("add", _))
-    Lakehouse.s28Commit(spark, log, 0, s"$root/m0", adds0)
+    Lakehouse.s28Commit(spark, log, 0, adds0)
     states.filter(delta)
       .repartition(1).write.mode("overwrite").parquet(s"$root/dim1delta")
-    Lakehouse.s28Commit(spark, log, 1, s"$root/m1",
+    Lakehouse.s28Commit(spark, log, 1,
       adds0 ++ Lakehouse.listDataFiles(s"$root/dim1delta").map(("add", _)))
     // bootstrap: the corpus-sized PIT join runs once, persisted parquet
     pit(facts, Lakehouse.s28Snapshot(spark, log, 0))

@@ -470,35 +470,79 @@ object History extends QueryModule {
     * runs over the post-commit table (min/max would need h02-style full
     * partials — the documented boundary, same as h07's). Per commit the
     * work is one delta-sized feed read + one ≤|groups| merge. */
-  def h14(spark: SparkSession, dir: String): DataFrame = {
-    val lake = graft.operators.Lakehouse
-    val log = lake.s28Table(spark, dir)
-    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
-    def viewOf(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum("o_orderkey").cast("long").as("k"),
-        sum(dec(col("o_totalprice"))).cast(d384).as("s"))
-    val v0 = viewOf(lake.s28Snapshot(spark, log, 0))
+  private val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
+
+  /** The CDF-maintainable view state: per-status count / key sum /
+    * DECIMAL price sum — every column exactly invertible. */
+  private[graft] def cdfViewOf(df: DataFrame): DataFrame = df
+    .groupBy("o_orderstatus")
+    .agg(count(lit(1)).cast("long").as("n"),
+      sum("o_orderkey").cast("long").as("k"),
+      sum(dec(col("o_totalprice"))).cast(d384).as("s"))
+
+  /** Change-feed rows → signed per-status deltas (retract −1/−value for
+    * delete/update_preimage, insert +1/+value for the rest). */
+  private[graft] def cdfSigned(cdf: DataFrame): DataFrame = {
     val w = when(col("change_type")
       .isin("delete", "update_preimage"), -1L).otherwise(1L)
-    val deltas = lake.s28Cdf(spark, log, 0, 1, "o_orderkey")
-      .select(col("o_orderstatus"), w.as("w"), col("o_orderkey"),
+    cdf.select(col("o_orderstatus"), w.as("w"), col("o_orderkey"),
         dec(col("o_totalprice")).as("p"))
       .groupBy("o_orderstatus")
       .agg(sum(col("w")).cast("long").as("n"),
         sum(col("w") * col("o_orderkey")).cast("long").as("k"),
         sum(col("w") * col("p")).cast(d384).as("s"))
-    v0.unionByName(deltas)
+  }
+
+  /** Fold one commit's signed deltas into the stored view; groups
+    * maintained down to zero rows drop out (matches the recompute). */
+  private[graft] def cdfFold(view: DataFrame, deltas: DataFrame): DataFrame =
+    view.unionByName(deltas)
       .groupBy("o_orderstatus")
-      .agg(sum("n").cast("long").as("n_rows"),
-        sum("k").cast("bigint").as("key_sum"),
-        sum("s").cast("double").as("sum_price"))
-      .filter(col("n_rows") > 0) // groups maintained to zero drop out
-      .orderBy("o_orderstatus")
+      .agg(sum("n").cast("long").as("n"),
+        sum("k").cast("long").as("k"),
+        sum("s").cast(d384).as("s"))
+      .filter(col("n") > 0)
+
+  private def cdfSurface(view: DataFrame): DataFrame = view
+    .select(col("o_orderstatus"), col("n").as("n_rows"),
+      col("k").cast("bigint").as("key_sum"),
+      col("s").cast("double").as("sum_price"))
+    .orderBy("o_orderstatus")
+
+  def h14(spark: SparkSession, dir: String): DataFrame = {
+    val lake = graft.operators.Lakehouse
+    val log = lake.s28Table(spark, dir)
+    cdfSurface(cdfFold(
+      cdfViewOf(lake.s28Snapshot(spark, log, 0)),
+      cdfSigned(lake.s28Cdf(spark, log, 0, 1, "o_orderkey"))))
+  }
+
+  /** h15: MULTI-STEP CDF VIEW MAINTENANCE — h14's invariant proven
+    * CLOSED UNDER ITERATION (l65's argument applied to the change
+    * feed): three successive MERGE commits, each folding ONLY its own
+    * commit's change feed into the PERSISTED previous view state
+    * (localCheckpoint = the stored-view handoff a daily job has); the
+    * final view must equal a from-scratch recompute over the last
+    * snapshot, which the oracle restates as the three MERGEs chained
+    * relationally. The table is never rescanned after the bootstrap
+    * aggregate; per commit the cost is one delta-sized feed read and a
+    * ≤|groups| merge. Exercises the feed's accumulated-DV path (later
+    * DVs tombstone earlier commits' append files; internal churn nets
+    * out — LakehouseSpec pins CDF(0,2) ∘ apply == snapshot(2)). */
+  def h15(spark: SparkSession, dir: String): DataFrame = {
+    val lake = graft.operators.Lakehouse
+    val log = lake.s28BuildSteps(spark, dir)
+    var view = cdfViewOf(lake.s28Snapshot(spark, log, 0)).localCheckpoint()
+    for (v <- 0 until 3)
+      view = cdfFold(view,
+        cdfSigned(lake.s28Cdf(spark, log, v, v + 1, "o_orderkey")))
+        .localCheckpoint() // persisted state between commits
+    cdfSurface(view)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h14_cdf_view_maintain" -> h14,
+    "h15_cdf_multistep" -> h15,
     "h11_snapshot_diff" -> h11,
     "h10_bitemporal" -> h10,
     "h09_mv_rewrite" -> h09,
@@ -531,6 +575,43 @@ object History extends QueryModule {
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // h15: the three MERGE steps chained relationally — each stage's
+    // retained/updated/inserted terms FROM the previous stage, exactly
+    // the snapshot the maintained view must equal after folding that
+    // commit's change feed. Price chains apply the same IEEE adds in
+    // the same per-row order in both engines.
+    "h15_cdf_multistep" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1
+        |  WHERE o_orderkey % 11 <> 0 AND o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'Q', o_totalprice
+        |  FROM v1 WHERE o_orderkey % 17 = 0),
+        |v3 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v2
+        |  WHERE o_orderkey % 23 <> 0 AND o_orderkey % 15 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 250.0
+        |  FROM v2 WHERE o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 400000000, 'R', o_totalprice
+        |  FROM v2 WHERE o_orderkey % 29 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // h11: both snapshots spelled as the same latest-op-wins rank; the
     // diff is the identical full-outer classification
     "h11_snapshot_diff" ->

@@ -601,33 +601,49 @@ object Lakehouse extends QueryModule {
 
   /** Commit a (kind, path) MANIFEST as `version` of the s28-style log:
     * kind 'add' = data file in the snapshot, kind 'dv' = positional
-    * deletion-vector sidecar directory (s25's form). The manifest is
-    * planner metadata (KBs per thousand files); the pointer creation is
-    * s24's atomic put-if-absent. Shared with l66's dimension log. */
+    * deletion-vector sidecar directory (s25's form). The commit file IS
+    * the manifest — KB planner metadata written driver-side in the
+    * atomic put-if-absent pointer itself (exactly Delta's JSON commit
+    * files), so neither committing nor planning a snapshot costs a
+    * Spark job. Shared with l66's dimension log and h15's chain. */
   private[graft] def s28Commit(spark: SparkSession, log: String, version: Int,
-      manifestDir: String, entries: Seq[(String, String)]): Unit = {
-    import spark.implicits._
-    entries.toDF("kind", "path").coalesce(1)
-      .write.mode("overwrite").parquet(manifestDir)
-    require(s24TryCommit(log, version, manifestDir),
+      entries: Seq[(String, String)]): Unit =
+    require(s24TryCommit(log, version, s28Payload(entries)),
       s"version $version must commit (stale log? wipe $log before rebuild)")
+
+  private[graft] def s28Payload(entries: Seq[(String, String)]): String =
+    "mf1\n" + entries.map { case (k, p) => s"$k\t$p" }.mkString("\n")
+
+  /** Parse the inline manifest committed at `version` — pointer IO only,
+    * no Spark job. An expired (vacuumed) or never-committed version
+    * refuses with the retention contract named, never a scan-time
+    * file-not-found. */
+  private[graft] def readManifest(log: String,
+      version: Int): Seq[(String, String)] = {
+    val p = java.nio.file.Paths.get(log).resolve(ptrName(version))
+    require(java.nio.file.Files.exists(p),
+      s"version $version is expired or was never committed — not readable")
+    val payload = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(payload.startsWith("mf1\n"),
+      s"version $version of $log is not an inline-manifest commit")
+    payload.split('\n').drop(1).toIndexedSeq.map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
   }
+
+  private def manifestPaths(m: Seq[(String, String)], kind: String): Seq[String] =
+    m.collect { case (`kind`, p) => p }.sorted
 
   /** Snapshot at `version`: the manifest's add-files, merge-on-read
     * anti-joined with every DV sidecar the manifest carries (s25's
-    * positional form). An expired (vacuumed) or never-committed version
-    * refuses with the retention contract named, never a scan-time
-    * file-not-found. */
+    * positional form). */
   private[graft] def s28Snapshot(spark: SparkSession, log: String,
       version: Int): DataFrame = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(log).resolve(ptrName(version))),
-      s"version $version is expired or was never committed — not readable")
-    val m = s24Read(spark, log, version)
-    def paths(k: String): Seq[String] = m.filter(col("kind") === k)
-      .select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
-    val base = spark.read.parquet(paths("add"): _*)
-    val dvs = paths("dv")
+    val m = readManifest(log, version)
+    val base = spark.read.parquet(manifestPaths(m, "add"): _*)
+    val dvs = manifestPaths(m, "dv")
     if (dvs.isEmpty) base
     else base
       .withColumn("file_path", col("_metadata.file_path"))
@@ -659,11 +675,10 @@ object Lakehouse extends QueryModule {
       require(java.nio.file.Files.exists(
         java.nio.file.Paths.get(log).resolve(ptrName(v))),
         s"version $v is expired or was never committed — change feed unavailable")
-    val mF = s24Read(spark, log, vFrom)
-    val mT = s24Read(spark, log, vTo)
-    def paths(m: DataFrame, k: String): Set[String] = m
-      .filter(col("kind") === k)
-      .select("path").collect().map(_.getString(0)).toSet
+    val mF = readManifest(log, vFrom)
+    val mT = readManifest(log, vTo)
+    def paths(m: Seq[(String, String)], k: String): Set[String] =
+      manifestPaths(m, k).toSet
     val newAdds = (paths(mT, "add") -- paths(mF, "add")).toSeq.sorted
     val newDvs = (paths(mT, "dv") -- paths(mF, "dv")).toSeq.sorted
     val oldDvs = paths(mF, "dv").toSeq.sorted
@@ -671,14 +686,22 @@ object Lakehouse extends QueryModule {
       if (ps.isEmpty) None
       else Some(ps.map(spark.read.parquet(_)).reduce(_ unionByName _))
     // pre-images: positions newly tombstoned in the window = new DV rows
-    // minus positions already dead at vFrom; read ONLY the files those
-    // positions live in (the file list is planner metadata)
+    // minus positions already dead at vFrom, RESTRICTED to files that
+    // were part of vFrom's snapshot — a position in a file added after
+    // vFrom is internal churn (inserted then deleted inside the window;
+    // it nets to nothing, and the matching add-row is excluded on the
+    // other side by vTo's DVs). Read ONLY the files the surviving
+    // positions live in (the file list is planner metadata).
+    val fromAddSet = paths(mF, "add").map(asFsPath)
     val removed = readDvs(newDvs) match {
       case None => None
       case Some(nd) =>
         val dead = readDvs(oldDvs)
           .map(od => nd.join(od, Seq("file_path", "row_index"), "left_anti"))
           .getOrElse(nd)
+          // normalize the _metadata URI form to the manifest's path form
+          .filter(regexp_replace(col("file_path"), "^file:(//)?", "")
+            .isin(fromAddSet.toSeq: _*))
         val touched = dead.select("file_path").distinct()
           .collect().map(_.getString(0)).sorted.toIndexedSeq
         if (touched.isEmpty) None
@@ -741,7 +764,7 @@ object Lakehouse extends QueryModule {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
     val baseAdds = listDataFiles(s"$root/base").map(("add", _))
-    s28Commit(spark, log, 0, s"$root/m0", baseAdds)
+    s28Commit(spark, log, 0, baseAdds)
     val updated = pmod(col("o_orderkey"), lit(7)) === 0
     val deleted = pmod(col("o_orderkey"), lit(5)) === 0 && !updated
     spark.read.parquet(s"$root/base")
@@ -755,7 +778,7 @@ object Lakehouse extends QueryModule {
         .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
           lit("N").as("o_orderstatus"), col("o_totalprice")))
       .repartition(2).write.mode("overwrite").parquet(s"$root/add1")
-    s28Commit(spark, log, 1, s"$root/m1",
+    s28Commit(spark, log, 1,
       baseAdds ++ listDataFiles(s"$root/add1").map(("add", _))
         :+ (("dv", s"$root/dv1")))
     log
@@ -797,6 +820,70 @@ object Lakehouse extends QueryModule {
     * call; a composed pipeline builds its source table once. */
   private[graft] def s28Table(spark: SparkSession, dir: String): String =
     S28BuildMemo.getOrBuild(dir)(s28Build(spark, dir))
+
+  /** One MERGE step over the CURRENT snapshot of an s28-style log:
+    * tombstone the deleted (key%pDel==0, unless updated) and updated
+    * (key%pUpd==0) rows by position in a new DV sidecar, append the
+    * updated versions (price+priceDelta) and the inserts (key%pIns==0
+    * of the current snapshot, key+shift, the given status), and commit
+    * the next version with the accumulated add/DV lists. All predicates
+    * are on the integer key so a chain of steps stays relationally
+    * restatable by the oracle. */
+  private[graft] def s28MergeStep(spark: SparkSession, root: String,
+      log: String, step: Int, pDel: Int, pUpd: Int, priceDelta: Double,
+      pIns: Int, shift: Long, status: String): Unit = {
+    val v = s24Current(log)
+    val m = readManifest(log, v)
+    val (adds, dvs) = (manifestPaths(m, "add"), manifestPaths(m, "dv"))
+    // current snapshot WITH positions (merge-on-read over accumulated DVs)
+    val scan = spark.read.parquet(adds: _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+    // one physical snapshot scan per step: the DV projection, the update
+    // branch, and the insert branch all read this materialization
+    val s = (if (dvs.isEmpty) scan
+      else scan.join(
+        broadcast(dvs.map(spark.read.parquet(_)).reduce(_ unionByName _)),
+        Seq("file_path", "row_index"), "left_anti")).localCheckpoint()
+    val upd = pmod(col("o_orderkey"), lit(pUpd)) === 0
+    val del = pmod(col("o_orderkey"), lit(pDel)) === 0 && !upd
+    s.filter(upd || del).select("file_path", "row_index")
+      .write.mode("overwrite").parquet(s"$root/dv$step")
+    val sData = s.drop("file_path", "row_index")
+    sData.filter(upd)
+      .withColumn("o_totalprice", col("o_totalprice") + priceDelta)
+      .unionByName(sData.filter(pmod(col("o_orderkey"), lit(pIns)) === 0)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/add$step")
+    s28Commit(spark, log, v + 1,
+      adds.map(("add", _)) ++ listDataFiles(s"$root/add$step").map(("add", _))
+        ++ dvs.map(("dv", _)) :+ (("dv", s"$root/dv$step")))
+  }
+
+  /** Build the multi-step table for h15: v0 = base orders, then THREE
+    * successive MERGE commits, each deriving its deletes/updates/inserts
+    * from the snapshot the previous commit left (DVs accumulate across
+    * base and earlier append files; inserted keys shift into disjoint
+    * ranges so the chain stays key-unique). Returns the log path. */
+  private[graft] def s28BuildSteps(spark: SparkSession, dir: String): String = {
+    val root = Tables.scratchPath("s28m_table", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    s28Commit(spark, log, 0,
+      listDataFiles(s"$root/base").map(("add", _)))
+    // delta-sized daily feeds (≤ ~15% of keys touched per step — CDC
+    // deltas are small relative to the table; that is the premise the
+    // incremental consumers exist for)
+    s28MergeStep(spark, root, log, 1, 5, 7, 1000.0, 13, 100000000L, "N")
+    s28MergeStep(spark, root, log, 2, 11, 9, 500.0, 17, 200000000L, "Q")
+    s28MergeStep(spark, root, log, 3, 23, 15, 250.0, 29, 400000000L, "R")
+    log
+  }
 
   /** s28: CHANGE DATA FEED — the read-side leg that makes the lakehouse
     * an incremental pipeline source: "give me the row-level changes
@@ -889,9 +976,8 @@ object Lakehouse extends QueryModule {
     * no data file is read. */
   private[graft] def s30StaleFiles(spark: SparkSession, log: String,
       dvPath: String): Seq[String] = {
-    val current = s24Read(spark, log, s24Current(log))
-      .filter(col("kind") === "add").select("path")
-      .collect().map(r => asFsPath(r.getString(0))).toSet
+    val current = manifestPaths(readManifest(log, s24Current(log)), "add")
+      .map(asFsPath).toSet
     spark.read.parquet(dvPath).select("file_path").distinct()
       .collect().map(r => asFsPath(r.getString(0)))
       .filterNot(current).sorted.toIndexedSeq
@@ -932,7 +1018,7 @@ object Lakehouse extends QueryModule {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .repartition(4).write.mode("overwrite").parquet(s"$root/base")
     val v0Adds = listDataFiles(s"$root/base")
-    s28Commit(spark, log, 0, s"$root/m0", v0Adds.map(("add", _)))
+    s28Commit(spark, log, 0, v0Adds.map(("add", _)))
     val pred = pmod(col("o_orderkey"), lit(9)) === 0
     // B derives its positional DV against the v0 snapshot it read
     spark.read.parquet(v0Adds: _*).filter(pred)
@@ -945,13 +1031,10 @@ object Lakehouse extends QueryModule {
       .repartitionByRange(1, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/compact")
     val v1Adds = listDataFiles(s"$root/compact") ++ untouched
-    s28Commit(spark, log, 1, s"$root/m1", v1Adds.map(("add", _)))
+    s28Commit(spark, log, 1, v1Adds.map(("add", _)))
     // B's blind commit loses the race — the put-if-absent rejects it
-    import spark.implicits._
-    (v0Adds.map(("add", _)) :+ (("dv", s"$root/dv_b0")))
-      .toDF("kind", "path").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/mB")
-    val conflicted = !s24TryCommit(log, 1, s"$root/mB")
+    val conflicted = !s24TryCommit(log, 1,
+      s28Payload(v0Adds.map(("add", _)) :+ (("dv", s"$root/dv_b0"))))
     require(conflicted, "B's stale commit must lose the v1 race")
     // retry path: validate, find the compacted files stale, re-derive
     val stale = s30StaleFiles(spark, log, s"$root/dv_b0")
@@ -960,7 +1043,7 @@ object Lakehouse extends QueryModule {
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(s"$root/dv_b1")
-    s28Commit(spark, log, 2, s"$root/m2",
+    s28Commit(spark, log, 2,
       v1Adds.map(("add", _)) :+ (("dv", s"$root/dv_b1")))
     s28Snapshot(spark, log, 2)
       .groupBy("o_orderstatus")

@@ -417,6 +417,57 @@ class LakehouseSpec extends SparkSuite {
     assert(nDv1 === orders.filter(pred).count())
   }
 
+  test("h15: the maintained view equals the snapshot recompute at EVERY " +
+      "intermediate commit; non-adjacent CDF nets internal churn (insert-" +
+      "then-delete vanishes; CDF(0,2) applied to v0 == snapshot v2)") {
+    val log = operators.Lakehouse.s28BuildSteps(spark, sf)
+    // walk the chain the way h15 does, pinning each intermediate view
+    // against an independent recompute of that version's snapshot
+    var view = operators.History
+      .cdfViewOf(operators.Lakehouse.s28Snapshot(spark, log, 0))
+      .localCheckpoint()
+    for (v <- 0 until 3) {
+      view = operators.History.cdfFold(view, operators.History.cdfSigned(
+        operators.Lakehouse.s28Cdf(spark, log, v, v + 1, "o_orderkey")))
+        .localCheckpoint()
+      val expect = operators.History
+        .cdfViewOf(operators.Lakehouse.s28Snapshot(spark, log, v + 1))
+        .orderBy("o_orderstatus").collect().map(_.toString).toSeq
+      val got = view.orderBy("o_orderstatus").collect().map(_.toString).toSeq
+      assert(got === expect, s"maintained view diverged at version ${v + 1}")
+    }
+    // the non-adjacent feed nets out internal churn: CDF(0,2) applied to
+    // snapshot(0) reconstructs snapshot(2) exactly — rows inserted at v1
+    // and deleted at v2 appear on NEITHER side
+    val cdf02 = operators.Lakehouse.s28Cdf(spark, log, 0, 2, "o_orderkey")
+      .localCheckpoint()
+    val pre = cdf02.filter(col("change_type")
+      .isin("delete", "update_preimage")).drop("change_type")
+    val post = cdf02.filter(col("change_type")
+      .isin("insert", "update_postimage")).drop("change_type")
+    val applied = operators.Lakehouse.s28Snapshot(spark, log, 0)
+      .exceptAll(pre).unionByName(post)
+    val snap2 = operators.Lakehouse.s28Snapshot(spark, log, 2)
+    assert(applied.exceptAll(snap2).count() === 0L)
+    assert(snap2.exceptAll(applied).count() === 0L)
+    // explicit churn witness: v1-inserted keys (%13-shifted) that v2
+    // deleted are absent from BOTH feed sides of CDF(0,2)
+    val inserted1 = (100000000L, 200000000L)
+    val churn = cdf02.filter(col("o_orderkey") > inserted1._1
+      && col("o_orderkey") < inserted1._2)
+    val live2 = snap2.filter(col("o_orderkey") > inserted1._1
+      && col("o_orderkey") < inserted1._2)
+      .select("o_orderkey").distinct().count()
+    val fed = churn.filter(col("change_type") === "insert")
+      .select("o_orderkey").distinct().count()
+    assert(fed === live2,
+      "only v1 inserts still live at v2 may appear in the 0→2 feed")
+    assert(churn.filter(col("change_type") === "delete").count() === 0L,
+      "a row that never existed at v0 must not be fed as a delete")
+    Fixpoint.release(cdf02)
+    Fixpoint.release(view)
+  }
+
   test("h14: the CDF-maintained aggregate view equals a full recompute over " +
       "the post-commit snapshot, bit-for-bit") {
     val got = operators.History.h14(spark, sf)
