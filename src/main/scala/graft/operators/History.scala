@@ -457,19 +457,6 @@ object History extends QueryModule {
       .orderBy("user_id")
   }
 
-  /** h14: CDF-DRIVEN VIEW MAINTENANCE — h07's retraction algebra fed by
-    * the lakehouse CHANGE DATA FEED instead of a hand-split changelog:
-    * the stored view V₀ aggregates snapshot v0; each change-feed row
-    * becomes a SIGNED delta (delete/update_preimage retract −1/−value,
-    * insert/update_postimage insert +1/+value); V₁ = reaggregate(V₀ ∪
-    * ΣΔ). This is the composition that makes s28 a pipeline source for
-    * materialized views: the downstream MV refreshes from row changes,
-    * never rescanning the table. Counts, key sums, and DECIMAL(38,4)
-    * price sums are invertible (x + v − v = x exactly), so the
-    * maintained view is bit-identical to the full recompute the oracle
-    * runs over the post-commit table (min/max would need h02-style full
-    * partials — the documented boundary, same as h07's). Per commit the
-    * work is one delta-sized feed read + one ≤|groups| merge. */
   private val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
 
   /** The CDF-maintainable view state: per-status count / key sum /
@@ -509,6 +496,19 @@ object History extends QueryModule {
       col("s").cast("double").as("sum_price"))
     .orderBy("o_orderstatus")
 
+  /** h14: CDF-DRIVEN VIEW MAINTENANCE — h07's retraction algebra fed by
+    * the lakehouse CHANGE DATA FEED instead of a hand-split changelog:
+    * the stored view V₀ aggregates snapshot v0; each change-feed row
+    * becomes a SIGNED delta (delete/update_preimage retract −1/−value,
+    * insert/update_postimage insert +1/+value); V₁ = reaggregate(V₀ ∪
+    * ΣΔ). This is the composition that makes s28 a pipeline source for
+    * materialized views: the downstream MV refreshes from row changes,
+    * never rescanning the table. Counts, key sums, and DECIMAL(38,4)
+    * price sums are invertible (x + v − v = x exactly), so the
+    * maintained view is bit-identical to the full recompute the oracle
+    * runs over the post-commit table (min/max would need h02-style full
+    * partials — the documented boundary, same as h07's). Per commit the
+    * work is one delta-sized feed read + one ≤|groups| merge. */
   def h14(spark: SparkSession, dir: String): DataFrame = {
     val lake = graft.operators.Lakehouse
     val log = lake.s28Table(spark, dir)

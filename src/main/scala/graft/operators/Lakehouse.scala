@@ -679,6 +679,17 @@ object Lakehouse extends QueryModule {
     val mT = readManifest(log, vTo)
     def paths(m: Seq[(String, String)], k: String): Set[String] =
       manifestPaths(m, k).toSet
+    // a REWRITE/COMPACTION commit removes add-files; its rows are
+    // logically unchanged, so a feed derived from add/DV diffs alone
+    // would misreport them (rewritten rows as inserts, removed files'
+    // rows as nothing). Refuse loudly — the same stance Delta takes
+    // (CDF is not served across OPTIMIZE without row-lineage tracking);
+    // consumers diff snapshots (h11's shape) across such commits.
+    require(paths(mF, "add").subsetOf(paths(mT, "add")),
+      s"versions $vFrom->$vTo include a rewrite/compaction commit " +
+        "(add-files removed from the manifest); the change feed is not " +
+        "derivable from add/DV diffs across a rewrite — diff snapshots " +
+        "instead")
     val newAdds = (paths(mT, "add") -- paths(mF, "add")).toSeq.sorted
     val newDvs = (paths(mT, "dv") -- paths(mF, "dv")).toSeq.sorted
     val oldDvs = paths(mF, "dv").toSeq.sorted
@@ -692,16 +703,23 @@ object Lakehouse extends QueryModule {
     // it nets to nothing, and the matching add-row is excluded on the
     // other side by vTo's DVs). Read ONLY the files the surviving
     // positions live in (the file list is planner metadata).
-    val fromAddSet = paths(mF, "add").map(asFsPath)
+    // every spelling a scan's `_metadata.file_path` may use for the
+    // manifest's files (plain, file:/p, file://p, and the percent-encoded
+    // java URI form) — exact string matching, one shared normalization
+    // with asFsPath's semantics, no decoding inside the column
+    val fromAddForms = paths(mF, "add").toSeq.flatMap { p0 =>
+      val p = asFsPath(p0)
+      Seq(p, s"file:$p", s"file://$p",
+        java.nio.file.Paths.get(p).toUri.toString,
+        java.nio.file.Paths.get(p).toUri.toString.stripSuffix("/"))
+    }.distinct
     val removed = readDvs(newDvs) match {
       case None => None
       case Some(nd) =>
         val dead = readDvs(oldDvs)
           .map(od => nd.join(od, Seq("file_path", "row_index"), "left_anti"))
           .getOrElse(nd)
-          // normalize the _metadata URI form to the manifest's path form
-          .filter(regexp_replace(col("file_path"), "^file:(//)?", "")
-            .isin(fromAddSet.toSeq: _*))
+          .filter(col("file_path").isin(fromAddForms: _*))
         val touched = dead.select("file_path").distinct()
           .collect().map(_.getString(0)).sorted.toIndexedSeq
         if (touched.isEmpty) None
@@ -711,12 +729,16 @@ object Lakehouse extends QueryModule {
           .join(broadcast(dead), Seq("file_path", "row_index"), "left_semi")
           .drop("file_path", "row_index"))
     }
-    // post-images: rows of the new add-files still live at vTo
+    // post-images: rows of the new add-files still live at vTo. Only the
+    // WINDOW's new DVs can tombstone them — a DV committed at or before
+    // vFrom references only vFrom-era files, disjoint from newAdds — so
+    // the anti-join side stays delta-sized even on a long-lived table
+    // whose accumulated DV history keeps growing.
     val added =
       if (newAdds.isEmpty) None
       else {
         val a = spark.read.parquet(newAdds: _*)
-        Some(readDvs(paths(mT, "dv").toSeq.sorted) match {
+        Some(readDvs(newDvs) match {
           case None => a
           case Some(dv) => a
             .withColumn("file_path", col("_metadata.file_path"))

@@ -377,6 +377,12 @@ class LakehouseSpec extends SparkSuite {
       .select("file_path").distinct().count()
     assert(eqFiles === 4L,
       s"equality deletes must reach all 4 base files, hit $eqFiles")
+    // plan pin (s25's contract extended): BOTH sidecar applications are
+    // broadcast anti-joins — one base scan + two map-side probes
+    val plan = posFirst.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2
+      && plan.contains("LeftAnti"),
+      s"mixed-sidecar read must stay two broadcast anti-joins:\n${plan.take(800)}")
   }
 
   test("s30: a compaction racing a positional delete is DETECTED (stale DV " +
@@ -415,6 +421,14 @@ class LakehouseSpec extends SparkSuite {
     // current snapshot
     val nDv1 = spark.read.parquet(s"$root/dv_b1").count()
     assert(nDv1 === orders.filter(pred).count())
+    // a rewrite commit removes add-files, so a change feed across it is
+    // NOT derivable from add/DV diffs — the feed must refuse loudly
+    // (rewritten rows are logically unchanged; a diff-derived feed would
+    // misreport them), exactly Delta's no-CDF-across-OPTIMIZE stance
+    val exCdf = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s28Cdf(spark, log, 0, 1, "o_orderkey")
+    }
+    assert(exCdf.getMessage.contains("rewrite"))
   }
 
   test("h15: the maintained view equals the snapshot recompute at EVERY " +
