@@ -32,28 +32,12 @@ object Bench {
     // real files as part of the measured query, so its numbers track the
     // sandbox's disk as much as the plans; pure-read queries track plans
     // only. Publishing both totals keeps the 2×-of-baseline budget
-    // meaningful per class as the sink family grows. Membership = every
-    // query whose execution writes beyond reading the fixture tables
-    // (maintained alongside the Tables.scratchPath call sites; the
-    // subset check below catches renames going stale).
-    // (validated against the registry BEFORE the sweep below — a stale id
-    // must fail in seconds, not after the multi-hour run's measurements)
-    val sinkIds = Set(
-      "h09_mv_rewrite", "h14_cdf_view_maintain", "h15_cdf_multistep",
-      "l63_cc_incremental", "l64_daily_close",
-      "l65_multiday_close", "l66_cdc_to_features",
-      "s05_sink_roundtrip", "s07_sink_partitioned", "s09_source_csv",
-      "s10_sink_orc", "s11_sink_bucketed", "s12_sink_zorder",
-      "s13_source_jsonl", "s14_source_binary", "s15_sink_compact",
-      "s16_analyze_cbo_stats", "s17_sink_lineage", "s18_source_evolved",
-      "s18b_evolve_widen_rename", "s19_sink_manifest", "s20_manifest_upsert",
-      "s21_time_travel", "s22_vacuum", "s23_compact_manifest",
-      "s24_concurrent_commit", "s25_delete_vectors",
-      "s26_partition_evolution", "s27_merge_upsert",
-      "s28_change_data_feed", "s29_equality_deletes",
-      "s30_conflict_detection", "t30_stream_commit")
-    require(sinkIds.subsetOf(SparkEntry.queries.keySet),
-      s"stale sink-class ids: ${sinkIds.diff(SparkEntry.queries.keySet)}")
+    // meaningful per class as the sink family grows. Membership is
+    // declared PER MODULE (QueryModule.sinkQueries, next to the queries
+    // themselves) and aggregated by SparkEntry — a new file-writing query
+    // is classified at its definition site, so omission from a central
+    // list can no longer silently skew the read-plan class.
+    val sinkIds = SparkEntry.sinkQueries
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -47,6 +47,20 @@ object SparkEntry {
     all.toMap
   }
 
+  /** Sink-class ids (queries whose measured run writes real files),
+    * aggregated from each module's own declaration — Bench's read-vs-sink
+    * split reads this, so a module adding a file-writing query classifies
+    * it at the definition site, not in a central list. Membership must
+    * name keys the declaring module actually registers. */
+  val sinkQueries: Set[String] = {
+    modules.foreach { m =>
+      val stray = m.sinkQueries.diff(m.queries.keySet)
+      require(stray.isEmpty,
+        s"${m.getClass.getSimpleName} declares sink ids it does not register: $stray")
+    }
+    modules.flatMap(_.sinkQueries).toSet
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's weaker rows-only check
     * (those are covered by unit/property/golden tests instead). */

@@ -87,4 +87,13 @@ object Tables {
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** The module's SINK-CLASS query ids: queries whose measured execution
+    * WRITES real files beyond reading the fixture tables (lakehouse
+    * lifecycle, parquet-state handoffs, sink round-trips). Bench splits
+    * its published total into read-plan vs sink classes from this —
+    * declared NEXT TO the queries themselves so a new file-writing query
+    * cannot silently land in the read class by omission in a central
+    * list (SparkEntry checks membership ⊆ the module's own keys). */
+  def sinkQueries: Set[String] = Set.empty
 }

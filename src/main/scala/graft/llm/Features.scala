@@ -111,6 +111,9 @@ object Features extends QueryModule {
       .orderBy("fact_type", "state_type")
   }
 
+  // feature-store maintenance persists dim commits + feature-table state
+  override def sinkQueries: Set[String] = queries.keySet
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("l66_cdc_to_features" -> l66)
 

@@ -1351,6 +1351,9 @@ object Pipeline extends QueryModule {
       .orderBy("s1", "s2")
   }
 
+  override val sinkQueries: Set[String] =
+    Set("l63_cc_incremental", "l64_daily_close", "l65_multiday_close")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l59_source_overlap" -> l59,
     "l58_ngram_novelty" -> l58,

@@ -114,6 +114,9 @@ object Extras extends QueryModule {
           === col("event_type"), 1L).otherwise(0L)).as("n_path_consistent"))
       .orderBy("event_type")
 
+  override val sinkQueries: Set[String] =
+    Set("s07_sink_partitioned", "s17_sink_lineage")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_sink_lineage" -> s17,
     "x01_udf_uuid5" -> x01,

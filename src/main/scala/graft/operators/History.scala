@@ -540,6 +540,9 @@ object History extends QueryModule {
     cdfSurface(view)
   }
 
+  override val sinkQueries: Set[String] =
+    Set("h09_mv_rewrite", "h14_cdf_view_maintain", "h15_cdf_multistep")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h14_cdf_view_maintain" -> h14,
     "h15_cdf_multistep" -> h15,

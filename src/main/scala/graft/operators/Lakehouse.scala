@@ -277,17 +277,46 @@ object Lakehouse extends QueryModule {
     * the pointer becomes visible ONLY with its full content — a
     * concurrent reader or a crash can never observe a committed-but-empty
     * version slot (createFile-then-write had exactly that window). */
-  private[graft] def s24TryCommit(log: String, version: Int, payload: String): Boolean = {
+  private[graft] def s24TryCommit(log: String, version: Int, payload: String): Boolean =
+    s24TryCommitNamed(log, ptrName(version), payload)
+
+  /** [[s24TryCommit]] generalized to an arbitrary pointer NAME, so branch
+    * heads (s32's write-audit-publish) ride the same atomic primitive as
+    * linear versions. Filesystems without hard links (some NFS/overlay
+    * mounts) fall back to an ATOMIC_MOVE of the staged temp — same
+    * full-content-or-absent visibility; the no-replace existence check is
+    * the move's, which every mainstream local fs honors atomically. A
+    * filesystem supporting neither refuses with the requirement named
+    * instead of surfacing a bare provider exception. */
+  private[graft] def s24TryCommitNamed(log: String, name: String,
+      payload: String): Boolean = {
     val dir = java.nio.file.Paths.get(log)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, ".commit", ".tmp")
+    val target = dir.resolve(name)
     try {
       java.nio.file.Files.write(tmp,
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.createLink(dir.resolve(ptrName(version)), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e @ (_: UnsupportedOperationException |
+                  _: java.nio.file.FileSystemException) =>
+          try {
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case e2: Throwable =>
+              throw new IllegalStateException(
+                s"commit log $log needs hard-link (link(2)) or atomic-move " +
+                  s"put-if-absent support; both failed — link: ${e.getMessage}; " +
+                  s"move: ${e2.getMessage}", e2)
+          }
+      }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
@@ -690,6 +719,15 @@ object Lakehouse extends QueryModule {
         "(add-files removed from the manifest); the change feed is not " +
         "derivable from add/DV diffs across a rewrite — diff snapshots " +
         "instead")
+    // DV monotonicity: a commit that removes or re-expresses a DV sidecar
+    // (DV compaction/rewrite) breaks the pre-image algebra the same way a
+    // data-file rewrite does (oldDvs anti-join would subtract positions
+    // whose tombstones moved) — refuse loudly, same stance as above
+    require(paths(mF, "dv").subsetOf(paths(mT, "dv")),
+      s"versions $vFrom->$vTo include a DV rewrite commit (deletion-vector " +
+        "sidecars removed from the manifest); the change feed is not " +
+        "derivable from add/DV diffs across a DV rewrite — diff snapshots " +
+        "instead")
     val newAdds = (paths(mT, "add") -- paths(mF, "add")).toSeq.sorted
     val newDvs = (paths(mT, "dv") -- paths(mF, "dv")).toSeq.sorted
     val oldDvs = paths(mF, "dv").toSeq.sorted
@@ -702,31 +740,35 @@ object Lakehouse extends QueryModule {
     // vFrom is internal churn (inserted then deleted inside the window;
     // it nets to nothing, and the matching add-row is excluded on the
     // other side by vTo's DVs). Read ONLY the files the surviving
-    // positions live in (the file list is planner metadata).
-    // every spelling a scan's `_metadata.file_path` may use for the
-    // manifest's files (plain, file:/p, file://p, and the percent-encoded
-    // java URI form) — exact string matching, one shared normalization
-    // with asFsPath's semantics, no decoding inside the column
-    val fromAddForms = paths(mF, "add").toSeq.flatMap { p0 =>
-      val p = asFsPath(p0)
-      Seq(p, s"file:$p", s"file://$p",
-        java.nio.file.Paths.get(p).toUri.toString,
-        java.nio.file.Paths.get(p).toUri.toString.stripSuffix("/"))
-    }.distinct
+    // positions live in (the file list is planner metadata). Membership
+    // is decided on the asFsPath-NORMALIZED path (one shared decode for
+    // the manifest's plain form and the scan's file:-URI form) and any
+    // DV file attributable to NEITHER manifest refuses loudly — spelling
+    // drift must never silently drop pre-images.
+    val fromAddsFs = paths(mF, "add").map(asFsPath)
+    val toAddsFs = paths(mT, "add").map(asFsPath)
     val removed = readDvs(newDvs) match {
       case None => None
       case Some(nd) =>
         val dead = readDvs(oldDvs)
           .map(od => nd.join(od, Seq("file_path", "row_index"), "left_anti"))
           .getOrElse(nd)
-          .filter(col("file_path").isin(fromAddForms: _*))
-        val touched = dead.select("file_path").distinct()
+        // one distinct-file fetch (planner metadata, delta-sized), then
+        // classify each file: vFrom add → pre-image source; vTo-only add →
+        // internal churn (excluded); neither → corrupt sidecar / drift
+        val deadFiles = dead.select("file_path").distinct()
           .collect().map(_.getString(0)).sorted.toIndexedSeq
+        val (touched, churn) = deadFiles.partition(p => fromAddsFs(asFsPath(p)))
+        val stray = churn.filterNot(p => toAddsFs(asFsPath(p)))
+        require(stray.isEmpty,
+          s"DV rows reference files in neither manifest of $vFrom->$vTo " +
+            s"(path-spelling drift or corrupt sidecar): ${stray.take(3).mkString(", ")}")
         if (touched.isEmpty) None
-        else Some(spark.read.parquet(touched: _*)
+        else Some(spark.read.parquet(touched.map(asFsPath): _*)
           .withColumn("file_path", col("_metadata.file_path"))
           .withColumn("row_index", col("_metadata.row_index"))
-          .join(broadcast(dead), Seq("file_path", "row_index"), "left_semi")
+          .join(broadcast(dead.filter(col("file_path").isin(touched: _*))),
+            Seq("file_path", "row_index"), "left_semi")
           .drop("file_path", "row_index"))
     }
     // post-images: rows of the new add-files still live at vTo. Only the
@@ -1093,6 +1135,10 @@ object Lakehouse extends QueryModule {
         Seq("l_orderkey"), "left_anti")
 
   // ------------------------------------------------------------ registry
+
+  // every lakehouse lifecycle query commits real files (def: the queries
+  // map is declared below — a val here would read it before init)
+  override def sinkQueries: Set[String] = queries.keySet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_vacuum" -> s22,

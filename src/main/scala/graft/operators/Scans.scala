@@ -638,6 +638,13 @@ object Scans extends QueryModule {
       .orderBy("column_name", "stat")
   }
 
+  override val sinkQueries: Set[String] = Set(
+    "s05_sink_roundtrip", "s09_source_csv", "s10_sink_orc",
+    "s11_sink_bucketed", "s12_sink_zorder", "s13_source_jsonl",
+    "s14_source_binary", "s15_sink_compact", "s16_analyze_cbo_stats",
+    "s18_source_evolved", "s18b_evolve_widen_rename", "s19_sink_manifest",
+    "s20_manifest_upsert", "s21_time_travel")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_analyze_cbo_stats" -> s16,
     "p09_explode_outer" -> p09,

@@ -81,6 +81,9 @@ object StreamCommit extends QueryModule {
       .orderBy("event_type")
   }
 
+  // stream→commit queries stage chunk files and write the commit log
+  override def sinkQueries: Set[String] = queries.keySet
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("t30_stream_commit" -> t30)
 
