@@ -665,13 +665,20 @@ object Lakehouse extends QueryModule {
   private def manifestPaths(m: Seq[(String, String)], kind: String): Seq[String] =
     m.collect { case (`kind`, p) => p }.sorted
 
-  /** Snapshot at `version`: the manifest's add-files, merge-on-read
-    * anti-joined with every DV sidecar the manifest carries (s25's
+  /** A manifest's data files: kind 'add' (a data-changing commit's files)
+    * plus kind 'addnc' (a REWRITE commit's files — same live rows
+    * re-expressed, Delta's dataChange=false). Readers treat both as the
+    * snapshot; only the change feed distinguishes them (s31's walker
+    * skips rewrite commits instead of misreporting their rows). */
+  private[graft] def addPaths(m: Seq[(String, String)]): Seq[String] =
+    (manifestPaths(m, "add") ++ manifestPaths(m, "addnc")).sorted
+
+  /** Snapshot of one parsed manifest: its data files (add ∪ addnc),
+    * merge-on-read anti-joined with every DV sidecar it carries (s25's
     * positional form). */
-  private[graft] def s28Snapshot(spark: SparkSession, log: String,
-      version: Int): DataFrame = {
-    val m = readManifest(log, version)
-    val base = spark.read.parquet(manifestPaths(m, "add"): _*)
+  private[graft] def snapshotOf(spark: SparkSession,
+      m: Seq[(String, String)]): DataFrame = {
+    val base = spark.read.parquet(addPaths(m): _*)
     val dvs = manifestPaths(m, "dv")
     if (dvs.isEmpty) base
     else base
@@ -681,6 +688,11 @@ object Lakehouse extends QueryModule {
         Seq("file_path", "row_index"), "left_anti")
       .drop("file_path", "row_index")
   }
+
+  /** Snapshot at `version` of the log. */
+  private[graft] def s28Snapshot(spark: SparkSession, log: String,
+      version: Int): DataFrame =
+    snapshotOf(spark, readManifest(log, version))
 
   /** CHANGE DATA FEED between two committed versions — row-level changes
     * derived ONLY from the commit log's artifacts (Delta CDF / Iceberg
@@ -704,31 +716,42 @@ object Lakehouse extends QueryModule {
       require(java.nio.file.Files.exists(
         java.nio.file.Paths.get(log).resolve(ptrName(v))),
         s"version $v is expired or was never committed — change feed unavailable")
-    val mF = readManifest(log, vFrom)
-    val mT = readManifest(log, vTo)
+    cdfDiff(spark, readManifest(log, vFrom), readManifest(log, vTo), key,
+      s"$vFrom->$vTo")
+  }
+
+  /** The manifest-pair core of [[s28Cdf]] (and of [[s31Cdf]]'s per-commit
+    * walk): the row-level change feed between two parsed manifests whose
+    * data-file and DV sets are MONOTONE (checked; a rewrite in between
+    * refuses — the walker is the layer that may skip declared-no-data-
+    * change commits). `window` labels refusals for the caller. */
+  private[graft] def cdfDiff(spark: SparkSession, mF: Seq[(String, String)],
+      mT: Seq[(String, String)], key: String, window: String): DataFrame = {
     def paths(m: Seq[(String, String)], k: String): Set[String] =
       manifestPaths(m, k).toSet
+    val (fromAdds, toAdds) = (addPaths(mF).toSet, addPaths(mT).toSet)
     // a REWRITE/COMPACTION commit removes add-files; its rows are
     // logically unchanged, so a feed derived from add/DV diffs alone
     // would misreport them (rewritten rows as inserts, removed files'
     // rows as nothing). Refuse loudly — the same stance Delta takes
     // (CDF is not served across OPTIMIZE without row-lineage tracking);
-    // consumers diff snapshots (h11's shape) across such commits.
-    require(paths(mF, "add").subsetOf(paths(mT, "add")),
-      s"versions $vFrom->$vTo include a rewrite/compaction commit " +
-        "(add-files removed from the manifest); the change feed is not " +
-        "derivable from add/DV diffs across a rewrite — diff snapshots " +
-        "instead")
+    // consumers use s31Cdf (row-lineage walk) or diff snapshots (h11's
+    // shape) across such commits.
+    require(fromAdds.subsetOf(toAdds),
+      s"versions $window include a rewrite/compaction commit " +
+        "(data files removed from the manifest); the change feed is not " +
+        "derivable from add/DV diffs across a rewrite — walk per-commit " +
+        "(s31Cdf) or diff snapshots instead")
     // DV monotonicity: a commit that removes or re-expresses a DV sidecar
     // (DV compaction/rewrite) breaks the pre-image algebra the same way a
     // data-file rewrite does (oldDvs anti-join would subtract positions
     // whose tombstones moved) — refuse loudly, same stance as above
     require(paths(mF, "dv").subsetOf(paths(mT, "dv")),
-      s"versions $vFrom->$vTo include a DV rewrite commit (deletion-vector " +
+      s"versions $window include a DV rewrite commit (deletion-vector " +
         "sidecars removed from the manifest); the change feed is not " +
-        "derivable from add/DV diffs across a DV rewrite — diff snapshots " +
-        "instead")
-    val newAdds = (paths(mT, "add") -- paths(mF, "add")).toSeq.sorted
+        "derivable from add/DV diffs across a DV rewrite — walk per-commit " +
+        "(s31Cdf) or diff snapshots instead")
+    val newAdds = (toAdds -- fromAdds).toSeq.sorted
     val newDvs = (paths(mT, "dv") -- paths(mF, "dv")).toSeq.sorted
     val oldDvs = paths(mF, "dv").toSeq.sorted
     def readDvs(ps: Seq[String]): Option[DataFrame] =
@@ -745,8 +768,8 @@ object Lakehouse extends QueryModule {
     // the manifest's plain form and the scan's file:-URI form) and any
     // DV file attributable to NEITHER manifest refuses loudly — spelling
     // drift must never silently drop pre-images.
-    val fromAddsFs = paths(mF, "add").map(asFsPath)
-    val toAddsFs = paths(mT, "add").map(asFsPath)
+    val fromAddsFs = fromAdds.map(asFsPath)
+    val toAddsFs = toAdds.map(asFsPath)
     val removed = readDvs(newDvs) match {
       case None => None
       case Some(nd) =>
@@ -761,7 +784,7 @@ object Lakehouse extends QueryModule {
         val (touched, churn) = deadFiles.partition(p => fromAddsFs(asFsPath(p)))
         val stray = churn.filterNot(p => toAddsFs(asFsPath(p)))
         require(stray.isEmpty,
-          s"DV rows reference files in neither manifest of $vFrom->$vTo " +
+          s"DV rows reference files in neither manifest of $window " +
             s"(path-spelling drift or corrupt sidecar): ${stray.take(3).mkString(", ")}")
         if (touched.isEmpty) None
         else Some(spark.read.parquet(touched.map(asFsPath): _*)
@@ -808,7 +831,7 @@ object Lakehouse extends QueryModule {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case _ => s28Snapshot(spark, log, vTo).limit(0)
+      case _ => snapshotOf(spark, mT).limit(0)
         .withColumn("change_type", lit(""))
     }
   }
@@ -1134,6 +1157,175 @@ object Lakehouse extends QueryModule {
       .join(broadcast(spark.read.parquet(s"$root/eq")),
         Seq("l_orderkey"), "left_anti")
 
+  // ---------------------------------------------------------------- s31
+
+  /** True iff mPrev→mCur removes data files — a rewrite/compaction
+    * commit (manifest-only test, no data read). */
+  private[graft] def isRewrite(mPrev: Seq[(String, String)],
+      mCur: Seq[(String, String)]): Boolean =
+    !addPaths(mPrev).toSet.subsetOf(addPaths(mCur).toSet)
+
+  /** A rewrite commit the feed may SKIP must be declared no-data-change:
+    * every file it introduces carries kind 'addnc' (the writer's
+    * dataChange=false declaration — Delta's OPTIMIZE contract) and it
+    * adds no DV sidecars (a mixed rewrite+delete commit has no servable
+    * per-commit feed). LakehouseSpec pins the declaration is honest for
+    * s31's compaction (snapshot before == after, row-for-row). */
+  private def requireNoDataChange(mPrev: Seq[(String, String)],
+      mCur: Seq[(String, String)], v: Int): Unit = {
+    val newFiles = addPaths(mCur).toSet -- addPaths(mPrev).toSet
+    val ncCur = manifestPaths(mCur, "addnc").toSet
+    require(newFiles.subsetOf(ncCur),
+      s"commit $v removes data files but its new files are not all " +
+        "declared no-data-change (addnc) — an undeclared rewrite has no " +
+        "servable change feed; diff snapshots instead")
+    require(manifestPaths(mCur, "dv").toSet
+        .subsetOf(manifestPaths(mPrev, "dv").toSet),
+      s"commit $v mixes a rewrite with new DV sidecars — not servable as " +
+        "a skippable no-data-change commit; split the delete into its own " +
+        "commit")
+  }
+
+  /** ROW-LINEAGE CHANGE DATA FEED — serves a window that CONTAINS a
+    * rewrite/compaction commit, the case [[s28Cdf]] refuses. Two
+    * ingredients (the Delta row-tracking / Iceberg row-lineage shape):
+    *
+    *   1. a physical `_row_id` column assigned ONCE at insert time and
+    *      carried through every update and rewrite — UPDATE post-images
+    *      keep their pre-image's id, a compaction rewrites rows ids-and-
+    *      all — so change classification never needs a business key that
+    *      survives file boundaries;
+    *   2. rewrite commits are DECLARED no-data-change (their files carry
+    *      manifest kind 'addnc', they add no DVs), so the walker can
+    *      prove-and-skip them: the feed walks the window COMMIT BY
+    *      COMMIT, emits each data-changing commit's [[cdfDiff]] tagged
+    *      with its version, and contributes nothing for a rewrite —
+    *      rewritten rows are correctly ABSENT from the feed.
+    *
+    * Each per-commit diff is monotone by construction (the walk never
+    * spans the rewrite), so all of cdfDiff's delta-sized economics
+    * survive: per commit the cost is that commit's new files + touched
+    * pre-image files, never a snapshot scan. One OPTIMIZE no longer
+    * blinds downstream consumers (h14/l66) — they read THROUGH it. */
+  def s31Cdf(spark: SparkSession, log: String, vFrom: Int, vTo: Int,
+      key: String): DataFrame = {
+    require(vFrom < vTo, s"empty/backwards feed window $vFrom->$vTo")
+    // the walk needs EVERY intermediate version's manifest — a vacuumed
+    // one refuses inside readManifest with the retention contract named
+    val manifests = (vFrom to vTo).map(v => v -> readManifest(log, v))
+    val feeds = manifests.sliding(2).flatMap {
+      case Seq((_, mP), (v, mC)) =>
+        if (isRewrite(mP, mC)) { requireNoDataChange(mP, mC, v); None }
+        else Some(cdfDiff(spark, mP, mC, key, s"${v - 1}->$v")
+          .withColumn("commit_version", lit(v)))
+      case _ => None
+    }.toSeq
+    if (feeds.isEmpty)
+      snapshotOf(spark, manifests.last._2).limit(0)
+        .withColumn("change_type", lit(""))
+        .withColumn("commit_version", lit(0))
+    else feeds.reduce(_ unionByName _)
+  }
+
+  /** Insert-time row-id epochs for the s31 table: disjoint ranges make
+    * lineage classes visible in the oracled sums (base inserts, v1
+    * inserts, v3 inserts), while staying restatable as key arithmetic. */
+  private val RowIdBase = 3000000000L
+  private val RowIdV1 = 6000000000L
+  private val RowIdV3 = 9000000000L
+
+  /** Build the s31 row-tracked table:
+    *   v0  base orders, `_row_id` materialized (insert-time id)
+    *   v1  MERGE (s28's shape): DV tombstones %5-deletes and %7-updates;
+    *       the append carries post-images PRESERVING their `_row_id`
+    *       plus %13-inserts with fresh ids
+    *   v2  COMPACTION, dataChange=false: the whole live snapshot
+    *       rewritten range-clustered into 2 'addnc' files, ids carried;
+    *       old adds and the retired DV leave the manifest
+    *   v3  MERGE against the compacted files: %11-deletes, %9-updates
+    *       (+500), %17-inserts (fresh ids) — positions in the REWRITTEN
+    *       files, pre-images recovered with their original row ids.
+    * Returns the log path. */
+  private[graft] def s31Build(spark: SparkSession, dir: String): String = {
+    val root = Tables.scratchPath("s31_table", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") + RowIdBase).as("_row_id"))
+    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    val baseAdds = listDataFiles(s"$root/base").map(("add", _))
+    s28Commit(spark, log, 0, baseAdds)
+    // v1 MERGE
+    val upd = pmod(col("o_orderkey"), lit(7)) === 0
+    val del = pmod(col("o_orderkey"), lit(5)) === 0 && !upd
+    spark.read.parquet(s"$root/base")
+      .filter(upd || del)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv1")
+    orders.filter(upd)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") + 100000000L + RowIdV1).as("_row_id")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/add1")
+    s28Commit(spark, log, 1,
+      baseAdds ++ listDataFiles(s"$root/add1").map(("add", _))
+        :+ (("dv", s"$root/dv1")))
+    // v2 COMPACTION (dataChange=false): rewrite the live snapshot —
+    // merge-on-read applied, row ids carried as ordinary column bytes
+    s28Snapshot(spark, log, 1)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/compact")
+    val ncAdds = listDataFiles(s"$root/compact").map(("addnc", _))
+    s28Commit(spark, log, 2, ncAdds)
+    // v3 MERGE against the compacted files
+    val upd2 = pmod(col("o_orderkey"), lit(9)) === 0
+    val del2 = pmod(col("o_orderkey"), lit(11)) === 0 && !upd2
+    val snap2 = spark.read.parquet(s"$root/compact")
+    snap2.filter(upd2 || del2)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv3")
+    snap2.filter(upd2)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(snap2.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          lit("Q").as("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") + 200000000L + RowIdV3).as("_row_id")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/add3")
+    s28Commit(spark, log, 3,
+      ncAdds ++ listDataFiles(s"$root/add3").map(("add", _))
+        :+ (("dv", s"$root/dv3")))
+    log
+  }
+
+  /** s31: CHANGE FEED ACROSS A COMPACTION VIA ROW LINEAGE — the feed
+    * window 0→3 CONTAINS the v2 rewrite s28Cdf refuses; the row-lineage
+    * walk serves it: v1's and v3's row changes, each tagged with its
+    * commit version, with the rewrite contributing nothing. Matching on
+    * the carried `_row_id` (not a business key) classifies v3's updates
+    * against pre-images read from REWRITTEN files — the lineage survived
+    * the file boundary. The oracle restates both commits' change classes
+    * relationally (v3's from the v1-table CTE, compaction being the
+    * identity), with rowid_sum pinning id preservation: an update's
+    * post-image sums with its INSERT-time id, never a fresh one.
+    * LakehouseSpec additionally pins apply(feed) == snapshot(3) and that
+    * s28Cdf still refuses this exact window. */
+  def s31(spark: SparkSession, dir: String): DataFrame = {
+    val log = s31Build(spark, dir)
+    s31Cdf(spark, log, 0, 3, "_row_id")
+      .groupBy("commit_version", "change_type", "o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        sum("_row_id").cast("bigint").as("rowid_sum"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("commit_version", "change_type", "o_orderstatus")
+  }
+
   // ------------------------------------------------------------ registry
 
   // every lakehouse lifecycle query commits real files (def: the queries
@@ -1149,7 +1341,8 @@ object Lakehouse extends QueryModule {
     "s27_merge_upsert" -> s27,
     "s28_change_data_feed" -> s28,
     "s29_equality_deletes" -> s29,
-    "s30_conflict_detection" -> s30)
+    "s30_conflict_detection" -> s30,
+    "s31_row_lineage_cdf" -> s31)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -1303,5 +1496,64 @@ object Lakehouse extends QueryModule {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
         |       2 AS final_version, 1 AS conflicts, 2 AS stale_files
         |FROM orders WHERE o_orderkey % 9 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s31: both data-changing commits restated relationally — commit 1's
+    // classes from the base table (s28's oracle with row ids), commit 3's
+    // from the v1 CTE (the compaction at v2 is logically the identity and
+    // must contribute NOTHING). rowid_sum pins lineage: every pre/post
+    // image carries its INSERT-time id (base rows key+3e9, v1 inserts
+    // key'+6e9, v3 inserts key''+9e9) — a feed that re-minted ids after
+    // the rewrite, or misclassified updates as delete+insert, hash-fails.
+    // Price chains apply the same IEEE adds in per-row order both engines.
+    "s31_row_lineage_cdf" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         o_orderkey + 3000000000 AS row_id
+        |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0,
+        |         o_orderkey + 3000000000
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice,
+        |         o_orderkey + 100000000 + 6000000000
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |chg AS (
+        |  SELECT 1 AS commit_version, 'delete' AS change_type,
+        |         o_orderstatus, o_orderkey,
+        |         o_orderkey + 3000000000 AS row_id, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 1, 'update_preimage', o_orderstatus, o_orderkey,
+        |         o_orderkey + 3000000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', o_orderstatus, o_orderkey,
+        |         o_orderkey + 3000000000, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', 'N', o_orderkey + 100000000,
+        |         o_orderkey + 100000000 + 6000000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_orderstatus, o_orderkey, row_id, o_totalprice
+        |  FROM v1 WHERE o_orderkey % 11 = 0 AND o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', o_orderstatus, o_orderkey, row_id,
+        |         o_totalprice
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', o_orderstatus, o_orderkey, row_id,
+        |         o_totalprice + 500.0
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', 'Q', o_orderkey + 200000000,
+        |         o_orderkey + 200000000 + 9000000000, o_totalprice
+        |  FROM v1 WHERE o_orderkey % 17 = 0)
+        |SELECT commit_version, change_type, o_orderstatus,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(row_id) AS BIGINT) AS rowid_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 }

@@ -496,4 +496,103 @@ class LakehouseSpec extends SparkSuite {
       === recompute.collect().map(_.toString).toSeq,
       "retraction maintenance must equal the full recompute exactly")
   }
+
+  test("s31: row-lineage feed serves ACROSS the compaction (apply == final " +
+      "snapshot); ids survive the rewrite; s28Cdf still refuses the window; " +
+      "undeclared/mixed rewrites refuse") {
+    val log = operators.Lakehouse.s31Build(spark, sf)
+    // the compaction's no-data-change declaration is honest: the snapshot
+    // before and after the v2 rewrite is row-for-row identical
+    val snap1 = operators.Lakehouse.s28Snapshot(spark, log, 1)
+    val snap2 = operators.Lakehouse.s28Snapshot(spark, log, 2)
+    assert(snap1.exceptAll(snap2).count() === 0L)
+    assert(snap2.exceptAll(snap1).count() === 0L)
+    // s28Cdf (add/DV-diff feed) refuses every window containing v2
+    for ((a, b) <- Seq((0, 3), (1, 2), (1, 3))) {
+      val ex = intercept[IllegalArgumentException] {
+        operators.Lakehouse.s28Cdf(spark, log, a, b, "_row_id")
+      }
+      assert(ex.getMessage.contains("rewrite"), s"window $a->$b")
+    }
+    val feed = operators.Lakehouse.s31Cdf(spark, log, 0, 3, "_row_id")
+      .localCheckpoint()
+    // the rewrite contributes NOTHING: only v1 and v3 appear in the feed
+    assert(feed.select("commit_version").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(1, 3))
+    // fold the per-commit feed onto v0: remove pre-images, add
+    // post-images, IN COMMIT ORDER — must land exactly on snapshot(3)
+    var state = operators.Lakehouse.s28Snapshot(spark, log, 0)
+    for (v <- Seq(1, 3)) {
+      val c = feed.filter(col("commit_version") === v).drop("commit_version")
+      state = state
+        .exceptAll(c.filter(col("change_type")
+          .isin("delete", "update_preimage")).drop("change_type"))
+        .unionByName(c.filter(col("change_type")
+          .isin("insert", "update_postimage")).drop("change_type"))
+        .localCheckpoint()
+    }
+    val snap3 = operators.Lakehouse.s28Snapshot(spark, log, 3)
+    assert(state.exceptAll(snap3).count() === 0L,
+      "feed-applied v0 has rows snapshot(3) lacks")
+    assert(snap3.exceptAll(state).count() === 0L,
+      "snapshot(3) has rows the cross-compaction feed missed")
+    // row lineage: v3's update post-images carry their INSERT-time ids
+    // (base epoch or v1-insert epoch), never a fresh v3 id — and every
+    // v3 insert id IS in the v3 epoch
+    val post3 = feed.filter(col("commit_version") === 3
+      && col("change_type") === "update_postimage")
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(post3.nonEmpty && post3.forall(_ < 9000000000L),
+      "update post-images must keep pre-rewrite insert-time row ids")
+    val ins3 = feed.filter(col("commit_version") === 3
+      && col("change_type") === "insert")
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ins3.nonEmpty && ins3.forall(_ >= 9000000000L))
+    // an UNDECLARED rewrite (new files carry kind 'add') refuses loudly
+    val badLog = Tables.scratchPath("s31_badlog", sf)
+    locally {
+      val d = new java.io.File(badLog)
+      if (d.isDirectory) d.listFiles().foreach(_.delete())
+      val m0 = operators.Lakehouse.readManifest(log, 0)
+      val m2 = operators.Lakehouse.readManifest(log, 2)
+      operators.Lakehouse.s28Commit(spark, badLog, 0, m0)
+      // v2's compacted files re-labeled as plain adds = a writer that
+      // rewrote data without declaring dataChange=false
+      operators.Lakehouse.s28Commit(spark, badLog, 1,
+        m2.map { case (_, p) => ("add", p) })
+      val ex = intercept[IllegalArgumentException] {
+        operators.Lakehouse.s31Cdf(spark, badLog, 0, 1, "_row_id")
+      }
+      assert(ex.getMessage.contains("no-data-change"))
+    }
+    // a rewrite MIXED with new DV sidecars refuses (no servable feed)
+    locally {
+      val d = new java.io.File(badLog)
+      d.listFiles().foreach(_.delete())
+      val m0 = operators.Lakehouse.readManifest(log, 0)
+      val m2 = operators.Lakehouse.readManifest(log, 2)
+      operators.Lakehouse.s28Commit(spark, badLog, 0, m0)
+      operators.Lakehouse.s28Commit(spark, badLog, 1,
+        m2 :+ (("dv", Tables.scratchPath("s31_table", sf) + "/dv3")))
+      val ex = intercept[IllegalArgumentException] {
+        operators.Lakehouse.s31Cdf(spark, badLog, 0, 1, "_row_id")
+      }
+      assert(ex.getMessage.contains("mixes a rewrite"))
+    }
+    // DV-rewrite monotonicity: dropping a DV sidecar without touching the
+    // data files refuses with the DV contract named (advisor pin)
+    locally {
+      val d = new java.io.File(badLog)
+      d.listFiles().foreach(_.delete())
+      val m1 = operators.Lakehouse.readManifest(log, 1)
+      operators.Lakehouse.s28Commit(spark, badLog, 0, m1)
+      operators.Lakehouse.s28Commit(spark, badLog, 1,
+        m1.filterNot(_._1 == "dv"))
+      val ex = intercept[IllegalArgumentException] {
+        operators.Lakehouse.s28Cdf(spark, badLog, 0, 1, "_row_id")
+      }
+      assert(ex.getMessage.contains("DV rewrite"))
+    }
+    Fixpoint.release(feed)
+  }
 }
