@@ -490,7 +490,7 @@ object History extends QueryModule {
         sum("s").cast(d384).as("s"))
       .filter(col("n") > 0)
 
-  private def cdfSurface(view: DataFrame): DataFrame = view
+  private[graft] def cdfSurface(view: DataFrame): DataFrame = view
     .select(col("o_orderstatus"), col("n").as("n_rows"),
       col("k").cast("bigint").as("key_sum"),
       col("s").cast("double").as("sum_price"))
@@ -531,7 +531,7 @@ object History extends QueryModule {
     * out — LakehouseSpec pins CDF(0,2) ∘ apply == snapshot(2)). */
   def h15(spark: SparkSession, dir: String): DataFrame = {
     val lake = graft.operators.Lakehouse
-    val log = lake.s28BuildSteps(spark, dir)
+    val log = lake.s28StepsTable(spark, dir)
     var view = cdfViewOf(lake.s28Snapshot(spark, log, 0)).localCheckpoint()
     for (v <- 0 until 3)
       view = cdfFold(view,

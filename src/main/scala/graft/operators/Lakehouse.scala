@@ -972,6 +972,41 @@ object Lakehouse extends QueryModule {
     log
   }
 
+  /** Session memo over the deterministic multi-step build (same contract
+    * as [[S28BuildMemo]]): h15's batch folds and t31's streaming consumer
+    * share one committed 4-version table per input dir; hits revalidate
+    * all four version pointers before reuse, and Bench's between-runs
+    * evictSince keeps best-of-2 cold. */
+  private object S28StepsMemo extends graft.SessionMemos.Member {
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    graft.SessionMemos.register(this)
+    override def evictSince(mark: Long): Int = {
+      var n = 0
+      entries.forEach { (k, v) =>
+        if (v._1 > mark) { entries.remove(k); n += 1 }
+      }
+      n
+    }
+    def getOrBuild(dir: String)(build: => String): String = {
+      val hit = entries.get(dir)
+      if (hit != null) {
+        val ok = (0 to 3).forall(v => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(hit._2).resolve(ptrName(v))))
+        if (ok) { graft.SessionMemos.noteHit(hit._1); return hit._2 }
+        entries.remove(dir)
+      }
+      val log = build
+      entries.put(dir, (graft.SessionMemos.stamp(), log))
+      log
+    }
+  }
+
+  /** Memoized [[s28BuildSteps]] — what the registered consumers (h15,
+    * t31) call; a composed pipeline builds its source table once. */
+  private[graft] def s28StepsTable(spark: SparkSession, dir: String): String =
+    S28StepsMemo.getOrBuild(dir)(s28BuildSteps(spark, dir))
+
   /** s28: CHANGE DATA FEED — the read-side leg that makes the lakehouse
     * an incremental pipeline source: "give me the row-level changes
     * between versions 0 and 1" answered from the commit log + DV

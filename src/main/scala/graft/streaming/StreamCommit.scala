@@ -81,11 +81,122 @@ object StreamCommit extends QueryModule {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- t31
+
+  /** Highest view-state version already applied under `root` (a state
+    * dir is only counted with its _SUCCESS marker — a crash mid-write
+    * leaves an ignorable partial, never a half-applied version). */
+  private[graft] def t31Applied(root: String): Int = {
+    val d = new java.io.File(s"$root/state")
+    if (!d.isDirectory) -1
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+        && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toInt).foldLeft(-1)(math.max)
+  }
+
+  /** Drop one single-file version NOTIFICATION per committed version into
+    * the consumer's source directory (the file-arrival image of a commit
+    * hook / log tail — what tells a streaming consumer "version v
+    * exists"; the versions themselves live in the commit log). */
+  private[graft] def t31Notify(spark: SparkSession, root: String,
+      versions: Seq[Int]): Unit =
+    for (v <- versions)
+      spark.range(1).select(lit(v).as("version"))
+        .coalesce(1).write.mode("append").parquet(s"$root/notify")
+
+  /** Bootstrap the maintained view at version 0 (the one corpus-sized
+    * aggregate; everything after is delta-sized folds). */
+  private[graft] def t31Bootstrap(spark: SparkSession, root: String,
+      log: String): Unit =
+    graft.operators.History
+      .cdfViewOf(graft.operators.Lakehouse.s28Snapshot(spark, log, 0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/state/v0")
+
+  /** Apply ONE version notification: idempotent under at-least-once
+    * redelivery (v ≤ applied is a no-op — the broker consumer loop's
+    * contract, broker.clj:65-95: redelivered messages re-apply
+    * harmlessly), gap-refusing (v > applied+1 means a lost notification;
+    * folding it would silently skip a commit's deltas), and atomic (the
+    * new state dir becomes current only with its _SUCCESS marker). */
+  private[graft] def t31Apply(spark: SparkSession, root: String,
+      log: String, v: Int): Unit = {
+    val applied = t31Applied(root)
+    if (v <= applied) () // redelivery: already folded, skip
+    else {
+      require(v == applied + 1,
+        s"notification gap: v$v arrived with only v$applied applied")
+      val hist = graft.operators.History
+      hist.cdfFold(
+          spark.read.parquet(s"$root/state/v$applied"),
+          hist.cdfSigned(graft.operators.Lakehouse
+            .s28Cdf(spark, log, v - 1, v, "o_orderkey")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/state/v$v")
+    }
+  }
+
+  /** Drain all pending version notifications through Structured
+    * Streaming: file source over the notify dir, one micro-batch per
+    * notification file, foreachBatch applying versions in order. The
+    * checkpoint makes restarts resume at the first unprocessed file;
+    * the state-version marker makes replays idempotent — together,
+    * at-least-once delivery + idempotent apply = exactly-once effect. */
+  private[graft] def t31Consume(spark: SparkSession, root: String,
+      log: String): Unit = {
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$root/notify").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/notify")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("version").collect().map(_.getInt(0)).sorted
+          .foreach(v => t31Apply(spark, root, log, v))
+        ()
+      }.start()
+    q.awaitTermination()
+  }
+
+  /** t31: STREAMING CDF CONSUMER — the symmetric leg of t30 (producer
+    * streams INTO the commit log; this streams OUT of it): a Structured
+    * Streaming consumer follows the committed versions of the h15
+    * multi-step table and maintains h14's materialized view per version
+    * via foreachBatch — the continuous image of "the downstream MV
+    * refreshes from row changes, never rescanning the table". Per
+    * notification the work is one delta-sized change-feed read + a
+    * ≤|groups| fold; view state lives as parquet between batches (the
+    * stored-view handoff), so a restarted consumer resumes from the last
+    * _SUCCESS-marked version with nothing to rebuild. The registered
+    * result is the final maintained view, which must equal the oracle's
+    * from-scratch recompute over the last snapshot (h15's invariant, now
+    * proven under streaming delivery); StreamingSpec pins restart
+    * recovery mid-version-sequence and idempotent redelivery.
+    *
+    * Reference mapping: the broker consumer loop's at-least-once
+    * delivery + idempotent handler persistence (broker.clj:65-95,
+    * store.clj:21-34), with the commit log as both the queue's source
+    * of truth and the state store. */
+  def t31(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("t31_consume", dir)
+    Seq(s"$root/notify", s"$root/ckpt", s"$root/state").foreach(rmrf)
+    val log = graft.operators.Lakehouse.s28StepsTable(spark, dir)
+    t31Bootstrap(spark, root, log)
+    t31Notify(spark, root, Seq(1, 2, 3))
+    t31Consume(spark, root, log)
+    val applied = t31Applied(root)
+    require(applied == 3, s"the stream stopped at version $applied of 3")
+    graft.operators.History
+      .cdfSurface(spark.read.parquet(s"$root/state/v$applied"))
+      .withColumn("final_version", lit(applied))
+  }
+
   // stream→commit queries stage chunk files and write the commit log
   override def sinkQueries: Set[String] = queries.keySet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("t30_stream_commit" -> t30)
+    Map("t30_stream_commit" -> t30,
+      "t31_cdf_consumer_stream" -> t31)
 
   val oracles: Map[String, String] = Map(
     // the final committed manifest == one-shot batch stats over the whole
@@ -96,5 +207,42 @@ object StreamCommit extends QueryModule {
       """SELECT event_type, COUNT(*) AS n_rows,
         |       MIN(value) AS min_value, MAX(value) AS max_value,
         |       2 AS final_version
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t31: the streaming-maintained view must equal a from-scratch
+    // recompute over the final snapshot — h15's three MERGE steps chained
+    // relationally (same CTEs), now proven under streaming delivery with
+    // the final applied version as the protocol observable
+    "t31_cdf_consumer_stream" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1
+        |  WHERE o_orderkey % 11 <> 0 AND o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'Q', o_totalprice
+        |  FROM v1 WHERE o_orderkey % 17 = 0),
+        |v3 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v2
+        |  WHERE o_orderkey % 23 <> 0 AND o_orderkey % 15 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 250.0
+        |  FROM v2 WHERE o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 400000000, 'R', o_totalprice
+        |  FROM v2 WHERE o_orderkey % 29 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |       3 AS final_version
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -829,4 +829,58 @@ class StreamingSpec extends SparkSuite {
     val second = streaming.StreamCommit.t30(spark, sf).collect()
     assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
   }
+
+  test("t31: consumer restart mid-version-sequence resumes from persisted " +
+      "state; redelivered notifications are idempotent; gaps refuse") {
+    val root = Tables.scratchPath("t31_spec", sf)
+    def rm(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+        f.delete(); ()
+      }
+      go(new java.io.File(p))
+    }
+    Seq(s"$root/notify", s"$root/ckpt", s"$root/state").foreach(rm)
+    val log = operators.Lakehouse.s28StepsTable(spark, sf)
+    streaming.StreamCommit.t31Bootstrap(spark, root, log)
+    assert(streaming.StreamCommit.t31Applied(root) === 0)
+    // FIRST RUN: only v1 and v2 notifications exist; the stream drains
+    // them and stops — the consumer "crashes" before v3 is committed
+    streaming.StreamCommit.t31Notify(spark, root, Seq(1, 2))
+    streaming.StreamCommit.t31Consume(spark, root, log)
+    assert(streaming.StreamCommit.t31Applied(root) === 2,
+      "first run must fold exactly v1 and v2")
+    val mid = operators.History
+      .cdfSurface(spark.read.parquet(s"$root/state/v2")).collect()
+    // the v2 state equals h14-style maintenance folded twice (the batch
+    // recompute over snapshot 2)
+    val recompute2 = operators.History
+      .cdfSurface(operators.History.cdfViewOf(
+        operators.Lakehouse.s28Snapshot(spark, log, 2))).collect()
+    assert(mid.map(_.toString).toSeq === recompute2.map(_.toString).toSeq)
+    // RESTART: v3's notification arrives; the same checkpoint resumes at
+    // the first unprocessed file and folds ONLY v3 onto the kept state
+    streaming.StreamCommit.t31Notify(spark, root, Seq(3))
+    streaming.StreamCommit.t31Consume(spark, root, log)
+    assert(streaming.StreamCommit.t31Applied(root) === 3)
+    val fin = operators.History
+      .cdfSurface(spark.read.parquet(s"$root/state/v3")).collect()
+    val recompute3 = operators.History
+      .cdfSurface(operators.History.cdfViewOf(
+        operators.Lakehouse.s28Snapshot(spark, log, 3))).collect()
+    assert(fin.map(_.toString).toSeq === recompute3.map(_.toString).toSeq,
+      "restarted consumer must land on the from-scratch recompute")
+    // REDELIVERY: re-applying every version is a no-op (at-least-once +
+    // idempotent apply = exactly-once effect)
+    for (v <- 1 to 3) streaming.StreamCommit.t31Apply(spark, root, log, v)
+    val after = operators.History
+      .cdfSurface(spark.read.parquet(s"$root/state/v3")).collect()
+    assert(after.map(_.toString).toSeq === fin.map(_.toString).toSeq)
+    // GAP: a notification past applied+1 refuses instead of skipping a
+    // commit's deltas silently
+    val ex = intercept[IllegalArgumentException] {
+      streaming.StreamCommit.t31Apply(spark, root, log, 5)
+    }
+    assert(ex.getMessage.contains("gap"))
+  }
 }
