@@ -652,10 +652,15 @@ object Lakehouse extends QueryModule {
     val p = java.nio.file.Paths.get(log).resolve(ptrName(version))
     require(java.nio.file.Files.exists(p),
       s"version $version is expired or was never committed — not readable")
+    parseManifest(p, s"version $version of $log")
+  }
+
+  private def parseManifest(p: java.nio.file.Path,
+      what: String): Seq[(String, String)] = {
     val payload = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
     require(payload.startsWith("mf1\n"),
-      s"version $version of $log is not an inline-manifest commit")
+      s"$what is not an inline-manifest commit")
     payload.split('\n').drop(1).toIndexedSeq.map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
@@ -1361,6 +1366,121 @@ object Lakehouse extends QueryModule {
       .orderBy("commit_version", "change_type", "o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- s32
+
+  private def branchPtr(branch: String): String = s"branch-$branch.ptr"
+
+  /** Stage a manifest under a BRANCH pointer — same atomic put-if-absent
+    * as a version commit, but in a namespace main readers never plan
+    * from (a branch pointer matches no v#####.ptr), so staged data is
+    * invisible until published. One branch name = one staging slot; a
+    * taken slot refuses (re-stage under a new name). */
+  private[graft] def s32Stage(log: String, branch: String,
+      entries: Seq[(String, String)]): Unit =
+    require(s24TryCommitNamed(log, branchPtr(branch), s28Payload(entries)),
+      s"branch '$branch' already staged in $log — use a fresh branch name")
+
+  /** The staged branch's manifest (pointer IO only). */
+  private[graft] def s32Branch(log: String,
+      branch: String): Seq[(String, String)] = {
+    val p = java.nio.file.Paths.get(log).resolve(branchPtr(branch))
+    require(java.nio.file.Files.exists(p),
+      s"branch '$branch' was never staged in $log")
+    parseManifest(p, s"branch '$branch' of $log")
+  }
+
+  /** The AUDIT: l22's constraint suite evaluated over a staged snapshot
+    * (completeness, key uniqueness, cross-field consistency, domain
+    * membership) — ONE aggregation over the staged table collapsing to a
+    * 1-row fetch, regardless of check count. Returns each check's pass
+    * flag; publish gates on all of them. */
+  private[graft] def s32Audit(spark: SparkSession,
+      m: Seq[(String, String)]): Seq[(String, Boolean)] = {
+    val row = snapshotOf(spark, m).agg(
+      count(lit(1)).as("n"),
+      sum((col("text").isNotNull && length(col("text")) > 0)
+        .cast("long")).as("n_nonempty"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum((col("n_chars") === length(col("text"))).cast("long"))
+        .as("n_consistent"),
+      sum(col("lang").isin("en", "de", "fr", "es", "it", "zh")
+        .cast("long")).as("n_lang"))
+      .collect()(0) // 1-row audit fetch
+    val n = row.getLong(0)
+    Seq("completeness_text" -> (row.getLong(1) == n),
+      "uniqueness_doc_id" -> (row.getLong(2) == n),
+      "consistency_n_chars" -> (row.getLong(3) == n),
+      "domain_lang" -> (row.getLong(4) == n))
+  }
+
+  /** PUBLISH: commit the audited branch manifest as main's next version —
+    * one atomic put-if-absent of the version pointer carrying the SAME
+    * manifest payload; zero data movement (the staged files are already
+    * in place, only the pointer makes them visible). False = lost a
+    * concurrent-publish race; the caller re-reads main and re-audits
+    * against the new base before retrying (LakehouseSpec pins the race). */
+  private[graft] def s32Publish(spark: SparkSession, log: String,
+      branch: String): Boolean = {
+    val m = s32Branch(log, branch)
+    require(s32Audit(spark, m).forall(_._2),
+      s"branch '$branch' failed its audit — refusing to publish")
+    s24TryCommit(log, s24Current(log) + 1, s28Payload(m))
+  }
+
+  /** s32: WRITE-AUDIT-PUBLISH — the production commit pattern s24's
+    * linear log lacks: new data is committed to a BRANCH pointer first,
+    * a constraint audit (l22's suite) runs against the staged snapshot,
+    * and only a passing audit publishes — one atomic pointer swap making
+    * the already-written files visible on main (Iceberg's WAP / Delta's
+    * staging-table pattern). A failing audit leaves main bit-identical:
+    * the bad files exist on disk but NO main version references them
+    * (s22's vacuum owns them). Scenario: batch A arrives with corrupted
+    * language codes → its audit fails on domain_lang → main stays at v0;
+    * batch B arrives intact → audit passes → published as v1. The result
+    * is main's published snapshot per language plus the protocol's
+    * observables (audits_failed 1, published_version 1); the oracle
+    * restates the published table from the source (base ∪ good batch ==
+    * the whole documents table), so a pass proves the failed audit
+    * leaked nothing and the publish lost nothing. Audit cost: one scan
+    * of the staged snapshot collapsing to one row — at 100 TB the gate
+    * is a single map-side-combinable aggregate, and publish is O(1). */
+  def s32(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s32_table", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text", "n_chars")
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .repartition(2).write.mode("overwrite").parquet(s"$root/base")
+    val baseAdds = listDataFiles(s"$root/base").map(("add", _))
+    s28Commit(spark, log, 0, baseAdds)
+    // batch A: the %3 cohort with every 6th doc's language corrupted —
+    // the upstream-bug class the audit exists to catch
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("lang", when(pmod(col("doc_id"), lit(6)) === 0, lit("zz"))
+        .otherwise(col("lang")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/batchA")
+    s32Stage(log, "ingest-a",
+      baseAdds ++ listDataFiles(s"$root/batchA").map(("add", _)))
+    val auditA = s32Audit(spark, s32Branch(log, "ingest-a"))
+    require(!auditA.forall(_._2), "the corrupted batch must fail its audit")
+    require(s24Current(log) == 0, "a failed audit must leave main at v0")
+    // batch B: the same cohort intact, staged on a fresh branch
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/batchB")
+    s32Stage(log, "ingest-b",
+      baseAdds ++ listDataFiles(s"$root/batchB").map(("add", _)))
+    require(s32Publish(spark, log, "ingest-b"), "publish must win v1")
+    s28Snapshot(spark, log, 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("chars_sum"))
+      .withColumn("audits_failed", lit(1))
+      .withColumn("published_version", lit(1))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------ registry
 
   // every lakehouse lifecycle query commits real files (def: the queries
@@ -1377,7 +1497,8 @@ object Lakehouse extends QueryModule {
     "s28_change_data_feed" -> s28,
     "s29_equality_deletes" -> s29,
     "s30_conflict_detection" -> s30,
-    "s31_row_lineage_cdf" -> s31)
+    "s31_row_lineage_cdf" -> s31,
+    "s32_wap_branch" -> s32)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -1590,5 +1711,15 @@ object Lakehouse extends QueryModule {
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |       CAST(SUM(row_id) AS BIGINT) AS rowid_sum,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
-        |FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |FROM chg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // s32: the published table == base ∪ the GOOD batch == the whole
+    // documents table (the corrupted batch reached disk but never a main
+    // version) — per-language stats prove the failed audit leaked nothing
+    // and the atomic publish lost nothing; the observables pin one failed
+    // audit and the publish landing at v1
+    "s32_wap_branch" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |       1 AS audits_failed, 1 AS published_version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 }

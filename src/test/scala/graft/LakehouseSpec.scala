@@ -595,4 +595,67 @@ class LakehouseSpec extends SparkSuite {
     }
     Fixpoint.release(feed)
   }
+
+  test("s32: failed audit leaves main bit-identical and staged data " +
+      "invisible; publish is the atomic swap; concurrent publish races " +
+      "resolve by put-if-absent; duplicate-key corruption is also caught") {
+    val root = Tables.scratchPath("s32_spec", sf)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "n_chars")
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .repartition(2).write.mode("overwrite").parquet(s"$root/base")
+    val baseAdds = operators.Lakehouse.listDataFiles(s"$root/base")
+      .map(("add", _))
+    operators.Lakehouse.s28Commit(spark, log, 0, baseAdds)
+    val main0 = Tables.orderAll(
+      operators.Lakehouse.s28Snapshot(spark, log, 0)).collect()
+    // a DUPLICATE-KEY batch (re-ingests rows main already has) fails the
+    // uniqueness constraint — the second corruption class
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).limit(5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dup")
+    operators.Lakehouse.s32Stage(log, "dup",
+      baseAdds ++ operators.Lakehouse.listDataFiles(s"$root/dup").map(("add", _)))
+    val auditDup = operators.Lakehouse.s32Audit(spark,
+      operators.Lakehouse.s32Branch(log, "dup")).toMap
+    assert(!auditDup("uniqueness_doc_id"), "duplicate keys must fail")
+    assert(auditDup("domain_lang"), "untouched checks still pass")
+    // publish refuses a failed audit outright
+    val exPub = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s32Publish(spark, log, "dup")
+    }
+    assert(exPub.getMessage.contains("failed its audit"))
+    // isolation: main is still v0 and reads byte-identically
+    assert(operators.Lakehouse.s24Current(log) === 0)
+    assert(Tables.orderAll(operators.Lakehouse.s28Snapshot(spark, log, 0))
+      .collect().toSeq === main0.toSeq)
+    // a branch slot is single-use: restaging the same name refuses
+    val exSlot = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s32Stage(log, "dup", baseAdds)
+    }
+    assert(exSlot.getMessage.contains("already staged"))
+    // two GOOD branches race the publish: put-if-absent lets exactly one
+    // win v1; the loser must re-read main and re-audit before retrying
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/good")
+    val goodAdds = baseAdds ++
+      operators.Lakehouse.listDataFiles(s"$root/good").map(("add", _))
+    operators.Lakehouse.s32Stage(log, "w1", goodAdds)
+    operators.Lakehouse.s32Stage(log, "w2", goodAdds)
+    val r1 = operators.Lakehouse.s32Publish(spark, log, "w1")
+    // w2 publishes against the STALE base it audited (v0): the pointer
+    // race rejects it — audit-then-publish is not lost-update-prone
+    val r2 = operators.Lakehouse.s24TryCommit(log, 1,
+      operators.Lakehouse.s28Payload(
+        operators.Lakehouse.s32Branch(log, "w2")))
+    assert(r1 && !r2, "exactly one publisher may win v1")
+    assert(operators.Lakehouse.s24Current(log) === 1)
+    // the published snapshot is the audited branch, row-for-row
+    val pub = Tables.orderAll(
+      operators.Lakehouse.s28Snapshot(spark, log, 1)).collect()
+    val want = Tables.orderAll(docs).collect()
+    assert(pub.toSeq === want.toSeq)
+  }
 }
