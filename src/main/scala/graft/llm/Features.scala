@@ -111,11 +111,107 @@ object Features extends QueryModule {
       .orderBy("fact_type", "state_type")
   }
 
+  /** Build the l67 MULTI-TABLE log: ONE commit log whose inline manifests
+    * carry BOTH tables' entries under namespaced kinds —
+    *   v0  'dim.add' = the pre-cut dimension states; 'feat.add' = the
+    *       bootstrap PIT feature table built FROM that dimension version
+    *   v1  the day's dimension delta ('dim.add') PLUS its consequence on
+    *       the feature table — a 'feat.dv' sidecar tombstoning the
+    *       changed users' stale feature rows by position and a
+    *       'feat.add' file with their re-joined rows — in the SAME
+    *       atomic pointer.
+    * Because one put-if-absent publishes both tables, a reader at any
+    * version sees a dimension and a feature table that were built from
+    * each other: the invariant feat(v) == PIT(facts, dim(v)) holds at
+    * EVERY committed version, never a torn (new-dim, old-features) pair.
+    * Returns (log, facts, n_replaced). */
+  private[graft] def l67Build(spark: SparkSession, dir: String)
+      : (String, DataFrame, Long) = {
+    val root = Tables.scratchPath("l67_txn", dir)
+    val log = s"$root/log"
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val e = Tables.events(spark, dir)
+    val states = e
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+    val facts = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        col("event_type").as("fact_type"), col("ts_ms").as("fact_ts_ms"))
+    val cut = states.agg(expr("(min(ts_ms) + max(ts_ms)) div 2"))
+      .collect()(0).getLong(0) // 1-row parameter fetch (l66's cut)
+    val delta = col("ts_ms") > cut && pmod(col("user_id"), lit(4)) === 0
+    states.filter(!delta)
+      .repartition(2).write.mode("overwrite").parquet(s"$root/dim0")
+    val dim0Adds = Lakehouse.listDataFiles(s"$root/dim0").map(("dim.add", _))
+    pit(facts, spark.read.parquet(s"$root/dim0"))
+      .repartition(2).write.mode("overwrite").parquet(s"$root/ft0")
+    val ft0Adds = Lakehouse.listDataFiles(s"$root/ft0").map(("feat.add", _))
+    Lakehouse.s28Commit(spark, log, 0, dim0Adds ++ ft0Adds)
+    // the day's delta, written first so the maintenance below derives
+    // from exactly the artifact the commit will reference
+    states.filter(delta)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dim1delta")
+    val changed = spark.read.parquet(s"$root/dim1delta")
+      .select("user_id").distinct() // delta-sized by construction
+    // feature maintenance as merge-on-read: changed users' stale rows
+    // tombstoned by POSITION (s25's DV form — untouched rows' files are
+    // never rewritten), re-joined rows appended; both inputs to the PIT
+    // re-join are semi-joined to the changed keys (delta-sized)
+    spark.read.parquet(Lakehouse.listDataFiles(s"$root/ft0"): _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .join(broadcast(changed), Seq("user_id"), "left_semi")
+      .select("file_path", "row_index")
+      .write.mode("overwrite").parquet(s"$root/featdv1")
+    val nReplaced = spark.read.parquet(s"$root/featdv1").count()
+    val dimFull = spark.read.parquet(s"$root/dim0")
+      .unionByName(spark.read.parquet(s"$root/dim1delta"))
+    pit(facts.join(changed, Seq("user_id"), "left_semi"),
+        dimFull.join(changed, Seq("user_id"), "left_semi"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/ftadd1")
+    Lakehouse.s28Commit(spark, log, 1,
+      dim0Adds ++ Lakehouse.listDataFiles(s"$root/dim1delta").map(("dim.add", _))
+        ++ ft0Adds ++ Lakehouse.listDataFiles(s"$root/ftadd1").map(("feat.add", _))
+        :+ (("feat.dv", s"$root/featdv1")))
+    (log, facts, nReplaced)
+  }
+
+  /** l67: MULTI-TABLE TRANSACTIONAL COMMIT — the consistency leg l66
+    * lacks: there the dimension log and the feature state advance
+    * independently, so a reader can observe the new dimension with
+    * features built from the old one (a torn read). Here one commit —
+    * one atomic pointer — spans both tables (namespaced manifest kinds),
+    * so dimension delta and feature maintenance publish together or not
+    * at all. The registered result aggregates the feature table read at
+    * version 1 through the multi-table manifest; the oracle is the FULL
+    * PIT recompute against the complete dimension (l66's contract), plus
+    * n_replaced pinning the DV-based maintenance (= the changed users'
+    * fact count — exactly the stale feature rows tombstoned). Per commit
+    * the cost stays delta-sized: the feature table's untouched files are
+    * referenced, never rewritten. FeatureStoreSpec pins the invariant
+    * feat(v) == PIT(facts, dim(v)) at BOTH versions — the no-torn-read
+    * statement itself. */
+  def l67(spark: SparkSession, dir: String): DataFrame = {
+    val (log, _, nReplaced) = l67Build(spark, dir)
+    Lakehouse.snapshotOfKind(spark,
+        Lakehouse.readManifest(log, 1), "feat.")
+      .withColumn("state_type", coalesce(col("state_type"), lit("none")))
+      .groupBy("fact_type", "state_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"),
+        sum(Tables.dec(col("state_value"))).cast("double").as("sum_state"))
+      .withColumn("version", lit(1))
+      .withColumn("n_replaced", lit(nReplaced))
+      .orderBy("fact_type", "state_type")
+  }
+
   // feature-store maintenance persists dim commits + feature-table state
   override def sinkQueries: Set[String] = queries.keySet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("l66_cdc_to_features" -> l66)
+    Map("l66_cdc_to_features" -> l66,
+      "l67_multi_table_txn" -> l67)
 
   val oracles: Map[String, String] = Map(
     // the FULL recompute: a from-scratch PIT join of all facts against
@@ -141,5 +237,41 @@ object Features extends QueryModule {
         |FROM f LEFT JOIN scd ON f.user_id = scd.user_id
         |  AND valid_from_ms <= fact_ts_ms
         |  AND (valid_to_ms IS NULL OR fact_ts_ms < valid_to_ms)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // l67: the feature table read at version 1 through the multi-table
+    // manifest == the full PIT recompute (l66's contract); n_replaced =
+    // the changed users' fact count — every PIT'd fact yields exactly one
+    // feature row, so that is precisely the stale rows the DV tombstoned
+    "l67_multi_table_txn" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts)//1000000 AS ts_ms FROM events),
+        |st AS (
+        |  SELECT * FROM e
+        |  WHERE event_type IN ('signup', 'purchase', 'error')),
+        |cutoff AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS c FROM st),
+        |changed AS (
+        |  SELECT DISTINCT user_id FROM st, cutoff
+        |  WHERE ts_ms > cutoff.c AND user_id % 4 = 0),
+        |scd AS (
+        |  SELECT user_id, event_type AS state_type, value AS state_value,
+        |         ts_ms AS valid_from_ms,
+        |         lead(ts_ms) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_ms, event_id) AS valid_to_ms
+        |  FROM st),
+        |f AS (
+        |  SELECT user_id, event_id AS fact_id, event_type AS fact_type,
+        |         ts_ms AS fact_ts_ms
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |repl AS (
+        |  SELECT COUNT(*) AS n FROM f
+        |  WHERE user_id IN (SELECT user_id FROM changed))
+        |SELECT fact_type, COALESCE(state_type, 'none') AS state_type,
+        |       COUNT(*) AS n_rows, COUNT(DISTINCT f.user_id) AS n_users,
+        |       CAST(SUM(CAST(state_value AS DECIMAL(38,4))) AS DOUBLE) AS sum_state,
+        |       1 AS version, repl.n AS n_replaced
+        |FROM f LEFT JOIN scd ON f.user_id = scd.user_id
+        |  AND valid_from_ms <= fact_ts_ms
+        |  AND (valid_to_ms IS NULL OR fact_ts_ms < valid_to_ms), repl
+        |GROUP BY 1, 2, repl.n ORDER BY 1, 2""".stripMargin)
 }

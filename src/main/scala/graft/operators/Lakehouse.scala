@@ -676,15 +676,28 @@ object Lakehouse extends QueryModule {
     * snapshot; only the change feed distinguishes them (s31's walker
     * skips rewrite commits instead of misreporting their rows). */
   private[graft] def addPaths(m: Seq[(String, String)]): Seq[String] =
-    (manifestPaths(m, "add") ++ manifestPaths(m, "addnc")).sorted
+    addPathsK(m, "")
+
+  /** [[addPaths]] under a TABLE-kind prefix: a multi-table commit (l67)
+    * namespaces its entries 'dim.add', 'feat.add', 'feat.dv', … — one
+    * pointer file carries every member table's manifest, which is what
+    * makes the commit atomic ACROSS tables. */
+  private[graft] def addPathsK(m: Seq[(String, String)],
+      prefix: String): Seq[String] =
+    (manifestPaths(m, prefix + "add") ++ manifestPaths(m, prefix + "addnc"))
+      .sorted
 
   /** Snapshot of one parsed manifest: its data files (add ∪ addnc),
     * merge-on-read anti-joined with every DV sidecar it carries (s25's
     * positional form). */
   private[graft] def snapshotOf(spark: SparkSession,
-      m: Seq[(String, String)]): DataFrame = {
-    val base = spark.read.parquet(addPaths(m): _*)
-    val dvs = manifestPaths(m, "dv")
+      m: Seq[(String, String)]): DataFrame = snapshotOfKind(spark, m, "")
+
+  /** [[snapshotOf]] for one member TABLE of a multi-table manifest. */
+  private[graft] def snapshotOfKind(spark: SparkSession,
+      m: Seq[(String, String)], prefix: String): DataFrame = {
+    val base = spark.read.parquet(addPathsK(m, prefix): _*)
+    val dvs = manifestPaths(m, prefix + "dv")
     if (dvs.isEmpty) base
     else base
       .withColumn("file_path", col("_metadata.file_path"))

@@ -49,4 +49,31 @@ class FeatureStoreSpec extends SparkSuite {
       "changed users' rows must come from the re-join, not stale carry-over")
     Fixpoint.release(incC)
   }
+
+  test("l67: feat(v) == PIT(facts, dim(v)) at EVERY committed version — the " +
+      "no-torn-read invariant of the multi-table commit; one pointer " +
+      "carries both tables; untouched feature files are referenced, not " +
+      "rewritten") {
+    val (log, facts, nReplaced) = llm.Features.l67Build(spark, sf)
+    assert(nReplaced > 0L, "the delta must touch some users")
+    for (v <- 0 to 1) {
+      val m = operators.Lakehouse.readManifest(log, v)
+      val dim = operators.Lakehouse.snapshotOfKind(spark, m, "dim.")
+      val feat = operators.Lakehouse.snapshotOfKind(spark, m, "feat.")
+      val want = Tables.orderAll(llm.Features.pit(facts, dim))
+      val got = Tables.orderAll(feat)
+      assert(got.collect().toSeq === want.collect().toSeq,
+        s"version $v reads a torn (dim, feat) pair")
+    }
+    // atomicity witness: the SAME pointer file names both tables' entries
+    val m1 = operators.Lakehouse.readManifest(log, 1)
+    val kinds = m1.map(_._1).toSet
+    assert(Set("dim.add", "feat.add", "feat.dv").subsetOf(kinds))
+    // incrementality witness: v1 references every v0 feature file
+    // verbatim (carry-over by reference, no rewrite)
+    val m0 = operators.Lakehouse.readManifest(log, 0)
+    val ft0 = m0.collect { case ("feat.add", p) => p }.toSet
+    val ft1 = m1.collect { case ("feat.add", p) => p }.toSet
+    assert(ft0.subsetOf(ft1) && ft1.size > ft0.size)
+  }
 }
