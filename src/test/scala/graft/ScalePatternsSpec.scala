@@ -449,4 +449,92 @@ class ScalePatternsSpec extends SparkSuite {
     val other = Tables.embeddings(spark, sf).filter(col("vec_id") >= -987654L)
     assert(llm.CorpusStats.n(other) === other.count())
   }
+
+  test("CDC growth law: change-feed records-read ~constant as the table " +
+      "10×'s at FIXED delta (cost ∝ delta); snapshot recompute grows ~linearly") {
+    // The change-feed family's central scale claim, MEASURED: build the
+    // same commit shape at n and 10n rows with an IDENTICAL absolute
+    // delta (120 keys updated/deleted + 30 inserts), constant-size data
+    // files (file count scales with the table — the production posture),
+    // range-clustered so the delta's keys live in O(1) files. The feed
+    // must read the delta's files, never the corpus; the from-scratch
+    // snapshot read is the ~linear contrast that shows the instrument
+    // would have caught a table-sized feed.
+    def build(n: Long, tag: String): String = {
+      val root = Tables.scratchPath(s"cdc_law_$tag", sf)
+      val log = s"$root/log"
+      val d = new java.io.File(log)
+      if (d.isDirectory) d.listFiles().foreach(_.delete())
+      val t = spark.range(n).select(col("id").as("o_orderkey"),
+        (col("id") % 3).cast("string").as("o_orderstatus"),
+        (col("id") % 997).cast("double").as("o_totalprice"))
+      t.repartitionByRange((n / 2500).toInt.max(2), col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/base")
+      val baseAdds = operators.Lakehouse.listDataFiles(s"$root/base")
+        .map(("add", _))
+      operators.Lakehouse.s28Commit(spark, log, 0, baseAdds)
+      val upd = col("o_orderkey") < 100
+      val del = col("o_orderkey") >= 100 && col("o_orderkey") < 120
+      spark.read.parquet(s"$root/base").filter(upd || del)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$root/dv1")
+      t.filter(upd).withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .unionByName(spark.range(30).select(
+          (col("id") + 900000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add1")
+      operators.Lakehouse.s28Commit(spark, log, 1,
+        baseAdds ++ operators.Lakehouse.listDataFiles(s"$root/add1")
+          .map(("add", _)) :+ (("dv", s"$root/dv1")))
+      log
+    }
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    def measure(body: => Unit): Long = {
+      org.apache.spark.GraftSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext, 10000L)
+      recs.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.GraftSparkBridge
+          .waitListenerBusEmpty(spark.sparkContext, 10000L)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      recs.get
+    }
+    val (n1, n10) = (20000L, 200000L)
+    val (log1, log10) = (build(n1, "s"), build(n10, "l"))
+    val feed1 = measure {
+      operators.Lakehouse.s28Cdf(spark, log1, 0, 1, "o_orderkey").count(); ()
+    }
+    val feed10 = measure {
+      operators.Lakehouse.s28Cdf(spark, log10, 0, 1, "o_orderkey").count(); ()
+    }
+    val snap1 = measure {
+      operators.Lakehouse.s28Snapshot(spark, log1, 1).count(); ()
+    }
+    val snap10 = measure {
+      operators.Lakehouse.s28Snapshot(spark, log10, 1).count(); ()
+    }
+    def alpha(a: Long, b: Long): Double = math.log(b.toDouble / a) / math.log(10.0)
+    val (aFeed, aSnap) = (alpha(feed1, feed10), alpha(snap1, snap10))
+    info(f"feed records $feed1 -> $feed10 (alpha=$aFeed%.2f); " +
+      f"snapshot $snap1 -> $snap10 (alpha=$aSnap%.2f)")
+    assert(feed1 > 0 && feed10 > 0)
+    // the feed's exponent in TABLE SIZE at fixed delta is ~0 — allow
+    // generous slack for range-boundary straddle and footer reads
+    assert(aFeed < 0.3,
+      f"change feed scaled with the table (alpha=$aFeed%.2f: " +
+        s"$feed1 -> $feed10 records for 10x rows at fixed delta)")
+    // the contrast: a snapshot recompute IS table-sized — proves the
+    // instrument distinguishes the two shapes
+    assert(aSnap > 0.7,
+      f"snapshot contrast unexpectedly flat (alpha=$aSnap%.2f)")
+  }
 }
