@@ -57,8 +57,7 @@ object Features extends QueryModule {
       : (DataFrame, DataFrame, DataFrame, String) = {
     val root = Tables.scratchPath("l66_features", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    Lakehouse.wipeLog(log)
     val e = Tables.events(spark, dir)
     val states = e
       .filter(col("event_type").isin("signup", "purchase", "error"))
@@ -129,8 +128,7 @@ object Features extends QueryModule {
       : (String, DataFrame, Long) = {
     val root = Tables.scratchPath("l67_txn", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    Lakehouse.wipeLog(log)
     val e = Tables.events(spark, dir)
     val states = e
       .filter(col("event_type").isin("signup", "purchase", "error"))

@@ -106,6 +106,15 @@ object Lakehouse extends QueryModule {
     (retained.localCheckpoint(), deleted.value)
   }
 
+  /** Reset a commit-log directory (scratch logs are per-SF-deterministic;
+    * a rerun must replay its protocol from v0, not append to the last
+    * run's log). One definition for every build/spec site. */
+  private[graft] def wipeLog(log: String): Unit = {
+    val d = new java.io.File(log)
+    if (d.isDirectory) d.listFiles().foreach(f => { f.delete(); () })
+    ()
+  }
+
   /** Data files under a directory (driver-side listing = the one-time
     * manifest-construction step; all later planning reads the manifest). */
   private[graft] def listDataFiles(d: String): Seq[String] = {
@@ -282,12 +291,14 @@ object Lakehouse extends QueryModule {
 
   /** [[s24TryCommit]] generalized to an arbitrary pointer NAME, so branch
     * heads (s32's write-audit-publish) ride the same atomic primitive as
-    * linear versions. Filesystems without hard links (some NFS/overlay
-    * mounts) fall back to an ATOMIC_MOVE of the staged temp — same
-    * full-content-or-absent visibility; the no-replace existence check is
-    * the move's, which every mainstream local fs honors atomically. A
-    * filesystem supporting neither refuses with the requirement named
-    * instead of surfacing a bare provider exception. */
+    * linear versions. A filesystem without hard links (some NFS/overlay
+    * mounts) REFUSES with the requirement named rather than degrading:
+    * the obvious fallbacks are all unsafe put-if-absents — ATOMIC_MOVE
+    * is POSIX rename(2), which silently REPLACES an existing pointer (two
+    * racing committers would both "win" and one manifest is destroyed),
+    * and createFile-then-write exposes a committed-but-empty window. On
+    * such mounts the log belongs on a store with a real conditional put
+    * (every object store has one), not on a weaker local emulation. */
   private[graft] def s24TryCommitNamed(log: String, name: String,
       payload: String): Boolean = {
     val dir = java.nio.file.Paths.get(log)
@@ -304,18 +315,12 @@ object Lakehouse extends QueryModule {
         case _: java.nio.file.FileAlreadyExistsException => false
         case e @ (_: UnsupportedOperationException |
                   _: java.nio.file.FileSystemException) =>
-          try {
-            java.nio.file.Files.move(tmp, target,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-            case e2: Throwable =>
-              throw new IllegalStateException(
-                s"commit log $log needs hard-link (link(2)) or atomic-move " +
-                  s"put-if-absent support; both failed — link: ${e.getMessage}; " +
-                  s"move: ${e2.getMessage}", e2)
-          }
+          throw new IllegalStateException(
+            s"commit log $log requires hard-link (link(2)) support for " +
+              "atomic put-if-absent — rename-based fallbacks silently " +
+              "replace a concurrent winner's pointer; host the log on a " +
+              s"filesystem with link(2) or an object store with " +
+              s"conditional put (${e.getMessage})", e)
       }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
@@ -379,8 +384,7 @@ object Lakehouse extends QueryModule {
     val stage = Tables.scratchPath("s24_stage", dir)
     // reset the log (scratch dirs are per-SF-deterministic; a rerun must
     // replay the protocol from v0, not append to last run's log)
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_shipdate", "l_extendedprice")
     val base = s24Stats(li.filter(!pmod(col("l_orderkey"), lit(10)).isin(0, 5)))
@@ -863,8 +867,7 @@ object Lakehouse extends QueryModule {
   private[graft] def s28Build(spark: SparkSession, dir: String): String = {
     val root = Tables.scratchPath("s28_table", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
@@ -889,14 +892,16 @@ object Lakehouse extends QueryModule {
     log
   }
 
-  /** Session memo over the deterministic s28 table build: one build per
-    * input dir per session — s28 and h14 share the committed table the
-    * way l21 rides l02's pair graph (Bench tags the reuse as memo_pre
-    * and evictSince re-pays it, keeping best-of-2 cold). A hit is
-    * revalidated against the log's version pointers before reuse
-    * (LakehouseSpec deliberately expires v0 to test CDF refusal — a
-    * stale hit would hand that broken log to the next query). */
-  private object S28BuildMemo extends graft.SessionMemos.Member {
+  /** Session memo over a deterministic log build, keyed by input dir:
+    * one build per dir per session, shared by every registered consumer
+    * of the same table the way l21 rides l02's pair graph (Bench tags
+    * the reuse as memo_pre and evictSince re-pays it, keeping best-of-2
+    * cold). A hit is revalidated against the log's version pointers
+    * (`versions`) before reuse — LakehouseSpec deliberately expires v0
+    * to test CDF refusal, and a stale hit would hand that broken log to
+    * the next query. */
+  private final class LogMemo(versions: Range)
+      extends graft.SessionMemos.Member {
     private val entries =
       new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
     graft.SessionMemos.register(this)
@@ -910,7 +915,7 @@ object Lakehouse extends QueryModule {
     def getOrBuild(dir: String)(build: => String): String = {
       val hit = entries.get(dir)
       if (hit != null) {
-        val ok = Seq(0, 1).forall(v => java.nio.file.Files.exists(
+        val ok = versions.forall(v => java.nio.file.Files.exists(
           java.nio.file.Paths.get(hit._2).resolve(ptrName(v))))
         if (ok) { graft.SessionMemos.noteHit(hit._1); return hit._2 }
         entries.remove(dir)
@@ -920,6 +925,9 @@ object Lakehouse extends QueryModule {
       log
     }
   }
+
+  /** Memo for the 2-version s28 table (consumers: s28, h14). */
+  private val S28BuildMemo = new LogMemo(0 to 1)
 
   /** Memoized [[s28Build]] — what the registered consumers (s28, h14)
     * call; a composed pipeline builds its source table once. */
@@ -974,8 +982,7 @@ object Lakehouse extends QueryModule {
   private[graft] def s28BuildSteps(spark: SparkSession, dir: String): String = {
     val root = Tables.scratchPath("s28m_table", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .repartition(4).write.mode("overwrite").parquet(s"$root/base")
@@ -990,35 +997,8 @@ object Lakehouse extends QueryModule {
     log
   }
 
-  /** Session memo over the deterministic multi-step build (same contract
-    * as [[S28BuildMemo]]): h15's batch folds and t31's streaming consumer
-    * share one committed 4-version table per input dir; hits revalidate
-    * all four version pointers before reuse, and Bench's between-runs
-    * evictSince keeps best-of-2 cold. */
-  private object S28StepsMemo extends graft.SessionMemos.Member {
-    private val entries =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
-    graft.SessionMemos.register(this)
-    override def evictSince(mark: Long): Int = {
-      var n = 0
-      entries.forEach { (k, v) =>
-        if (v._1 > mark) { entries.remove(k); n += 1 }
-      }
-      n
-    }
-    def getOrBuild(dir: String)(build: => String): String = {
-      val hit = entries.get(dir)
-      if (hit != null) {
-        val ok = (0 to 3).forall(v => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(hit._2).resolve(ptrName(v))))
-        if (ok) { graft.SessionMemos.noteHit(hit._1); return hit._2 }
-        entries.remove(dir)
-      }
-      val log = build
-      entries.put(dir, (graft.SessionMemos.stamp(), log))
-      log
-    }
-  }
+  /** Memo for the 4-version multi-step table (consumers: h15, t31). */
+  private val S28StepsMemo = new LogMemo(0 to 3)
 
   /** Memoized [[s28BuildSteps]] — what the registered consumers (h15,
     * t31) call; a composed pipeline builds its source table once. */
@@ -1102,11 +1082,20 @@ object Lakehouse extends QueryModule {
   // ---------------------------------------------------------------- s30
 
   /** file: URI (the `_metadata.file_path` form) → plain filesystem path
-    * (the manifest/listDataFiles form), for cross-form membership checks. */
+    * (the manifest/listDataFiles form), for cross-form membership checks.
+    * `_metadata.file_path` is a Hadoop Path rendering, which does NOT
+    * percent-encode every URI-reserved character (a space in a dir name
+    * survives raw) — when java's strict URI parser rejects the string,
+    * fall back to stripping the scheme/authority prefix textually so a
+    * legal-but-unusual path never crashes the membership check. */
   private def asFsPath(p: String): String =
-    if (p.startsWith("file:"))
-      java.nio.file.Paths.get(java.net.URI.create(p)).toString
-    else p
+    if (!p.startsWith("file:")) p
+    else
+      try java.nio.file.Paths.get(java.net.URI.create(p)).toString
+      catch {
+        case _: IllegalArgumentException | _: java.nio.file.FileSystemNotFoundException =>
+          p.stripPrefix("file:").replaceFirst("^//[^/]*", "")
+      }
 
   /** The conflict VALIDATION a position-delete writer must run on retry:
     * the files its DV references that are NOT in the current snapshot
@@ -1152,8 +1141,7 @@ object Lakehouse extends QueryModule {
   def s30(spark: SparkSession, dir: String): DataFrame = {
     val root = Tables.scratchPath("s30_table", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .repartition(4).write.mode("overwrite").parquet(s"$root/base")
@@ -1228,6 +1216,14 @@ object Lakehouse extends QueryModule {
       mCur: Seq[(String, String)], v: Int): Unit = {
     val newFiles = addPaths(mCur).toSet -- addPaths(mPrev).toSet
     val ncCur = manifestPaths(mCur, "addnc").toSet
+    // a commit that removes files WITHOUT replacements is a whole-file
+    // DELETE — a data change the feed must not skip; without this the
+    // two subset checks below pass vacuously on an empty newFiles and
+    // the deletion would vanish from the feed silently
+    require(newFiles.nonEmpty,
+      s"commit $v removes data files without no-data-change replacements " +
+        "— a whole-file delete is a data change; the feed cannot skip it " +
+        "(express it as a DV commit, or diff snapshots)")
     require(newFiles.subsetOf(ncCur),
       s"commit $v removes data files but its new files are not all " +
         "declared no-data-change (addnc) — an undeclared rewrite has no " +
@@ -1302,8 +1298,7 @@ object Lakehouse extends QueryModule {
   private[graft] def s31Build(spark: SparkSession, dir: String): String = {
     val root = Tables.scratchPath("s31_table", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (col("o_orderkey") + RowIdBase).as("_row_id"))
@@ -1460,8 +1455,7 @@ object Lakehouse extends QueryModule {
   def s32(spark: SparkSession, dir: String): DataFrame = {
     val root = Tables.scratchPath("s32_table", dir)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    wipeLog(log)
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "text", "n_chars")
     docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)

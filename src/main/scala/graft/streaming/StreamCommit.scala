@@ -113,26 +113,25 @@ object StreamCommit extends QueryModule {
       .cdfViewOf(graft.operators.Lakehouse.s28Snapshot(spark, log, 0))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/state/v0")
 
-  /** Apply ONE version notification: idempotent under at-least-once
-    * redelivery (v ≤ applied is a no-op — the broker consumer loop's
-    * contract, broker.clj:65-95: redelivered messages re-apply
-    * harmlessly), gap-refusing (v > applied+1 means a lost notification;
-    * folding it would silently skip a commit's deltas), and atomic (the
-    * new state dir becomes current only with its _SUCCESS marker). */
+  /** Apply ONE version notification. A notification is a HINT ("version
+    * v exists") — the COMMIT LOG is the source of truth — so delivery
+    * may be at-least-once AND unordered: v ≤ applied is a redelivery
+    * no-op (the broker consumer loop's contract, broker.clj:65-95:
+    * redelivered messages re-apply harmlessly), v > applied+1 CATCHES UP
+    * by folding every missing version's feed in order (an out-of-order
+    * or lost notification costs nothing — the next one folds the gap).
+    * Each fold is atomic: a state dir becomes current only with its
+    * _SUCCESS marker. A version past the log's head refuses inside
+    * s28Cdf with the commit contract named. */
   private[graft] def t31Apply(spark: SparkSession, root: String,
       log: String, v: Int): Unit = {
-    val applied = t31Applied(root)
-    if (v <= applied) () // redelivery: already folded, skip
-    else {
-      require(v == applied + 1,
-        s"notification gap: v$v arrived with only v$applied applied")
-      val hist = graft.operators.History
+    val hist = graft.operators.History
+    for (w <- t31Applied(root) + 1 to v)
       hist.cdfFold(
-          spark.read.parquet(s"$root/state/v$applied"),
+          spark.read.parquet(s"$root/state/v${w - 1}"),
           hist.cdfSigned(graft.operators.Lakehouse
-            .s28Cdf(spark, log, v - 1, v, "o_orderkey")))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/state/v$v")
-    }
+            .s28Cdf(spark, log, w - 1, w, "o_orderkey")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/state/v$w")
   }
 
   /** Drain all pending version notifications through Structured

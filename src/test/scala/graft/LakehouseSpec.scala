@@ -551,8 +551,7 @@ class LakehouseSpec extends SparkSuite {
     // an UNDECLARED rewrite (new files carry kind 'add') refuses loudly
     val badLog = Tables.scratchPath("s31_badlog", sf)
     locally {
-      val d = new java.io.File(badLog)
-      if (d.isDirectory) d.listFiles().foreach(_.delete())
+      operators.Lakehouse.wipeLog(badLog)
       val m0 = operators.Lakehouse.readManifest(log, 0)
       val m2 = operators.Lakehouse.readManifest(log, 2)
       operators.Lakehouse.s28Commit(spark, badLog, 0, m0)
@@ -567,8 +566,7 @@ class LakehouseSpec extends SparkSuite {
     }
     // a rewrite MIXED with new DV sidecars refuses (no servable feed)
     locally {
-      val d = new java.io.File(badLog)
-      d.listFiles().foreach(_.delete())
+      operators.Lakehouse.wipeLog(badLog)
       val m0 = operators.Lakehouse.readManifest(log, 0)
       val m2 = operators.Lakehouse.readManifest(log, 2)
       operators.Lakehouse.s28Commit(spark, badLog, 0, m0)
@@ -582,8 +580,7 @@ class LakehouseSpec extends SparkSuite {
     // DV-rewrite monotonicity: dropping a DV sidecar without touching the
     // data files refuses with the DV contract named (advisor pin)
     locally {
-      val d = new java.io.File(badLog)
-      d.listFiles().foreach(_.delete())
+      operators.Lakehouse.wipeLog(badLog)
       val m1 = operators.Lakehouse.readManifest(log, 1)
       operators.Lakehouse.s28Commit(spark, badLog, 0, m1)
       operators.Lakehouse.s28Commit(spark, badLog, 1,
@@ -593,6 +590,19 @@ class LakehouseSpec extends SparkSuite {
       }
       assert(ex.getMessage.contains("DV rewrite"))
     }
+    // a WHOLE-FILE DELETE (files removed, nothing added) is a data
+    // change, not a skippable rewrite — the walker must refuse, never
+    // silently drop the deletion from the feed
+    locally {
+      operators.Lakehouse.wipeLog(badLog)
+      val m0 = operators.Lakehouse.readManifest(log, 0)
+      operators.Lakehouse.s28Commit(spark, badLog, 0, m0)
+      operators.Lakehouse.s28Commit(spark, badLog, 1, m0.drop(1))
+      val ex = intercept[IllegalArgumentException] {
+        operators.Lakehouse.s31Cdf(spark, badLog, 0, 1, "_row_id")
+      }
+      assert(ex.getMessage.contains("whole-file delete"))
+    }
     Fixpoint.release(feed)
   }
 
@@ -601,8 +611,7 @@ class LakehouseSpec extends SparkSuite {
       "resolve by put-if-absent; duplicate-key corruption is also caught") {
     val root = Tables.scratchPath("s32_spec", sf)
     val log = s"$root/log"
-    val d = new java.io.File(log)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    operators.Lakehouse.wipeLog(log)
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text", "n_chars")
     docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)

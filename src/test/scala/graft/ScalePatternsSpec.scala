@@ -463,8 +463,7 @@ class ScalePatternsSpec extends SparkSuite {
     def build(n: Long, tag: String): String = {
       val root = Tables.scratchPath(s"cdc_law_$tag", sf)
       val log = s"$root/log"
-      val d = new java.io.File(log)
-      if (d.isDirectory) d.listFiles().foreach(_.delete())
+      operators.Lakehouse.wipeLog(log)
       val t = spark.range(n).select(col("id").as("o_orderkey"),
         (col("id") % 3).cast("string").as("o_orderstatus"),
         (col("id") % 997).cast("double").as("o_totalprice"))

@@ -876,11 +876,26 @@ class StreamingSpec extends SparkSuite {
     val after = operators.History
       .cdfSurface(spark.read.parquet(s"$root/state/v3")).collect()
     assert(after.map(_.toString).toSeq === fin.map(_.toString).toSeq)
-    // GAP: a notification past applied+1 refuses instead of skipping a
-    // commit's deltas silently
+    // OUT-OF-ORDER / LOST notifications: a hint for v CATCHES UP through
+    // every missing version (the log is the source of truth) — fresh
+    // consumer state, first notification to arrive is v2's
+    rm(s"$root/state")
+    streaming.StreamCommit.t31Bootstrap(spark, root, log)
+    streaming.StreamCommit.t31Apply(spark, root, log, 2)
+    assert(streaming.StreamCommit.t31Applied(root) === 2,
+      "a v2 hint must fold v1 then v2")
+    val catchUp = operators.History
+      .cdfSurface(spark.read.parquet(s"$root/state/v2")).collect()
+    assert(catchUp.map(_.toString).toSeq === recompute2.map(_.toString).toSeq)
+    // the late v1 hint is then a harmless no-op
+    streaming.StreamCommit.t31Apply(spark, root, log, 1)
+    assert(streaming.StreamCommit.t31Applied(root) === 2)
+    // a hint past the log's head refuses inside the feed read with the
+    // commit contract named — never a silent skip
     val ex = intercept[IllegalArgumentException] {
       streaming.StreamCommit.t31Apply(spark, root, log, 5)
     }
-    assert(ex.getMessage.contains("gap"))
+    assert(ex.getMessage.contains("never committed")
+      || ex.getMessage.contains("expired"))
   }
 }
