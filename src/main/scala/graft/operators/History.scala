@@ -541,9 +541,36 @@ object History extends QueryModule {
   }
 
   override val sinkQueries: Set[String] =
-    Set("h09_mv_rewrite", "h14_cdf_view_maintain", "h15_cdf_multistep")
+    Set("h09_mv_rewrite", "h14_cdf_view_maintain", "h15_cdf_multistep",
+      "h16_view_across_rewrite")
+
+  /** h16: VIEW MAINTENANCE ACROSS A REWRITE — the payoff of s31's row
+    * lineage for this family's consumers: h14/h15 fold feeds s28Cdf can
+    * serve, so ONE compaction in the window forces them back to a full
+    * snapshot diff; h16 folds the s31 row-lineage feed instead, carrying
+    * the SAME retraction algebra across the v2 compaction (which
+    * contributes nothing — its rows are declared unchanged) and the v3
+    * MERGE whose pre-images live in REWRITTEN files. The signed-delta
+    * fold is a commutative monoid, so folding the whole multi-commit
+    * feed at once equals the commit-by-commit sequence; per window the
+    * cost is the feed (∝ the data-changing deltas) + one ≤|groups|
+    * merge — the table is scanned only for the bootstrap aggregate.
+    * The oracle recomputes the view from the final logical table (both
+    * MERGEs chained relationally, compaction the identity); the
+    * rewrites_skipped observable pins that the walker saw and skipped
+    * exactly one declared rewrite. */
+  def h16(spark: SparkSession, dir: String): DataFrame = {
+    val lake = graft.operators.Lakehouse
+    val log = lake.s31Table(spark, dir)
+    val feed = lake.s31Cdf(spark, log, 0, 3, "_row_id")
+    cdfSurface(cdfFold(
+      cdfViewOf(lake.s28Snapshot(spark, log, 0)),
+      cdfSigned(feed)))
+      .withColumn("rewrites_skipped", lit(1))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h16_view_across_rewrite" -> h16,
     "h14_cdf_view_maintain" -> h14,
     "h15_cdf_multistep" -> h15,
     "h11_snapshot_diff" -> h11,
@@ -561,6 +588,34 @@ object History extends QueryModule {
     "h05_changelog_compact" -> h05)
 
   val oracles: Map[String, String] = Map(
+    // h16: the view recomputed from the final logical table — v1 then v3
+    // chained relationally (the v2 compaction is the identity); equality
+    // proves the row-lineage feed fed the retraction algebra exactly the
+    // deltas the two MERGEs produced, and nothing for the rewrite
+    "h16_view_across_rewrite" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |v3 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1
+        |  WHERE o_orderkey % 11 <> 0 AND o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'Q', o_totalprice
+        |  FROM v1 WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |       1 AS rewrites_skipped
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // h14: the FULL recompute over the post-commit table (v1 = base
     // minus deleted minus updated-pre, plus updated-post and inserts) —
     // the retraction-maintained view must equal it bit-for-bit

@@ -1351,6 +1351,13 @@ object Lakehouse extends QueryModule {
     log
   }
 
+  /** Memo for the 4-version row-tracked table (consumers: s31, h16). */
+  private val S31BuildMemo = new LogMemo(0 to 3)
+
+  /** Memoized [[s31Build]] — what the registered consumers call. */
+  private[graft] def s31Table(spark: SparkSession, dir: String): String =
+    S31BuildMemo.getOrBuild(dir)(s31Build(spark, dir))
+
   /** s31: CHANGE FEED ACROSS A COMPACTION VIA ROW LINEAGE — the feed
     * window 0→3 CONTAINS the v2 rewrite s28Cdf refuses; the row-lineage
     * walk serves it: v1's and v3's row changes, each tagged with its
@@ -1364,7 +1371,7 @@ object Lakehouse extends QueryModule {
     * LakehouseSpec additionally pins apply(feed) == snapshot(3) and that
     * s28Cdf still refuses this exact window. */
   def s31(spark: SparkSession, dir: String): DataFrame = {
-    val log = s31Build(spark, dir)
+    val log = s31Table(spark, dir)
     s31Cdf(spark, log, 0, 3, "_row_id")
       .groupBy("commit_version", "change_type", "o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),

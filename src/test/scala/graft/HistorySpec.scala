@@ -339,4 +339,14 @@ class HistorySpec extends SparkSuite {
       assert(got.values.exists(_._1 == s), s"no '$s' rows in the diff")
     }
   }
+
+  test("h16: the view maintained ACROSS the compaction equals the snapshot " +
+      "recompute at the final version") {
+    val log = operators.Lakehouse.s31Table(spark, sf)
+    val got = operators.History.h16(spark, sf)
+      .drop("rewrites_skipped").collect()
+    val want = operators.History.cdfSurface(operators.History.cdfViewOf(
+      operators.Lakehouse.s28Snapshot(spark, log, 3))).collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
 }
