@@ -1495,6 +1495,161 @@ object Lakehouse extends QueryModule {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- s33
+
+  /** The mf1 inline manifest is O(table files) PER COMMIT — fine at the
+    * tested scale, but a 100 TB table with 10⁶ files would write a ~100
+    * MB pointer per commit. The ACTION LOG is the long-log answer (the
+    * Delta _delta_log shape): each commit's pointer carries only its
+    * ACTIONS ('al1' payload: add / rm / dv / rmdv lines — delta-sized,
+    * KBs), and every Nth commit also writes a CHECKPOINT file (the full
+    * mf1 manifest) beside its pointer. Reconstructing version v = parse
+    * the newest checkpoint ≤ v + replay ≤N action commits — never the
+    * whole history, never a table-sized pointer write. */
+  private def ckptName(v: Int): String = f"v$v%05d.ckpt"
+
+  /** Commit `actions` as `version` of an action log; when `checkpoint`
+    * is set (the writer's every-Nth-commit duty), also persist the full
+    * manifest as this version's checkpoint file. The pointer commit is
+    * the same atomic put-if-absent as mf1's; the checkpoint write is
+    * idempotent bookkeeping AFTER the won commit (a crash between the
+    * two costs a longer replay, never correctness — readers only probe
+    * checkpoints that exist). */
+  private[graft] def s33Commit(log: String, version: Int,
+      actions: Seq[(String, String)],
+      checkpoint: Option[Seq[(String, String)]]): Unit = {
+    require(s24TryCommitNamed(log, ptrName(version),
+      "al1\n" + actions.map { case (a, p) => s"$a\t$p" }.mkString("\n")),
+      s"version $version must commit (stale log? wipe $log before rebuild)")
+    checkpoint.foreach { m =>
+      s24TryCommitNamed(log, ckptName(version), s28Payload(m)); ()
+    }
+  }
+
+  /** The action lines of one committed version. */
+  private[graft] def readActions(log: String,
+      version: Int): Seq[(String, String)] = {
+    val p = java.nio.file.Paths.get(log).resolve(ptrName(version))
+    require(java.nio.file.Files.exists(p),
+      s"version $version is expired or was never committed — not readable")
+    val payload = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(payload.startsWith("al1\n"),
+      s"version $version of $log is not an action-log commit")
+    payload.split('\n').drop(1).toIndexedSeq.map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+  }
+
+  /** Fold one commit's actions into a manifest: add/dv append entries,
+    * rm/rmdv retract them (rm retracts add AND addnc spellings). */
+  private def applyActions(m: Seq[(String, String)],
+      actions: Seq[(String, String)]): Seq[(String, String)] =
+    actions.foldLeft(m) {
+      case (acc, ("add", p)) => acc :+ (("add", p))
+      case (acc, ("dv", p)) => acc :+ (("dv", p))
+      case (acc, ("rm", p)) =>
+        acc.filterNot(e => (e._1 == "add" || e._1 == "addnc") && e._2 == p)
+      case (acc, ("rmdv", p)) => acc.filterNot(e => e._1 == "dv" && e._2 == p)
+      case (_, (a, p)) =>
+        sys.error(s"unknown action-log action '$a' for $p")
+    }
+
+  /** MANIFEST AT `version` of an action log: newest checkpoint ≤ version
+    * (file-existence probes, pointer IO) + replay of the ≤interval action
+    * commits after it. A version whose covering checkpoint AND
+    * intermediate pointers were expired refuses with the retention
+    * contract named — exactly the vacuum story: truncating the log below
+    * a checkpoint expires only pre-checkpoint TIME TRAVEL, never the
+    * present. */
+  private[graft] def s33Manifest(log: String,
+      version: Int): Seq[(String, String)] = {
+    val dir = java.nio.file.Paths.get(log)
+    val ck = (version to 0 by -1).find(v =>
+      java.nio.file.Files.exists(dir.resolve(ckptName(v))))
+    // no covering checkpoint (a young log, or a version before the first
+    // checkpoint): full replay from the origin — valid only while the
+    // v0 pointer survives; a truncated prefix refuses with the retention
+    // contract named
+    var m = ck match {
+      case Some(c) => parseManifest(dir.resolve(ckptName(c)),
+        s"checkpoint $c of $log")
+      case None =>
+        require(java.nio.file.Files.exists(dir.resolve(ptrName(0))),
+          s"version $version of $log is expired — no covering checkpoint " +
+            "survives and the log was truncated past its origin; not readable")
+        Seq.empty[(String, String)]
+    }
+    for (v <- ck.map(_ + 1).getOrElse(0) to version)
+      m = applyActions(m, readActions(log, v))
+    m
+  }
+
+  /** s33: ACTION LOG + CHECKPOINT REPLAY — ten commits whose pointers
+    * carry only their own deltas (appends, one compaction as rm+add, one
+    * positional DELETE as a dv action), checkpoints at v3 and v7; the
+    * query reads the table at the HEAD (checkpoint 7 + two replays) and
+    * at historical v5 (checkpoint 3 + two replays), proving replayed
+    * reconstruction == the logical table at both points. The oracle
+    * restates both phases relationally (the compaction is the identity;
+    * the head excludes the DV'd rows). LakehouseSpec additionally pins
+    * snapshot == expectation at EVERY version, commit-payload bytes ≪
+    * checkpoint bytes, log truncation below the newest checkpoint
+    * leaving the head readable while expired versions refuse, and
+    * cdfDiff composing over replayed manifests (monotone windows serve,
+    * the rewrite window refuses). */
+  def s33(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.scratchPath("s33_table", dir)
+    val log = s"$root/log"
+    wipeLog(log)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+    var manifest = Seq.empty[(String, String)]
+    def commit(v: Int, actions: Seq[(String, String)]): Unit = {
+      manifest = applyActions(manifest, actions)
+      s33Commit(log, v, actions,
+        if (v == 3 || v == 7) Some(manifest) else None)
+    }
+    // v0..v6: seven delta-sized appends (chunk i = l_orderkey%10 == i)
+    for (i <- 0 to 6) {
+      li.filter(pmod(col("l_orderkey"), lit(10)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/chunk$i")
+      commit(i, listDataFiles(s"$root/chunk$i").map(("add", _)))
+    }
+    // v7: COMPACTION of chunks 0-2 — rm the three adds, add the rewrite
+    val rewritten = (0 to 2).flatMap(i => listDataFiles(s"$root/chunk$i"))
+    spark.read.parquet(rewritten: _*)
+      .repartitionByRange(1, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/compact012")
+    commit(7, rewritten.map(("rm", _))
+      ++ listDataFiles(s"$root/compact012").map(("add", _)))
+    // v8: positional DELETE in the compacted file (quantity < 2)
+    spark.read.parquet(listDataFiles(s"$root/compact012"): _*)
+      .filter(col("l_quantity") < 2.0)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("overwrite").parquet(s"$root/dv8")
+    commit(8, Seq(("dv", s"$root/dv8")))
+    // v9: one more append
+    li.filter(pmod(col("l_orderkey"), lit(10)) === 7)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/chunk7")
+    commit(9, listDataFiles(s"$root/chunk7").map(("add", _)))
+    def stats(df: DataFrame, phase: String): DataFrame = df
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .withColumn("phase", lit(phase))
+    stats(snapshotOf(spark, s33Manifest(log, 9)), "head")
+      .unionByName(stats(snapshotOf(spark, s33Manifest(log, 5)), "v5"))
+      .select("phase", "ship_month", "n_rows", "key_sum",
+        "min_price", "max_price")
+      .orderBy("phase", "ship_month")
+  }
+
   // ------------------------------------------------------------ registry
 
   // every lakehouse lifecycle query commits real files (def: the queries
@@ -1512,7 +1667,8 @@ object Lakehouse extends QueryModule {
     "s29_equality_deletes" -> s29,
     "s30_conflict_detection" -> s30,
     "s31_row_lineage_cdf" -> s31,
-    "s32_wap_branch" -> s32)
+    "s32_wap_branch" -> s32,
+    "s33_action_log" -> s33)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -1735,5 +1891,31 @@ object Lakehouse extends QueryModule {
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
         |       1 AS audits_failed, 1 AS published_version
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s33: both replayed reconstructions restated relationally — the head
+    // (checkpoint 7 + two action replays) is chunks 0-7 minus the DV'd
+    // rows (quantity < 2 within the compacted chunks 0-2; the compaction
+    // itself is the identity); historical v5 (checkpoint 3 + two replays)
+    // is chunks 0-5 untouched
+    "s33_action_log" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice,
+        |         strftime(l_shipdate, '%Y-%m') AS ship_month
+        |  FROM lineitem),
+        |head AS (
+        |  SELECT * FROM li WHERE l_orderkey % 10 <= 7
+        |    AND NOT (l_quantity < 2.0 AND l_orderkey % 10 <= 2)),
+        |v5 AS (
+        |  SELECT * FROM li WHERE l_orderkey % 10 <= 5)
+        |SELECT 'head' AS phase, ship_month, COUNT(*) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM head GROUP BY 2
+        |UNION ALL
+        |SELECT 'v5', ship_month, COUNT(*),
+        |       CAST(SUM(l_orderkey) AS BIGINT),
+        |       MIN(l_extendedprice), MAX(l_extendedprice)
+        |FROM v5 GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)
 }

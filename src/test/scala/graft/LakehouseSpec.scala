@@ -667,4 +667,71 @@ class LakehouseSpec extends SparkSuite {
     val want = Tables.orderAll(docs).collect()
     assert(pub.toSeq === want.toSeq)
   }
+
+  test("s33: replayed snapshots == expectation at every version; action " +
+      "pointers are delta-sized vs checkpoints; truncation below the newest " +
+      "checkpoint keeps the head readable; cdfDiff composes over replays") {
+    // the registered query builds the 10-commit log deterministically
+    operators.Lakehouse.s33(spark, sf).collect()
+    val root = Tables.scratchPath("s33_table", sf)
+    val log = s"$root/log"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+    def expect(v: Int): org.apache.spark.sql.DataFrame = {
+      val upTo = li.filter(pmod(col("l_orderkey"), lit(10)) <= math.min(v, 6))
+      val afterDv =
+        if (v < 8) upTo
+        else upTo.filter(!(col("l_quantity") < 2.0
+          && pmod(col("l_orderkey"), lit(10)) <= 2))
+      if (v < 9) afterDv
+      else afterDv.unionByName(li.filter(pmod(col("l_orderkey"), lit(10)) === 7))
+    }
+    for (v <- 0 to 9) {
+      val got = Tables.orderAll(operators.Lakehouse
+        .snapshotOf(spark, operators.Lakehouse.s33Manifest(log, v))).collect()
+      val want = Tables.orderAll(expect(v)).collect()
+      assert(got.toSeq === want.toSeq, s"replayed snapshot $v diverges")
+    }
+    // delta-sized pointers: every action commit's payload is a fraction
+    // of a checkpoint's (the compaction commit carries 4 lines; the v7
+    // checkpoint carries the whole file inventory)
+    def bytes(name: String): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(log, name))
+    val ckptBytes = bytes("v00007.ckpt")
+    for (v <- Seq(0, 4, 8, 9))
+      assert(bytes(f"v$v%05d.ptr") < ckptBytes,
+        s"action commit $v should be smaller than the checkpoint")
+    // the feed composes over replayed manifests: 8->9 is a monotone
+    // window (one append — all inserts); 6->7 contains the rewrite and
+    // refuses
+    val feed = operators.Lakehouse.cdfDiff(spark,
+      operators.Lakehouse.s33Manifest(log, 8),
+      operators.Lakehouse.s33Manifest(log, 9), "l_orderkey", "8->9")
+    val classes = feed.select("change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(classes === Set("insert"))
+    assert(feed.count() ===
+      li.filter(pmod(col("l_orderkey"), lit(10)) === 7).count())
+    val exRw = intercept[IllegalArgumentException] {
+      operators.Lakehouse.cdfDiff(spark,
+        operators.Lakehouse.s33Manifest(log, 6),
+        operators.Lakehouse.s33Manifest(log, 7), "l_orderkey", "6->7")
+    }
+    assert(exRw.getMessage.contains("rewrite"))
+    // LOG TRUNCATION (the retention story): expire everything below the
+    // newest checkpoint — pointers v0-v6 and the v3 checkpoint gone; the
+    // head and every version >= 7 stay readable, v5 refuses loudly
+    for (v <- 0 to 6)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(log, f"v$v%05d.ptr"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(log, "v00003.ckpt"))
+    val headAfter = Tables.orderAll(operators.Lakehouse
+      .snapshotOf(spark, operators.Lakehouse.s33Manifest(log, 9))).collect()
+    assert(headAfter.toSeq === Tables.orderAll(expect(9)).collect().toSeq,
+      "truncation must not touch the head")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s33Manifest(log, 5)
+    }
+    assert(ex.getMessage.contains("expired"))
+  }
 }
