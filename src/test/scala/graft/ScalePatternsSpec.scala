@@ -450,6 +450,32 @@ class ScalePatternsSpec extends SparkSuite {
     assert(llm.CorpusStats.n(other) === other.count())
   }
 
+  // shared records-read instrument for the growth-law tests: total task
+  // input records across every job the body runs (listener-bus flushed
+  // on both sides so attribution never leaks across measurements)
+  private val recs = new java.util.concurrent.atomic.AtomicLong
+  private val recsListener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null)
+        recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+  }
+  private def measure(body: => Unit): Long = {
+    org.apache.spark.GraftSparkBridge
+      .waitListenerBusEmpty(spark.sparkContext, 10000L)
+    recs.set(0L)
+    spark.sparkContext.addSparkListener(recsListener)
+    try {
+      body
+      org.apache.spark.GraftSparkBridge
+        .waitListenerBusEmpty(spark.sparkContext, 10000L)
+    } finally spark.sparkContext.removeSparkListener(recsListener)
+    recs.get
+  }
+
+  private def growthAlpha(a: Long, b: Long): Double =
+    math.log(b.toDouble / a) / math.log(10.0)
+
   test("CDC growth law: change-feed records-read ~constant as the table " +
       "10×'s at FIXED delta (cost ∝ delta); snapshot recompute grows ~linearly") {
     // The change-feed family's central scale claim, MEASURED: build the
@@ -488,25 +514,6 @@ class ScalePatternsSpec extends SparkSuite {
           .map(("add", _)) :+ (("dv", s"$root/dv1")))
       log
     }
-    val recs = new java.util.concurrent.atomic.AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-    }
-    def measure(body: => Unit): Long = {
-      org.apache.spark.GraftSparkBridge
-        .waitListenerBusEmpty(spark.sparkContext, 10000L)
-      recs.set(0L)
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        body
-        org.apache.spark.GraftSparkBridge
-          .waitListenerBusEmpty(spark.sparkContext, 10000L)
-      } finally spark.sparkContext.removeSparkListener(listener)
-      recs.get
-    }
     val (n1, n10) = (20000L, 200000L)
     val (log1, log10) = (build(n1, "s"), build(n10, "l"))
     val feed1 = measure {
@@ -521,8 +528,7 @@ class ScalePatternsSpec extends SparkSuite {
     val snap10 = measure {
       operators.Lakehouse.s28Snapshot(spark, log10, 1).count(); ()
     }
-    def alpha(a: Long, b: Long): Double = math.log(b.toDouble / a) / math.log(10.0)
-    val (aFeed, aSnap) = (alpha(feed1, feed10), alpha(snap1, snap10))
+    val (aFeed, aSnap) = (growthAlpha(feed1, feed10), growthAlpha(snap1, snap10))
     info(f"feed records $feed1 -> $feed10 (alpha=$aFeed%.2f); " +
       f"snapshot $snap1 -> $snap10 (alpha=$aSnap%.2f)")
     assert(feed1 > 0 && feed10 > 0)
@@ -535,5 +541,76 @@ class ScalePatternsSpec extends SparkSuite {
     // instrument distinguishes the two shapes
     assert(aSnap > 0.7,
       f"snapshot contrast unexpectedly flat (alpha=$aSnap%.2f)")
+  }
+
+  test("row-lineage feed growth law: s31Cdf records-read ~constant as the " +
+      "table 10×'s at FIXED delta, with a compaction INSIDE the window") {
+    // the s31 walker's scale claim, measured the same way: a window
+    // containing [merge, compaction, merge] at n and 10n rows with the
+    // same absolute per-merge delta; the walker reads the two merges'
+    // delta files + touched pre-image files and only POINTER IO for the
+    // rewrite — the feed must not inherit the compaction's table-sized
+    // footprint
+    def build(n: Long, tag: String): String = {
+      val root = Tables.scratchPath(s"s31_law_$tag", sf)
+      val log = s"$root/log"
+      operators.Lakehouse.wipeLog(log)
+      val t = spark.range(n).select(col("id").as("o_orderkey"),
+        (col("id") % 3).cast("string").as("o_orderstatus"),
+        (col("id") % 997).cast("double").as("o_totalprice"),
+        (col("id") + 3000000000L).as("_row_id"))
+      val files = (n / 2500).toInt.max(2)
+      t.repartitionByRange(files, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/base")
+      val baseAdds = operators.Lakehouse.listDataFiles(s"$root/base")
+        .map(("add", _))
+      operators.Lakehouse.s28Commit(spark, log, 0, baseAdds)
+      // v1 MERGE: fixed 100-key update delta, range-clustered → O(1) files
+      val upd = col("o_orderkey") < 100
+      spark.read.parquet(s"$root/base").filter(upd)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$root/dv1")
+      t.filter(upd).withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add1")
+      operators.Lakehouse.s28Commit(spark, log, 1,
+        baseAdds ++ operators.Lakehouse.listDataFiles(s"$root/add1")
+          .map(("add", _)) :+ (("dv", s"$root/dv1")))
+      // v2 COMPACTION (declared no-data-change) — table-sized WRITE cost
+      // paid by the build, which the feed must NOT inherit
+      operators.Lakehouse.s28Snapshot(spark, log, 1)
+        .repartitionByRange(files, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val ncAdds = operators.Lakehouse.listDataFiles(s"$root/compact")
+        .map(("addnc", _))
+      operators.Lakehouse.s28Commit(spark, log, 2, ncAdds)
+      // v3 MERGE against the compacted files: another fixed 100-key delta
+      val upd2 = col("o_orderkey") >= 200 && col("o_orderkey") < 300
+      val snap2 = spark.read.parquet(s"$root/compact")
+      snap2.filter(upd2)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$root/dv3")
+      snap2.filter(upd2)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add3")
+      operators.Lakehouse.s28Commit(spark, log, 3,
+        ncAdds ++ operators.Lakehouse.listDataFiles(s"$root/add3")
+          .map(("add", _)) :+ (("dv", s"$root/dv3")))
+      log
+    }
+    val (log1, log10) = (build(20000L, "s"), build(200000L, "l"))
+    val f1 = measure {
+      operators.Lakehouse.s31Cdf(spark, log1, 0, 3, "_row_id").count(); ()
+    }
+    val f10 = measure {
+      operators.Lakehouse.s31Cdf(spark, log10, 0, 3, "_row_id").count(); ()
+    }
+    val a = growthAlpha(f1, f10)
+    info(f"s31 feed records $f1 -> $f10 (alpha=$a%.2f) across a rewrite")
+    assert(f1 > 0 && f10 > 0)
+    assert(a < 0.3,
+      f"row-lineage feed scaled with the table (alpha=$a%.2f: " +
+        s"$f1 -> $f10 records for 10x rows at fixed delta)")
   }
 }
