@@ -1599,8 +1599,14 @@ object Lakehouse extends QueryModule {
     * leaving the head readable while expired versions refuse, and
     * cdfDiff composing over replayed manifests (monotone windows serve,
     * the rewrite window refuses). */
-  def s33(spark: SparkSession, dir: String): DataFrame = {
-    val root = Tables.scratchPath("s33_table", dir)
+  /** Build the 10-commit action-log table under the given scratch name
+    * (s33 and s34 each own a root — s34's vacuum DELETES files):
+    * v0..v6 chunk appends, v7 compaction of chunks 0-2 (rm+add), v8 a
+    * positional DELETE (dv action), v9 one more append; checkpoints at
+    * v3 and v7. Returns the log path. */
+  private[graft] def s33Build(spark: SparkSession, dir: String,
+      name: String): String = {
+    val root = Tables.scratchPath(name, dir)
     val log = s"$root/log"
     wipeLog(log)
     val li = Tables.lineitem(spark, dir)
@@ -1636,18 +1642,97 @@ object Lakehouse extends QueryModule {
     li.filter(pmod(col("l_orderkey"), lit(10)) === 7)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/chunk7")
     commit(9, listDataFiles(s"$root/chunk7").map(("add", _)))
-    def stats(df: DataFrame, phase: String): DataFrame = df
-      .groupBy("ship_month")
-      .agg(count(lit(1)).as("n_rows"),
-        sum("l_orderkey").cast("bigint").as("key_sum"),
-        min("l_extendedprice").as("min_price"),
-        max("l_extendedprice").as("max_price"))
-      .withColumn("phase", lit(phase))
-    stats(snapshotOf(spark, s33Manifest(log, 9)), "head")
-      .unionByName(stats(snapshotOf(spark, s33Manifest(log, 5)), "v5"))
+    log
+  }
+
+  private def s33Stats(df: DataFrame, phase: String): DataFrame = df
+    .groupBy("ship_month")
+    .agg(count(lit(1)).as("n_rows"),
+      sum("l_orderkey").cast("bigint").as("key_sum"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"))
+    .withColumn("phase", lit(phase))
+
+  def s33(spark: SparkSession, dir: String): DataFrame = {
+    val log = s33Build(spark, dir, "s33_table")
+    s33Stats(snapshotOf(spark, s33Manifest(log, 9)), "head")
+      .unionByName(s33Stats(snapshotOf(spark, s33Manifest(log, 5)), "v5"))
       .select("phase", "ship_month", "n_rows", "key_sum",
         "min_price", "max_price")
       .orderBy("phase", "ship_month")
+  }
+
+  // ---------------------------------------------------------------- s34
+
+  /** VACUUM for the action log — s22's retention set-algebra applied to
+    * the pointer-log family, with the checkpoint subtlety real formats
+    * handle: retained versions may replay from a checkpoint BELOW the
+    * retention boundary, so the vacuum first MATERIALIZES a checkpoint
+    * at `retainFrom` (from the replayed manifest — pointer IO), then
+    * expires every pointer/checkpoint below it and physically deletes
+    * every data/DV file no retained version references (executor-side,
+    * s22Vacuum verbatim — at 100 TB a distributed object-store delete).
+    * Returns (data files deleted, pointer files expired). Retained reads
+    * are untouched by construction; expired versions refuse with the
+    * retention contract named. */
+  private[graft] def s34Vacuum(spark: SparkSession, log: String,
+      retainFrom: Int): (Long, Long) = {
+    val head = s24Current(log)
+    require(retainFrom >= 0 && retainFrom <= head,
+      s"retainFrom $retainFrom outside the log's committed range 0..$head")
+    val dir = java.nio.file.Paths.get(log)
+    // 1. checkpoint the retention boundary, so no retained replay ever
+    //    needs an expired pointer
+    if (!java.nio.file.Files.exists(dir.resolve(ckptName(retainFrom)))) {
+      s24TryCommitNamed(log, ckptName(retainFrom),
+        s28Payload(s33Manifest(log, retainFrom)))
+      ()
+    }
+    // 2. data-file retention: (version, file) rows for every readable
+    //    version (planner metadata), then s22's algebra — delete exactly
+    //    referenced(expired) \ referenced(retained)
+    import spark.implicits._
+    def filesOf(v: Int): Seq[String] = {
+      val m = s33Manifest(log, v)
+      addPaths(m) ++ manifestPaths(m, "dv").flatMap(listDataFiles)
+    }
+    val rows = (0 to head).flatMap { v =>
+      try filesOf(v).map((v, _))
+      catch { case _: IllegalArgumentException => Seq.empty } // pre-expired
+    }
+    val (_, nData) = s22Vacuum(spark, rows.toDF("snapshot", "path"), retainFrom)
+    // 3. expire the pointers and superseded checkpoints below the boundary
+    var nPtr = 0L
+    for (v <- 0 until retainFrom; n <- Seq(ptrName(v), ckptName(v)))
+      if (java.nio.file.Files.deleteIfExists(dir.resolve(n))) nPtr += 1
+    (nData, nPtr)
+  }
+
+  /** s34: LOG RETENTION + VACUUM — the lifecycle close of the action-log
+    * family (Delta VACUUM + log cleanup on _delta_log): after vacuuming
+    * the 10-commit s33-shaped table with retention at v8, the three
+    * pre-compaction chunk files (referenced only by expired versions)
+    * are physically gone, the ten expired pointer files (v0-v7 pointers
+    * + the v3/v7 checkpoints, both superseded by the new v8 boundary
+    * checkpoint) are expired, the head reads byte-identically, and a
+    * pre-retention version refuses. The oracle restates the head (chunks
+    * 0-7 minus the DV'd rows) plus the three deterministic observables;
+    * LakehouseSpec pins the filesystem walk (deleted ∩ retained = ∅ and
+    * nothing expired survives), byte-identity pre/post, idempotence
+    * (rerun deletes nothing), and the feed still composing on retained
+    * windows. */
+  def s34(spark: SparkSession, dir: String): DataFrame = {
+    val log = s33Build(spark, dir, "s34_table")
+    val (nData, nPtr) = s34Vacuum(spark, log, retainFrom = 8)
+    val refused =
+      try { s33Manifest(log, 5); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    s33Stats(snapshotOf(spark, s33Manifest(log, 9)), "head")
+      .drop("phase")
+      .withColumn("n_data_deleted", lit(nData))
+      .withColumn("n_ptr_expired", lit(nPtr))
+      .withColumn("expired_refuses", lit(refused))
+      .orderBy("ship_month")
   }
 
   // ------------------------------------------------------------ registry
@@ -1668,7 +1753,8 @@ object Lakehouse extends QueryModule {
     "s30_conflict_detection" -> s30,
     "s31_row_lineage_cdf" -> s31,
     "s32_wap_branch" -> s32,
-    "s33_action_log" -> s33)
+    "s33_action_log" -> s33,
+    "s34_log_vacuum" -> s34)
 
   val oracles: Map[String, String] = Map(
     // s22: snapshot 3 (the compaction rewrite) holds the WHOLE table, so
@@ -1917,5 +2003,24 @@ object Lakehouse extends QueryModule {
         |       CAST(SUM(l_orderkey) AS BIGINT),
         |       MIN(l_extendedprice), MAX(l_extendedprice)
         |FROM v5 GROUP BY 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // s34: the post-vacuum head == s33's head phase (retention must not
+    // move a retained byte); the observables are layout constants — 3
+    // pre-compaction chunk files deleted (each chunk lands as one file;
+    // only chunks 0-2 lose their last reference at retainFrom=8), 10
+    // pointer files expired (v0-v7 pointers + the v3 and v7 checkpoints,
+    // superseded by the materialized v8 boundary checkpoint), and the
+    // pre-retention version refusing
+    "s34_log_vacuum" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price,
+        |       3 AS n_data_deleted, 10 AS n_ptr_expired,
+        |       1 AS expired_refuses
+        |FROM lineitem
+        |WHERE l_orderkey % 10 <= 7
+        |  AND NOT (l_quantity < 2.0 AND l_orderkey % 10 <= 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

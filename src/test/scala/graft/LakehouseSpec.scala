@@ -734,4 +734,41 @@ class LakehouseSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("expired"))
   }
+
+  test("s34: vacuum deletes exactly the expired-only files; retained head " +
+      "byte-identical; expired versions refuse; idempotent; feed survives") {
+    val log = operators.Lakehouse.s33Build(spark, sf, "s34_spec")
+    val root = Tables.scratchPath("s34_spec", sf)
+    val pre = Tables.orderAll(operators.Lakehouse
+      .snapshotOf(spark, operators.Lakehouse.s33Manifest(log, 9))).collect()
+    val (nData, nPtr) = operators.Lakehouse.s34Vacuum(spark, log, 8)
+    assert(nData === 3L, s"expected the 3 pre-compaction chunk files, got $nData")
+    assert(nPtr === 10L, s"expected 8 pointers + 2 checkpoints, got $nPtr")
+    // filesystem walk: chunks 0-2 gone, everything a retained version
+    // references still present
+    for (i <- 0 to 2)
+      assert(operators.Lakehouse.listDataFiles(s"$root/chunk$i").isEmpty,
+        s"chunk$i must be physically deleted")
+    for (d <- Seq("chunk3", "chunk4", "chunk5", "chunk6", "chunk7",
+        "compact012", "dv8"))
+      assert(operators.Lakehouse.listDataFiles(s"$root/$d").nonEmpty,
+        s"$d is referenced by a retained version and must survive")
+    // the retained head reads byte-identically post-vacuum
+    val post = Tables.orderAll(operators.Lakehouse
+      .snapshotOf(spark, operators.Lakehouse.s33Manifest(log, 9))).collect()
+    assert(post.toSeq === pre.toSeq)
+    // a pre-retention version refuses with the contract named
+    val ex = intercept[IllegalArgumentException] {
+      operators.Lakehouse.s33Manifest(log, 5)
+    }
+    assert(ex.getMessage.contains("expired"))
+    // idempotence: nothing left to delete or expire
+    assert(operators.Lakehouse.s34Vacuum(spark, log, 8) === ((0L, 0L)))
+    // the change feed still composes on the retained window
+    val feed = operators.Lakehouse.cdfDiff(spark,
+      operators.Lakehouse.s33Manifest(log, 8),
+      operators.Lakehouse.s33Manifest(log, 9), "l_orderkey", "8->9")
+    assert(feed.select("change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("insert"))
+  }
 }
