@@ -563,10 +563,16 @@ object History extends QueryModule {
     val lake = graft.operators.Lakehouse
     val log = lake.s31Table(spark, dir)
     val feed = lake.s31Cdf(spark, log, 0, 3, "_row_id")
+      .localCheckpoint() // consumed by the fold AND the observable below
+    // DATA-DERIVED observable: commits in the window minus commits the
+    // feed actually tagged — a walker that misclassified the rewrite as
+    // a data commit would tag version-2 rows and read 0 here, failing
+    // the oracle even if the aggregates happened to coincide
+    val skipped = 3L - feed.select("commit_version").distinct().count()
     cdfSurface(cdfFold(
       cdfViewOf(lake.s28Snapshot(spark, log, 0)),
       cdfSigned(feed)))
-      .withColumn("rewrites_skipped", lit(1))
+      .withColumn("rewrites_skipped", lit(skipped))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

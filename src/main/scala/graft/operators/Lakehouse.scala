@@ -1688,23 +1688,35 @@ object Lakehouse extends QueryModule {
         s28Payload(s33Manifest(log, retainFrom)))
       ()
     }
-    // 2. data-file retention: (version, file) rows for every readable
-    //    version (planner metadata), then s22's algebra — delete exactly
-    //    referenced(expired) \ referenced(retained)
+    // 2. gather (version, file) reference rows for every readable version
+    //    (planner metadata) BEFORE any expiry — the expired manifests are
+    //    the only record of what they referenced. An already-expired
+    //    version below the boundary is lawful (a previous partial vacuum);
+    //    a RETAINED version that fails to replay is corruption and must
+    //    propagate loudly, never read as "references nothing" (which
+    //    would mis-compute its files as deletable).
     import spark.implicits._
     def filesOf(v: Int): Seq[String] = {
       val m = s33Manifest(log, v)
       addPaths(m) ++ manifestPaths(m, "dv").flatMap(listDataFiles)
     }
     val rows = (0 to head).flatMap { v =>
-      try filesOf(v).map((v, _))
-      catch { case _: IllegalArgumentException => Seq.empty } // pre-expired
+      if (v >= retainFrom) filesOf(v).map((v, _))
+      else
+        try filesOf(v).map((v, _))
+        catch { case _: IllegalArgumentException => Seq.empty } // pre-expired
     }
-    val (_, nData) = s22Vacuum(spark, rows.toDF("snapshot", "path"), retainFrom)
-    // 3. expire the pointers and superseded checkpoints below the boundary
+    // 3. expire the pointers and superseded checkpoints below the
+    //    boundary FIRST, so no reader can resolve a version whose data
+    //    files are about to disappear — expired versions refuse with the
+    //    retention contract named, never a scan-time file-not-found. A
+    //    crash between this step and the delete below leaks orphaned
+    //    files (re-claimable by a listing GC), never a broken read.
     var nPtr = 0L
     for (v <- 0 until retainFrom; n <- Seq(ptrName(v), ckptName(v)))
       if (java.nio.file.Files.deleteIfExists(dir.resolve(n))) nPtr += 1
+    // 4. physically delete referenced(expired) \ referenced(retained)
+    val (_, nData) = s22Vacuum(spark, rows.toDF("snapshot", "path"), retainFrom)
     (nData, nPtr)
   }
 

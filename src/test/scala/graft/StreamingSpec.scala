@@ -831,7 +831,8 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("t31: consumer restart mid-version-sequence resumes from persisted " +
-      "state; redelivered notifications are idempotent; gaps refuse") {
+      "state; redelivered notifications are idempotent; out-of-order hints " +
+      "catch up; past-head hints refuse") {
     val root = Tables.scratchPath("t31_spec", sf)
     def rm(p: String): Unit = {
       def go(f: java.io.File): Unit = {
