@@ -21,7 +21,21 @@ import org.apache.spark.sql.SparkSession
   * memo-discipline comment at the sweep loop).
   */
 object Bench {
+  /** First three fields of /proc/loadavg (1/5/15-min host load), or
+    * "unavailable" off-Linux. Stamped into bench_full.json `context` and
+    * around each fresh-probe child: r14's regressions were narratively
+    * attributed to a loaded host that no artifact recorded, so the
+    * exoneration could not be mechanical. Now every sweep carries its
+    * own load evidence.
+    */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // comma-separated id filter for fresh-JVM single-query triage;
@@ -151,6 +165,7 @@ object Bench {
     case class QueryResult(name: String, best: Either[String, Double],
       gcSec: Double, runs: (Either[String, Double], Either[String, Double]),
       memoPre: Long, memoCold: Int)
+    val loadSweep = loadavg() // load right as the timed loop begins
     val results = SparkEntry.queries.filter(q => only.forall(_(q._1)))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       currentQuery = name
@@ -231,6 +246,10 @@ object Bench {
         regressedIds.map(_ -> "regression")).groupBy(_._1)
         .map { case (n, ts) => n -> ts.map(_._2).distinct.sorted.mkString("+") }
         .toSeq.sortBy(_._1)
+    // loadavg around the fresh-probe child: a probe that reads HIGHER
+    // than in-sweep (r14's h15) is only interpretable if the load under
+    // which it ran is on record
+    var probeLoad: Seq[(String, String)] = Seq.empty
     val freshProbe: Seq[(String, Double)] =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_FRESH_PROBE").contains("0"))
         Seq.empty
@@ -238,6 +257,7 @@ object Bench {
         case tail if tail.isEmpty => Seq.empty
         case tail =>
           try {
+            probeLoad = Seq("start" -> loadavg())
             import scala.jdk.CollectionConverters._
             val javaBin = java.nio.file.Paths
               .get(System.getProperty("java.home"), "bin", "java").toString
@@ -265,6 +285,7 @@ object Bench {
               if (done) new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
               else ""
             java.nio.file.Files.deleteIfExists(outFile)
+            probeLoad = probeLoad :+ ("end" -> loadavg())
             Harness.parseBenchQueries(out)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] fresh probe failed: ${e.getMessage}")
@@ -316,6 +337,8 @@ object Bench {
     // across rounds needs a mechanical flag, not a prose note
     val ctx = s""""context":{"xmx_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
       s""""cpus":$cpus,"java":"${System.getProperty("java.version")}",""" +
+      s""""loadavg_start":"$loadStart","loadavg_sweep":"$loadSweep",""" +
+      s""""loadavg_end":"${loadavg()}",""" +
       s""""semantics":"memo-cold-best-of-2"}"""
     // JSON string escape for error details (class names / messages can
     // carry quotes, newlines, control chars)
@@ -342,6 +365,7 @@ object Bench {
       s""""memo_cold":${nJson(memoColdByQuery)},""" +
       s""""fresh_probe":${qsJson(freshProbe.sortBy(_._1))},""" +
       s""""fresh_probe_trigger":${sJson(probeTrigger)},""" +
+      s""""fresh_probe_loadavg":${sJson(probeLoad)},""" +
       s""""failed":$failedJson,"errors":${sJson(errors)},""" +
       s""""job_failures":$jobFailJson,"sf":"$sfDir"}"""
     // a filtered triage run must not clobber the full sweep's record
