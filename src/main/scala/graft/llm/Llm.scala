@@ -45,18 +45,46 @@ object Llm extends QueryModule {
       .orderBy("keep_id")
 
   /** Word-3-shingles of lowered text, distinct per doc, over any
-    * (doc_id, text) frame. */
+    * (doc_id, text) frame.
+    *
+    * Dedup is per-doc ((doc_id, sh) rows are what downstream consumes),
+    * so it runs MAP-SIDE as array_distinct over the in-row shingle list
+    * before the explode — a set-identical result with ZERO exchange.
+    * The old global `.distinct()` was semantically the same dedup but
+    * paid a full shuffle of every (doc_id, shingle) row: the largest
+    * exchange in the dedup spine, carried by every consumer (l02 pair
+    * graph, l25/l54 band indexes, l56's truth join, l63-l65 via the
+    * shared spine). At 100 TB that exchange is corpus-shingle-sized;
+    * the map-side form ships nothing. */
+  /** Spread a small-scan input across the session's cores before the
+    * shingle/minhash compute. The map-side distinct below removed the
+    * spine's shuffle, but with it went the RE-PARTITIONING that shuffle
+    * provided: a corpus that planner-packs into fewer splits than the
+    * session has cores (the sf0.1 bench: one parquet file = one split)
+    * would run the whole extraction+minhash serially. The decision is
+    * planner METADATA (no job): when the scan already yields at least
+    * half the default parallelism — any at-scale corpus — this is a
+    * no-op and the spine stays exchange-free up to the doc_id partial
+    * agg; when it does not, ONE hash exchange of (doc_id, text) rows
+    * (fewer bytes than the old shingle-row shuffle, ~1/3) restores
+    * parallelism AND pre-partitions by doc_id, so bandSignatures'
+    * groupBy(doc_id) reuses it instead of adding its own. */
+  private def spreadDocs(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions * 2 >= want) docs
+    else docs.repartition(col("doc_id"))
+  }
+
   private[llm] def shinglesOf(docs: DataFrame): DataFrame =
-    docs
+    spreadDocs(docs)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // docs under 3 words have no 3-shingles; without the guard
       // sequence(1, size(w)-2) turns DESCENDING ([1,0]) and element_at(w,0)
       // is a runtime error (DuckDB's range is empty for the same input)
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))
+        "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
         .as("sh"))
-      .distinct()
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
@@ -198,6 +226,17 @@ object Llm extends QueryModule {
       docs.queryExecution.normalized, (jaccMin, bucketCap)) {
       minHashNearDupPairsUncached(docs, jaccMin, bucketCap)
     }
+
+  /** The UNCHECKPOINTED pair spine, for plan evidence only (PlanDump):
+    * the registered queries return memoized/localCheckpoint-materialized
+    * frames whose plans are opaque RDD scans, so the optimization rounds
+    * dump this frame's plan to show the spine's exchange structure. Not
+    * used by any registered query. */
+  def pairSpineForPlan(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
+    verifiedPairsFrom(sh, bandSignatures(sh), 0.4, BandBucketCap)
+      .orderBy("a", "b")
+  }
 
   private def minHashNearDupPairsUncached(docs: DataFrame, jaccMin: Double,
       bucketCap: Int): DataFrame = {
