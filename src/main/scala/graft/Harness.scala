@@ -79,6 +79,35 @@ object Harness {
           .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
 
+  /** Overlap INDEPENDENT Spark actions (optimization guide §2.6): the
+    * scheduler happily runs several jobs at once inside one application —
+    * actions are only sequential because driver code calls them
+    * sequentially. A sink-family builder is a chain of small write jobs
+    * whose per-job tail (last task + commit + planning gap) leaves the
+    * executor pool idle; submitting the independent ones from a small
+    * thread pool lets the next job's tasks back-fill that tail. FIFO
+    * scheduling (the default) gives exactly the back-fill behaviour.
+    * At a LOWER core count the jobs simply share the pool — total CPU
+    * work is unchanged, so the driver's scaling run is not penalized.
+    * The first failure propagates loudly (same contract as sequential
+    * execution); remaining tasks are awaited so no write is in flight
+    * when the caller proceeds. */
+  def inParallel[T](fs: Seq[() => T]): Seq[T] = {
+    if (fs.sizeIs <= 1) fs.map(_())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(fs.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            fs.map(f => scala.concurrent.Future(f()))),
+          scala.concurrent.duration.Duration(20, "min"))
+      finally pool.shutdown()
+    }
+  }
+
   /** Full sweep-state drain. Caches pinned inside a query (l02
     * shingles, ODM explode levels) must not outlive its run — pinned
     * storage memory starves later sort-heavy runs of execution memory →

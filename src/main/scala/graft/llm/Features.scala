@@ -73,12 +73,16 @@ object Features extends QueryModule {
     val cut = states.agg(expr("(min(ts_ms) + max(ts_ms)) div 2"))
       .collect()(0).getLong(0) // 1-row parameter fetch
     val delta = col("ts_ms") > cut && pmod(col("user_id"), lit(4)) === 0
-    states.filter(!delta)
-      .repartition(2).write.mode("overwrite").parquet(s"$root/dim0")
+    // the two dimension batches derive from disjoint slices and land in
+    // different directories — overlapped (guide §2.6); pointer commits
+    // follow in version order (driver-side IO, same committed bytes)
+    graft.Harness.inParallel(Seq(
+      () => states.filter(!delta)
+        .repartition(2).write.mode("overwrite").parquet(s"$root/dim0"),
+      () => states.filter(delta)
+        .repartition(1).write.mode("overwrite").parquet(s"$root/dim1delta")))
     val adds0 = Lakehouse.listDataFiles(s"$root/dim0").map(("add", _))
     Lakehouse.s28Commit(spark, log, 0, adds0)
-    states.filter(delta)
-      .repartition(1).write.mode("overwrite").parquet(s"$root/dim1delta")
     Lakehouse.s28Commit(spark, log, 1,
       adds0 ++ Lakehouse.listDataFiles(s"$root/dim1delta").map(("add", _)))
     // bootstrap: the corpus-sized PIT join runs once, persisted parquet
@@ -139,17 +143,19 @@ object Features extends QueryModule {
     val cut = states.agg(expr("(min(ts_ms) + max(ts_ms)) div 2"))
       .collect()(0).getLong(0) // 1-row parameter fetch (l66's cut)
     val delta = col("ts_ms") > cut && pmod(col("user_id"), lit(4)) === 0
-    states.filter(!delta)
-      .repartition(2).write.mode("overwrite").parquet(s"$root/dim0")
+    // the base dimension and the day's delta derive from disjoint slices
+    // and land in different directories — overlapped (guide §2.6); the
+    // delta is still on disk before the maintenance below derives from it
+    graft.Harness.inParallel(Seq(
+      () => states.filter(!delta)
+        .repartition(2).write.mode("overwrite").parquet(s"$root/dim0"),
+      () => states.filter(delta)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/dim1delta")))
     val dim0Adds = Lakehouse.listDataFiles(s"$root/dim0").map(("dim.add", _))
     pit(facts, spark.read.parquet(s"$root/dim0"))
       .repartition(2).write.mode("overwrite").parquet(s"$root/ft0")
     val ft0Adds = Lakehouse.listDataFiles(s"$root/ft0").map(("feat.add", _))
     Lakehouse.s28Commit(spark, log, 0, dim0Adds ++ ft0Adds)
-    // the day's delta, written first so the maintenance below derives
-    // from exactly the artifact the commit will reference
-    states.filter(delta)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/dim1delta")
     val changed = spark.read.parquet(s"$root/dim1delta")
       .select("user_id").distinct() // delta-sized by construction
     // feature maintenance as merge-on-read: changed users' stale rows

@@ -44,12 +44,15 @@ object Lakehouse extends QueryModule {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-    li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
-      .repartition(4)
-      .write.mode("overwrite").parquet(s"$root/commit=1")
-    li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
-      .repartition(2)
-      .write.mode("overwrite").parquet(s"$root/commit=2")
+    // commits 1 and 2 derive from disjoint slices and land in different
+    // directories — independent writes, overlapped per guide §2.6
+    graft.Harness.inParallel(Seq(
+      () => li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/commit=1"),
+      () => li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$root/commit=2")))
     val snap2Files = listDataFiles(s"$root/commit=1") ++ listDataFiles(s"$root/commit=2")
     spark.read.parquet(snap2Files: _*)
       .repartitionByRange(3, col("l_orderkey"))
@@ -195,23 +198,55 @@ object Lakehouse extends QueryModule {
     * s22Vacuum applies verbatim (v1 = snapshot 1, v2 = snapshot 2). */
   private[graft] def s23Build(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = Tables.scratchPath("s23_table", dir)
+    deleteRecursively(root) // a rerun replays the build from empty
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-    // simulate an incremental writer: each group lands as its own append,
-    // fragmenting every month into one file per group that has rows there
-    for (g <- 0 until 4)
+    // simulate FOUR incremental writers, each landing as its own append
+    // and fragmenting every month into one file per group with rows
+    // there. The four writer images are INDEPENDENT, so they run
+    // CONCURRENTLY (guide §2.6 — overlap independent jobs), each staged
+    // to its own directory (concurrent appends into ONE root would race
+    // in the committer's shared _temporary) and then PROMOTED into the
+    // table root by rename — the "write where you land, commit via
+    // metadata" move every table format makes. repartition(ship_month)
+    // keeps each (month, group) slice in exactly one task → one file.
+    val stages = (0 until 4).map(g => s"${root}_stage$g")
+    graft.Harness.inParallel((0 until 4).map { g => () =>
       li.filter(pmod(col("l_orderkey"), lit(4)) === g)
         .repartition(col("ship_month"))
-        .write.mode(if (g == 0) "overwrite" else "append")
-        .partitionBy("ship_month").parquet(root)
-    val fragFiles = listMonthFiles(root)
-    val v1 = fileStats(spark, root, fragFiles)
+        .write.mode("overwrite").partitionBy("ship_month").parquet(stages(g))
+    })
+    // (month, group, promoted path) — the write-side file map
+    val moved: Seq[(String, Int, String)] = (0 until 4).flatMap { g =>
+      promoteMonthFiles(stages(g), root).map { case (m, p) => (m, g, p) }
+    }
+    // v1 stats computed WRITE-SIDE: each (month, group) slice IS one
+    // file's exact contents (the slice was written whole into that one
+    // file), so one aggregate over the source replaces the per-file
+    // rescan of ~300 KB-sized parquet files (each of which cost a whole
+    // scan task under openCostInBytes packing) — the same move real
+    // writers make (Delta/Iceberg record add-file stats AT WRITE TIME,
+    // they never re-read what they just wrote).
+    import spark.implicits._
+    val pathMap = moved.toDF("ship_month", "g", "path")
+    val v1 = li
+      .groupBy(col("ship_month"),
+        pmod(col("l_orderkey"), lit(4)).cast("int").as("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .join(broadcast(pathMap), Seq("ship_month", "g"))
+      .select("ship_month", "path", "n_rows", "min_orderkey",
+        "max_orderkey", "min_price", "max_price")
       .withColumn("snapshot", lit(1)).localCheckpoint()
     // compact ONLY the fragmented-and-hot months (1997), planning the
     // rewrite from the manifest's file list — partitionBy(ship_month)
     // keeps every file single-month, so the 1997 file set IS exactly the
     // rows to rewrite (no other month is read)
+    val fragFiles = listMonthFiles(root)
     val frag97 = v1.filter(col("ship_month").startsWith("1997"))
       .select("path").collect().map(_.getString(0)).sorted.toIndexedSeq
     spark.read.option("basePath", root).parquet(frag97: _*)
@@ -219,12 +254,67 @@ object Lakehouse extends QueryModule {
       .write.mode("append").partitionBy("ship_month").parquet(root)
     val newFiles = listMonthFiles(root).diff(fragFiles)
     // incremental manifest maintenance: non-1997 rows CARRY OVER (their
-    // files were not rescanned); the rewrite delta alone is re-stat'd
+    // files were not rescanned); the rewrite delta's stats FOLD from the
+    // v1 manifest itself (a compacted month's file stats = the monoid
+    // merge of the fragments it replaced — count/min/max compose), so
+    // the delta is re-stat'd from KB-sized planner metadata, not by
+    // re-reading the files just written
+    val nf = newFiles.map(p => (monthOfFile(p), p)).toDF("ship_month", "path")
+    val delta = v1.filter(col("ship_month").startsWith("1997"))
+      .groupBy("ship_month")
+      .agg(sum("n_rows").cast("bigint").as("n_rows"),
+        min("min_orderkey").as("min_orderkey"),
+        max("max_orderkey").as("max_orderkey"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+      .join(broadcast(nf), Seq("ship_month"))
+      .select("ship_month", "path", "n_rows", "min_orderkey",
+        "max_orderkey", "min_price", "max_price")
     val v2 = v1.filter(!col("ship_month").startsWith("1997")).drop("snapshot")
-      .unionByName(fileStats(spark, root, newFiles))
+      .unionByName(delta)
       .withColumn("snapshot", lit(2))
       .localCheckpoint()
     (v1, v2)
+  }
+
+  /** The ship_month value of a data file's enclosing partition dir. */
+  private def monthOfFile(p: String): String = {
+    val d = new java.io.File(p).getParentFile.getName
+    require(d.startsWith("ship_month="), s"not under a month partition: $p")
+    d.substring("ship_month=".length)
+  }
+
+  /** Recursive delete (scratch-table reset before a rebuild). */
+  private[graft] def deleteRecursively(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+
+  /** PROMOTE a staged partitioned write into the table root: every data
+    * file under `stage/ship_month=M/` moves (rename — same filesystem)
+    * to `root/ship_month=M/`, the stage dir is deleted, and the (month,
+    * promoted path) pairs are returned. File names are write-job-unique
+    * (parquet part files carry the job UUID), so concurrent staged
+    * writers never collide in the root. */
+  private def promoteMonthFiles(stage: String,
+      root: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val sd = new java.io.File(stage)
+    for (d <- Option(sd.listFiles()).getOrElse(Array.empty)
+         if d.isDirectory && d.getName.startsWith("ship_month=");
+         f <- listDataFiles(d.getPath)) {
+      val month = d.getName.substring("ship_month=".length)
+      val destDir = java.nio.file.Paths.get(root, d.getName)
+      java.nio.file.Files.createDirectories(destDir)
+      val dest = destDir.resolve(new java.io.File(f).getName)
+      java.nio.file.Files.move(java.nio.file.Paths.get(f), dest)
+      out += ((month, dest.toString))
+    }
+    deleteRecursively(stage)
+    out.toSeq
   }
 
   private def listMonthFiles(root: String): Seq[String] = {
@@ -513,7 +603,6 @@ object Lakehouse extends QueryModule {
     val root = Tables.scratchPath("s27_table", dir)
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
     val matched = pmod(col("o_orderkey"), lit(7)) === 0
     // the MERGE source: updated versions of matched keys + new rows
     val updates = orders.filter(matched)
@@ -522,12 +611,18 @@ object Lakehouse extends QueryModule {
       .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     val dv = Tables.scratchPath("s27_dv", dir)
+    // base and commit-2 both derive from the source relation, not from
+    // each other — overlapped (guide §2.6); only the DV must wait for
+    // base (it references the written files' positions)
+    graft.Harness.inParallel(Seq(
+      () => orders.repartition(4).write.mode("overwrite")
+        .parquet(s"$root/base"),
+      () => updates.unionByName(inserts)
+        .repartition(2).write.mode("overwrite").parquet(s"$root/commit2")))
     spark.read.parquet(s"$root/base").filter(matched)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(dv)
-    updates.unionByName(inserts)
-      .repartition(2).write.mode("overwrite").parquet(s"$root/commit2")
     s25MorRead(spark, root, dv)
       .unionByName(spark.read.parquet(s"$root/commit2"))
       .groupBy("o_orderstatus")
@@ -553,20 +648,37 @@ object Lakehouse extends QueryModule {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-    li.filter(col("ship_month") < "1996-01")
-      .repartitionByRange(4, col("ship_month"))
-      .sortWithinPartitions("ship_month")
-      .write.mode("overwrite").parquet(s"$root/genA")
-    li.filter(col("ship_month") >= "1996-01")
-      .repartition(col("ship_month"))
-      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$root/genB")
+    // the two generations land in DIFFERENT directories and derive from
+    // disjoint slices — independent writes, submitted concurrently
+    // (guide §2.6) instead of back to back
+    graft.Harness.inParallel(Seq(
+      () => li.filter(col("ship_month") < "1996-01")
+        .repartitionByRange(4, col("ship_month"))
+        .sortWithinPartitions("ship_month")
+        .write.mode("overwrite").parquet(s"$root/genA"),
+      () => li.filter(col("ship_month") >= "1996-01")
+        .repartition(col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(s"$root/genB")))
+    // generation A predates partitioning: its month zone maps genuinely
+    // live in the files' contents (range boundaries came from sampling),
+    // so they are read back — 4 files, one small scan
     val mA = spark.read.parquet(s"$root/genA")
       .groupBy(col("_metadata.file_path").as("path"))
       .agg(min("ship_month").as("min_month"), max("ship_month").as("max_month"))
       .withColumn("gen", lit("A"))
-    val mB = spark.read.option("basePath", s"$root/genB").parquet(s"$root/genB")
-      .groupBy(col("_metadata.file_path").as("path"))
-      .agg(min("ship_month").as("min_month"), max("ship_month").as("max_month"))
+    // generation B is partitioned BY the zone column: a file's min and
+    // max month are BOTH the directory key it sits under — planner
+    // metadata the writer already has, no rescan of the files just
+    // written (the write-time-stats move every table format makes)
+    import spark.implicits._
+    val bDir = new java.io.File(s"$root/genB")
+    val mB = Option(bDir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("ship_month="))
+      .flatMap { d =>
+        val m = d.getName.substring("ship_month=".length)
+        listDataFiles(d.getPath).map(p => (p, m, m))
+      }
+      .toDF("path", "min_month", "max_month")
       .withColumn("gen", lit("B"))
     (root, mA.unionByName(mB).select("gen", "path", "min_month", "max_month")
       .localCheckpoint())
@@ -870,22 +982,28 @@ object Lakehouse extends QueryModule {
     wipeLog(log)
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
-    val baseAdds = listDataFiles(s"$root/base").map(("add", _))
-    s28Commit(spark, log, 0, baseAdds)
     val updated = pmod(col("o_orderkey"), lit(7)) === 0
     val deleted = pmod(col("o_orderkey"), lit(5)) === 0 && !updated
+    // base and the v1 append both derive from the source relation —
+    // independent writes, overlapped (guide §2.6); the DV waits for base
+    // (it references written positions). Pointer commits land in version
+    // order afterwards — driver-side pointer IO, same committed bytes.
+    graft.Harness.inParallel(Seq(
+      () => orders.repartition(4).write.mode("overwrite")
+        .parquet(s"$root/base"),
+      () => orders.filter(updated)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+        .repartition(2).write.mode("overwrite").parquet(s"$root/add1")))
     spark.read.parquet(s"$root/base")
       .filter(updated || deleted)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(s"$root/dv1")
-    orders.filter(updated)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_totalprice")))
-      .repartition(2).write.mode("overwrite").parquet(s"$root/add1")
+    val baseAdds = listDataFiles(s"$root/base").map(("add", _))
+    s28Commit(spark, log, 0, baseAdds)
     s28Commit(spark, log, 1,
       baseAdds ++ listDataFiles(s"$root/add1").map(("add", _))
         :+ (("dv", s"$root/dv1")))
@@ -960,15 +1078,18 @@ object Lakehouse extends QueryModule {
         Seq("file_path", "row_index"), "left_anti")).localCheckpoint()
     val upd = pmod(col("o_orderkey"), lit(pUpd)) === 0
     val del = pmod(col("o_orderkey"), lit(pDel)) === 0 && !upd
-    s.filter(upd || del).select("file_path", "row_index")
-      .write.mode("overwrite").parquet(s"$root/dv$step")
     val sData = s.drop("file_path", "row_index")
-    sData.filter(upd)
-      .withColumn("o_totalprice", col("o_totalprice") + priceDelta)
-      .unionByName(sData.filter(pmod(col("o_orderkey"), lit(pIns)) === 0)
-        .select((col("o_orderkey") + shift).as("o_orderkey"),
-          lit(status).as("o_orderstatus"), col("o_totalprice")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/add$step")
+    // DV and append both project the one materialized snapshot and land
+    // in different directories — overlapped (guide §2.6)
+    graft.Harness.inParallel(Seq(
+      () => s.filter(upd || del).select("file_path", "row_index")
+        .write.mode("overwrite").parquet(s"$root/dv$step"),
+      () => sData.filter(upd)
+        .withColumn("o_totalprice", col("o_totalprice") + priceDelta)
+        .unionByName(sData.filter(pmod(col("o_orderkey"), lit(pIns)) === 0)
+          .select((col("o_orderkey") + shift).as("o_orderkey"),
+            lit(status).as("o_orderstatus"), col("o_totalprice")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add$step")))
     s28Commit(spark, log, v + 1,
       adds.map(("add", _)) ++ listDataFiles(s"$root/add$step").map(("add", _))
         ++ dvs.map(("dv", _)) :+ (("dv", s"$root/dv$step")))
@@ -1045,37 +1166,47 @@ object Lakehouse extends QueryModule {
     * that the two sidecars compose order-independently. */
   def s29(spark: SparkSession, dir: String): DataFrame = {
     val root = Tables.scratchPath("s29_table", dir)
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    // equality-delete sidecar: VALUES of the equality column set, the
+    // form a position-blind CDC writer emits — it never reads the base
+    // files, so it writes CONCURRENTLY with the base (guide §2.6); only
+    // the positional DV (which references written positions) waits
+    graft.Harness.inParallel(Seq(
+      () => Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .repartition(4).write.mode("overwrite").parquet(s"$root/base"),
+      () => Tables.lineitem(spark, dir)
+        .filter(pmod(col("l_orderkey"), lit(19)) === 0)
+        .select("l_orderkey").distinct()
+        .write.mode("overwrite").parquet(s"$root/eq")))
     val base = spark.read.parquet(s"$root/base")
     base.filter(col("l_quantity") < 3.0)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(s"$root/dv")
-    // equality-delete sidecar: VALUES of the equality column set, the
-    // form a position-blind CDC writer emits
-    Tables.lineitem(spark, dir)
-      .filter(pmod(col("l_orderkey"), lit(19)) === 0)
-      .select("l_orderkey").distinct()
-      .write.mode("overwrite").parquet(s"$root/eq")
-    val survivors = s29MorRead(spark, root)
-    val nPos = spark.read.parquet(s"$root/dv").count()
-    val nEq = base
+    // both deletion counts ride ONE classification pass (left joins keep
+    // every base row, flags mark which sidecar claimed it) and attach to
+    // the survivors' aggregate as a broadcast 1-row frame — the counts
+    // materialize inside the query's own job instead of two extra
+    // driver-blocking count() jobs ahead of it
+    val dvDf = spark.read.parquet(s"$root/dv")
+    val eqDf = spark.read.parquet(s"$root/eq")
+    val counts = base
       .withColumn("file_path", col("_metadata.file_path"))
       .withColumn("row_index", col("_metadata.row_index"))
-      .join(broadcast(spark.read.parquet(s"$root/dv")),
-        Seq("file_path", "row_index"), "left_anti")
-      .join(broadcast(spark.read.parquet(s"$root/eq")),
-        Seq("l_orderkey"), "left_semi")
-      .count()
-    survivors
+      .join(broadcast(dvDf.withColumn("pos_del", lit(1))),
+        Seq("file_path", "row_index"), "left")
+      .join(broadcast(eqDf.withColumn("eq_del", lit(1))),
+        Seq("l_orderkey"), "left")
+      .agg(
+        sum(when(col("pos_del") === 1, 1L).otherwise(0L)).as("n_pos_del"),
+        sum(when(col("pos_del").isNull && col("eq_del") === 1, 1L)
+          .otherwise(0L)).as("n_eq_del"))
+    s29MorRead(spark, root)
       .groupBy(col("l_quantity").cast("int").as("qty_band"))
       .agg(count(lit(1)).as("n_rows"),
         sum("l_orderkey").cast("bigint").as("key_sum"),
         sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
-      .withColumn("n_pos_del", lit(nPos))
-      .withColumn("n_eq_del", lit(nEq))
+      .crossJoin(broadcast(counts))
       .orderBy("qty_band")
   }
 
@@ -1148,16 +1279,19 @@ object Lakehouse extends QueryModule {
     val v0Adds = listDataFiles(s"$root/base")
     s28Commit(spark, log, 0, v0Adds.map(("add", _)))
     val pred = pmod(col("o_orderkey"), lit(9)) === 0
-    // B derives its positional DV against the v0 snapshot it read
-    spark.read.parquet(v0Adds: _*).filter(pred)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("row_index"))
-      .write.mode("overwrite").parquet(s"$root/dv_b0")
-    // A's compaction wins v1: first two files rewritten range-clustered
     val (rewritten, untouched) = (v0Adds.take(2), v0Adds.drop(2))
-    spark.read.parquet(rewritten: _*)
-      .repartitionByRange(1, col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$root/compact")
+    // B's v0-snapshot DV derivation and A's compaction are the RACING
+    // writers of the scenario — genuinely concurrent work, run
+    // concurrently (guide §2.6): B derives its positional DV against
+    // the v0 snapshot it read while A rewrites the first two files
+    graft.Harness.inParallel(Seq(
+      () => spark.read.parquet(v0Adds: _*).filter(pred)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$root/dv_b0"),
+      () => spark.read.parquet(rewritten: _*)
+        .repartitionByRange(1, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/compact")))
     val v1Adds = listDataFiles(s"$root/compact") ++ untouched
     s28Commit(spark, log, 1, v1Adds.map(("add", _)))
     // B's blind commit loses the race — the put-if-absent rejects it
@@ -1302,24 +1436,29 @@ object Lakehouse extends QueryModule {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (col("o_orderkey") + RowIdBase).as("_row_id"))
-    orders.repartition(4).write.mode("overwrite").parquet(s"$root/base")
+    // v1's append derives from the source relation, not the written
+    // base — it overlaps the base write (guide §2.6); only the DV
+    // (positions in written files) waits for base
+    val upd = pmod(col("o_orderkey"), lit(7)) === 0
+    val del = pmod(col("o_orderkey"), lit(5)) === 0 && !upd
+    graft.Harness.inParallel(Seq(
+      () => orders.repartition(4).write.mode("overwrite")
+        .parquet(s"$root/base"),
+      () => orders.filter(upd)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            (col("o_orderkey") + 100000000L + RowIdV1).as("_row_id")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add1")))
     val baseAdds = listDataFiles(s"$root/base").map(("add", _))
     s28Commit(spark, log, 0, baseAdds)
     // v1 MERGE
-    val upd = pmod(col("o_orderkey"), lit(7)) === 0
-    val del = pmod(col("o_orderkey"), lit(5)) === 0 && !upd
     spark.read.parquet(s"$root/base")
       .filter(upd || del)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(s"$root/dv1")
-    orders.filter(upd)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_totalprice"),
-          (col("o_orderkey") + 100000000L + RowIdV1).as("_row_id")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/add1")
     s28Commit(spark, log, 1,
       baseAdds ++ listDataFiles(s"$root/add1").map(("add", _))
         :+ (("dv", s"$root/dv1")))
@@ -1334,17 +1473,20 @@ object Lakehouse extends QueryModule {
     val upd2 = pmod(col("o_orderkey"), lit(9)) === 0
     val del2 = pmod(col("o_orderkey"), lit(11)) === 0 && !upd2
     val snap2 = spark.read.parquet(s"$root/compact")
-    snap2.filter(upd2 || del2)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("row_index"))
-      .write.mode("overwrite").parquet(s"$root/dv3")
-    snap2.filter(upd2)
-      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
-      .unionByName(snap2.filter(pmod(col("o_orderkey"), lit(17)) === 0)
-        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
-          lit("Q").as("o_orderstatus"), col("o_totalprice"),
-          (col("o_orderkey") + 200000000L + RowIdV3).as("_row_id")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/add3")
+    // the v3 DV and append both read the compacted files and land in
+    // different directories — overlapped (guide §2.6)
+    graft.Harness.inParallel(Seq(
+      () => snap2.filter(upd2 || del2)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$root/dv3"),
+      () => snap2.filter(upd2)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .unionByName(snap2.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("Q").as("o_orderstatus"), col("o_totalprice"),
+            (col("o_orderkey") + 200000000L + RowIdV3).as("_row_id")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/add3")))
     s28Commit(spark, log, 3,
       ncAdds ++ listDataFiles(s"$root/add3").map(("add", _))
         :+ (("dv", s"$root/dv3")))
@@ -1465,24 +1607,29 @@ object Lakehouse extends QueryModule {
     wipeLog(log)
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "text", "n_chars")
-    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      .repartition(2).write.mode("overwrite").parquet(s"$root/base")
+    // the base table and both ingest batches derive from the source
+    // relation and land in different directories — three independent
+    // writes, overlapped (guide §2.6); the stage/audit/publish protocol
+    // stays strictly ordered below (pointer IO + 1-row audit fetches)
+    graft.Harness.inParallel(Seq(
+      () => docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .repartition(2).write.mode("overwrite").parquet(s"$root/base"),
+      // batch A: the %3 cohort with every 6th doc's language corrupted —
+      // the upstream-bug class the audit exists to catch
+      () => docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("lang", when(pmod(col("doc_id"), lit(6)) === 0, lit("zz"))
+          .otherwise(col("lang")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batchA"),
+      // batch B: the same cohort intact, staged on a fresh branch
+      () => docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batchB")))
     val baseAdds = listDataFiles(s"$root/base").map(("add", _))
     s28Commit(spark, log, 0, baseAdds)
-    // batch A: the %3 cohort with every 6th doc's language corrupted —
-    // the upstream-bug class the audit exists to catch
-    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .withColumn("lang", when(pmod(col("doc_id"), lit(6)) === 0, lit("zz"))
-        .otherwise(col("lang")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/batchA")
     s32Stage(log, "ingest-a",
       baseAdds ++ listDataFiles(s"$root/batchA").map(("add", _)))
     val auditA = s32Audit(spark, s32Branch(log, "ingest-a"))
     require(!auditA.forall(_._2), "the corrupted batch must fail its audit")
     require(s24Current(log) == 0, "a failed audit must leave main at v0")
-    // batch B: the same cohort intact, staged on a fresh branch
-    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/batchB")
     s32Stage(log, "ingest-b",
       baseAdds ++ listDataFiles(s"$root/batchB").map(("add", _)))
     require(s32Publish(spark, log, "ingest-b"), "publish must win v1")
@@ -1618,29 +1765,35 @@ object Lakehouse extends QueryModule {
       s33Commit(log, v, actions,
         if (v == 3 || v == 7) Some(manifest) else None)
     }
-    // v0..v6: seven delta-sized appends (chunk i = l_orderkey%10 == i)
-    for (i <- 0 to 6) {
+    // Data-file writes first, pointer commits after: a commit is O(µs)
+    // driver-side pointer IO whose ORDER matters, but the chunk files
+    // are eight INDEPENDENT writes into eight directories — they run
+    // concurrently (guide §2.6) instead of serializing eight scan+write
+    // jobs. v9's chunk7 is also independent of the v7 compaction and
+    // rides the same pool. The log's committed bytes are unchanged:
+    // same actions, same order, same checkpoint contents.
+    graft.Harness.inParallel((0 to 7).map { i => () =>
       li.filter(pmod(col("l_orderkey"), lit(10)) === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$root/chunk$i")
-      commit(i, listDataFiles(s"$root/chunk$i").map(("add", _)))
-    }
-    // v7: COMPACTION of chunks 0-2 — rm the three adds, add the rewrite
+    })
+    // v7's COMPACTION reads chunks 0-2, so it runs after the fan-out
     val rewritten = (0 to 2).flatMap(i => listDataFiles(s"$root/chunk$i"))
     spark.read.parquet(rewritten: _*)
       .repartitionByRange(1, col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$root/compact012")
-    commit(7, rewritten.map(("rm", _))
-      ++ listDataFiles(s"$root/compact012").map(("add", _)))
     // v8: positional DELETE in the compacted file (quantity < 2)
     spark.read.parquet(listDataFiles(s"$root/compact012"): _*)
       .filter(col("l_quantity") < 2.0)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
       .write.mode("overwrite").parquet(s"$root/dv8")
+    // pointer commits, in version order (driver-side, no Spark jobs):
+    // v0..v6 chunk appends, v7 compaction (rm+add), v8 the DV, v9 append
+    for (i <- 0 to 6)
+      commit(i, listDataFiles(s"$root/chunk$i").map(("add", _)))
+    commit(7, rewritten.map(("rm", _))
+      ++ listDataFiles(s"$root/compact012").map(("add", _)))
     commit(8, Seq(("dv", s"$root/dv8")))
-    // v9: one more append
-    li.filter(pmod(col("l_orderkey"), lit(10)) === 7)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/chunk7")
     commit(9, listDataFiles(s"$root/chunk7").map(("add", _)))
     log
   }

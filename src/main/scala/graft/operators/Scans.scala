@@ -92,24 +92,27 @@ object Scans extends QueryModule {
     val tag = base.split('/').last
     val liT = s"${tag}_lineitem"
     val orT = s"${tag}_orders"
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-      // repartition by the bucket key into numBuckets partitions: Spark's
-      // repartition hash == bucket hash, so every task holds exactly one
-      // bucket and writes ONE file — the precondition for the reader to
-      // trust sortBy metadata and skip the below-join sort entirely
-      .repartition(8, col("l_orderkey"))
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem")
-      .saveAsTable(liT)
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderstatus")
-      .repartition(8, col("o_orderkey"))
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders")
-      .saveAsTable(orT)
+    // the two bucketed ingests are independent tables — overlapped
+    // (guide §2.6); each still pays its one bucket-hash shuffle
+    graft.Harness.inParallel(Seq(
+      () => Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        // repartition by the bucket key into numBuckets partitions: Spark's
+        // repartition hash == bucket hash, so every task holds exactly one
+        // bucket and writes ONE file — the precondition for the reader to
+        // trust sortBy metadata and skip the below-join sort entirely
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem")
+        .saveAsTable(liT),
+      () => Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders")
+        .saveAsTable(orT)))
     // off by default since 3.0 (planning-time file listing can be slow on
     // huge tables); safe here because the writer above guarantees ONE file
     // per bucket, which is exactly the case the sorted-scan path requires
@@ -411,15 +414,25 @@ object Scans extends QueryModule {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-    li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
-      .withColumn("batch", lit(1))
-      .write.mode("overwrite").partitionBy("batch").parquet(root)
-    li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
-      .withColumn("batch", lit(2))
-      .write.mode("append").partitionBy("batch").parquet(root)
-    spark.read.parquet(root)
-      .select(col("batch"), col("_metadata.file_path").as("path"))
-      .distinct()
+    // each batch is its own commit into its own partition directory —
+    // independent writes, overlapped (guide §2.6); writing the partition
+    // dirs directly (rather than two serialized partitionBy jobs into one
+    // root, which would race in the shared _temporary) leaves the same
+    // batch=N layout partition discovery reads back
+    Lakehouse.deleteRecursively(root)
+    graft.Harness.inParallel(Seq(
+      () => li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+        .write.mode("overwrite").parquet(s"$root/batch=1"),
+      () => li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .write.mode("overwrite").parquet(s"$root/batch=2")))
+    // the (batch, path) manifest is the writer's OWN file list — planner
+    // metadata from the commit itself, not a post-hoc scan of the table
+    // (the write-time-manifest move every table format makes; the old
+    // form paid a full scan + distinct exchange just to list files)
+    import spark.implicits._
+    (1 to 2).flatMap(b =>
+        Lakehouse.listDataFiles(s"$root/batch=$b").map(p => (b, p)))
+      .toDF("batch", "path")
       .localCheckpoint()
   }
 

@@ -49,10 +49,29 @@ object StreamCommit extends QueryModule {
     val e = Tables.events(spark, dir).select("event_id", "event_type", "value")
     // stage three single-file chunks: the deterministic image of three
     // arriving ingest files (every event_id%3 class is non-empty at all
-    // fixture SFs — TestdataContractSpec pins the table's size floor)
-    for (g <- 0 until 3)
+    // fixture SFs — TestDataContractSpec pins the table's size floor).
+    // The three chunk writes are independent, so they run CONCURRENTLY
+    // (guide §2.6), each into its own staging dir (concurrent writes
+    // into one dir would race in the committer's shared _temporary),
+    // then rename into the source dir under deterministic names —
+    // exactly three files, one per class, same as three serial appends.
+    // (A single repartitionByRange(3, class) write was tried first: one
+    // job, but RangePartitioner samples its boundaries, and on a 3-value
+    // key it can lawfully merge two classes into one file — the
+    // exactly-one-commit-per-staged-file contract must not ride on
+    // sampling luck.)
+    graft.Harness.inParallel((0 until 3).map { g => () =>
       e.filter(pmod(col("event_id"), lit(3)) === g)
-        .repartition(1).write.mode("append").parquet(chunks)
+        .repartition(1).write.mode("overwrite").parquet(s"$root/stage$g")
+    })
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(chunks))
+    for (g <- 0 until 3) {
+      val fs = graft.operators.Lakehouse.listDataFiles(s"$root/stage$g")
+      require(fs.size == 1, s"stage$g must hold exactly one data file")
+      java.nio.file.Files.move(java.nio.file.Paths.get(fs.head),
+        java.nio.file.Paths.get(chunks, s"chunk$g.parquet"))
+      rmrf(s"$root/stage$g")
+    }
     // s24's manifest schema (monoid merge on the key column, there named
     // ship_month) — the monoid, not the name, is the contract
     def stats(df: DataFrame): DataFrame = df
@@ -101,9 +120,16 @@ object StreamCommit extends QueryModule {
     * exists"; the versions themselves live in the commit log). */
   private[graft] def t31Notify(spark: SparkSession, root: String,
       versions: Seq[Int]): Unit =
-    for (v <- versions)
-      spark.range(1).select(lit(v).as("version"))
-        .coalesce(1).write.mode("append").parquet(s"$root/notify")
+    if (versions.nonEmpty) {
+      // one range-partitioned append (partition = the version) drops one
+      // single-row file per version in ONE job instead of |versions|
+      // serialized writes; apply-order is still owned by the consumer's
+      // catch-up logic, not file arrival
+      import spark.implicits._
+      versions.toDF("version")
+        .repartitionByRange(versions.size, col("version"))
+        .write.mode("append").parquet(s"$root/notify")
+    }
 
   /** Bootstrap the maintained view at version 0 (the one corpus-sized
     * aggregate; everything after is delta-sized folds). */
