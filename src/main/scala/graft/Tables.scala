@@ -73,6 +73,30 @@ object Tables {
   def orderAll(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
+  /** Spread a small-scan frame across the session's cores before
+    * per-row-heavy compute (optimization guide §2.5's "one unsplittable
+    * input file → repartition immediately after the read", generalized
+    * from Llm.spreadDocs). The fixture tables arrive as one small
+    * parquet file each — typically ONE scan split, often one row group —
+    * so an expensive per-row stage (gram hashing, regex gates, shingle
+    * minhash) otherwise runs serially on one core no matter how many the
+    * session has. The decision is planner metadata (no Spark job): a
+    * scan already yielding at least half the default parallelism — any
+    * at-scale input — passes through untouched, so the exchange exists
+    * exactly where the alternative is a near-serial stage, and `key`
+    * (a high-cardinality column) doubles as a useful downstream
+    * partitioning where the next aggregate groups by it. */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    // EXPLICIT partition count: repartition(col) alone leaves the count
+    // to AQE, which coalesces a KB-sized exchange right back to one
+    // partition — re-serializing the downstream stage the spread exists
+    // to parallelize. The explicit N pins it; `want` tracks the session's
+    // cores, so this is core-count-adaptive, not a tuned constant.
+    else df.repartition(want, col(key))
+  }
+
   /** Exact decimal image of a double column: deterministic accumulation
     * regardless of partitioning / summation order. Aggregate contract
     * (SURVEY.md §2.2): sum in DECIMAL(38,4), surface as DOUBLE.

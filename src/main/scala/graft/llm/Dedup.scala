@@ -46,7 +46,7 @@ object Dedup extends QueryModule {
     * bucket is quadratic pair work); the oracle applies the same cap. */
   /** (doc_id, fp) 48-bit SimHash fingerprints — one aggregation pass. */
   private def simHashFingerprints(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs, "doc_id") // shingle+md5 must not run single-split
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // <3-word docs yield no shingles; unguarded, sequence(1, size(w)-2)
       // is descending and element_at(w, 0) throws (oracle's range is empty)
@@ -236,7 +236,7 @@ object Dedup extends QueryModule {
     * collision exposure documented above (DedupSpec pins hash-vs-string
     * distinct counts at the test SFs). */
   private def gramArrays(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs, "doc_id") // gram hashing must not run single-split
       // <GramLen-char docs yield no grams (descending-sequence guard)
       .filter(length(col("text")) >= GramLen)
       .select(col("doc_id"), expr(

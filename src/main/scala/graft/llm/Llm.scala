@@ -69,11 +69,8 @@ object Llm extends QueryModule {
     * (fewer bytes than the old shingle-row shuffle, ~1/3) restores
     * parallelism AND pre-partitions by doc_id, so bandSignatures'
     * groupBy(doc_id) reuses it instead of adding its own. */
-  private def spreadDocs(docs: DataFrame): DataFrame = {
-    val want = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions * 2 >= want) docs
-    else docs.repartition(col("doc_id"))
-  }
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    Tables.spread(docs, "doc_id") // generalized there in r15; one impl
 
   private[llm] def shinglesOf(docs: DataFrame): DataFrame =
     spreadDocs(docs)

@@ -38,7 +38,11 @@ object Pipeline extends QueryModule {
   /** Distinct word-8-gram hashes per `key` (doc_id for the per-document
     * operators, source for the corpus-level overlap matrix). */
   private def gramsBy(spark: SparkSession, dir: String, key: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread by doc_id (high-cardinality) even when keyed by source: the
+    // gram hashing below is the expensive stage and must not run on the
+    // one task a single-split fixture scan yields (Tables.spread doc)
+    Tables.spread(Tables.documents(spark, dir)
+        .select((Seq("doc_id", key).distinct :+ "text").map(col): _*), "doc_id")
       .select(col(key), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 8) // sequence(1, size-7) turns descending below 8 words
       .select(col(key), explode(expr(
@@ -186,6 +190,8 @@ object Pipeline extends QueryModule {
     val rWlen = (meanWlen >= 2.0) && (meanWlen <= 12.0)
     val rDigit = digitRatio <= 0.2
     val rSym = symRatio <= 0.05
+    // measured: spreading here LOSES 0.1-0.2 s — one pass of regex gates
+    // into a map-side-collapsing aggregate is lighter than the exchange
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         words.as("n_words"),
@@ -223,9 +229,9 @@ object Pipeline extends QueryModule {
   }
 
   def l19(spark: SparkSession, dir: String): DataFrame = {
-    val gated = Tables.documents(spark, dir)
+    val gated = Tables.spread(Tables.documents(spark, dir), "doc_id")
       .filter(col("doc_id") % 97 =!= 0) // the eval slice is not training data
-      .filter(gatePasses)
+      .filter(gatePasses) // regex gates — single-split without the spread
     val keepIds = gated
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -261,7 +267,7 @@ object Pipeline extends QueryModule {
     * l14's broadcast probe. Nothing corpus-sized beyond those two
     * exchanges. */
   def l61(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("f_eval", (col("doc_id") % 97 === 0).cast("int"))
       .withColumn("f_quality",
         when(col("f_eval") === 1, lit(null).cast("int"))
@@ -296,6 +302,8 @@ object Pipeline extends QueryModule {
     * identical doubles in both engines) break on the term itself. */
   def l20(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // measured: spreading the tokenize stage LOSES ~0.2 s here — the
+    // split+explode is light and both aggregates map-side collapse
     val words = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("t"))
     val tf = words.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
