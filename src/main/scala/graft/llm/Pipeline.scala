@@ -1147,7 +1147,9 @@ object Pipeline extends QueryModule {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    // the per-word merge fold below is the heaviest per-row stage in the
+    // module — it must not run on the one task a single-split scan yields
+    Tables.spread(docs.select("doc_id", "text"), "doc_id").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = text.toLowerCase.split(" ")

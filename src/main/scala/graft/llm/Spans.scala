@@ -48,7 +48,7 @@ object Spans extends QueryModule {
     * specs measure the SAME frame the query uses. One row per k-token
     * window at every offset; h = md5 of the space-joined window. */
   private[graft] def spanStream(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs, "doc_id") // per-window md5 must not run single-split
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= SpanTokens)
       .select(col("doc_id"), posexplode(expr(
