@@ -403,8 +403,12 @@ object Lakehouse extends QueryModule {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case e @ (_: UnsupportedOperationException |
-                  _: java.nio.file.FileSystemException) =>
+        // ONLY the capability refusal gets the hard-link diagnosis;
+        // other FileSystemExceptions (ENOSPC, EACCES, EIO) propagate
+        // with their own message — labeling a full disk "filesystem
+        // lacks hard-link support" misdiagnoses the load-bearing path
+        // (r14 ADVICE finding)
+        case e: UnsupportedOperationException =>
           throw new IllegalStateException(
             s"commit log $log requires hard-link (link(2)) support for " +
               "atomic put-if-absent — rename-based fallbacks silently " +
@@ -1344,8 +1348,13 @@ object Lakehouse extends QueryModule {
     * every file it introduces carries kind 'addnc' (the writer's
     * dataChange=false declaration — Delta's OPTIMIZE contract) and it
     * adds no DV sidecars (a mixed rewrite+delete commit has no servable
-    * per-commit feed). LakehouseSpec pins the declaration is honest for
-    * s31's compaction (snapshot before == after, row-for-row). */
+    * per-commit feed). TRUST BOUNDARY (r14 ADVICE): these are
+    * STRUCTURAL checks plus the writer's declaration — the same trust
+    * model as Delta's dataChange=false. Nothing here re-reads the files
+    * to prove the rewrite preserved rows; a dishonest external writer
+    * could declare addnc on a data-changing commit and the walker would
+    * skip it. Honesty is pinned only for IN-REPO writers (LakehouseSpec:
+    * s31's compaction snapshot before == after, row-for-row). */
   private def requireNoDataChange(mPrev: Seq[(String, String)],
       mCur: Seq[(String, String)], v: Int): Unit = {
     val newFiles = addPaths(mCur).toSet -- addPaths(mPrev).toSet
@@ -1555,15 +1564,22 @@ object Lakehouse extends QueryModule {
       m: Seq[(String, String)]): Seq[(String, Boolean)] = {
     val row = snapshotOf(spark, m).agg(
       count(lit(1)).as("n"),
-      sum((col("text").isNotNull && length(col("text")) > 0)
-        .cast("long")).as("n_nonempty"),
+      // coalesce: sums are NULL over an EMPTY staged snapshot, and the
+      // audit must fail its checks cleanly (n_x 0 ≠ n) instead of
+      // crashing getLong with an opaque NPE (r14 ADVICE finding)
+      coalesce(sum((col("text").isNotNull && length(col("text")) > 0)
+        .cast("long")), lit(0L)).as("n_nonempty"),
       countDistinct(col("doc_id")).as("n_ids"),
-      sum((col("n_chars") === length(col("text"))).cast("long"))
-        .as("n_consistent"),
-      sum(col("lang").isin("en", "de", "fr", "es", "it", "zh")
-        .cast("long")).as("n_lang"))
+      coalesce(sum((col("n_chars") === length(col("text"))).cast("long")),
+        lit(0L)).as("n_consistent"),
+      coalesce(sum(col("lang").isin("en", "de", "fr", "es", "it", "zh")
+        .cast("long")), lit(0L)).as("n_lang"))
       .collect()(0) // 1-row audit fetch
     val n = row.getLong(0)
+    // an EMPTY staged snapshot has nothing to publish — refuse with the
+    // contract named rather than passing four vacuous 0==0 checks
+    require(n > 0, "staged branch snapshot is empty — nothing to audit " +
+      "or publish; stage a non-empty manifest")
     Seq("completeness_text" -> (row.getLong(1) == n),
       "uniqueness_doc_id" -> (row.getLong(2) == n),
       "consistency_n_chars" -> (row.getLong(3) == n),

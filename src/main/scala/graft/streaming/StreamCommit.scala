@@ -151,6 +151,11 @@ object StreamCommit extends QueryModule {
     * s28Cdf with the commit contract named. */
   private[graft] def t31Apply(spark: SparkSession, root: String,
       log: String, v: Int): Unit = {
+    // an unbootstrapped root would otherwise read state/v-1 and die with
+    // a raw path-not-found — refuse with the contract named, like every
+    // other refusal path in the family (r14 ADVICE finding)
+    require(t31Applied(root) >= 0,
+      s"view state under $root not bootstrapped — run t31Bootstrap first")
     val hist = graft.operators.History
     for (w <- t31Applied(root) + 1 to v)
       hist.cdfFold(
