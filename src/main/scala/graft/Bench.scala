@@ -76,6 +76,15 @@ object Bench {
     // that was running, so a recovered failure is attributed, not lost.
     val jobFailures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     @volatile var currentQuery: String = "init"
+    // Executor task-time accumulator (r15 VERDICT item 5): at sf0.1 the
+    // scaling block showed wall time under the per-job fixed-cost floor
+    // on nearly every query, so wall deltas no longer evidence read-class
+    // plan work. The per-query TASK-TIME SUM (both timed runs; the
+    // between-runs drain schedules no jobs) is the SF-robust signal —
+    // plan improvements move it even when wall is noise-bound. Published
+    // as `task_sec` in bench_full.json, additions-only; the contract
+    // line is unchanged.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         e.jobResult match {
@@ -85,6 +94,8 @@ object Bench {
               (a, b) => a + " | " + b)
           case _ => ()
         }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) { taskMs.addAndGet(e.taskInfo.duration); () }
     })
     // Warm up EVERY query once at the smallest SF: whole-stage codegen
     // compiles per plan shape, so the compiled classes are reused at the
@@ -164,7 +175,7 @@ object Bench {
     // assists mechanically.
     case class QueryResult(name: String, best: Either[String, Double],
       gcSec: Double, runs: (Either[String, Double], Either[String, Double]),
-      memoPre: Long, memoCold: Int)
+      memoPre: Long, memoCold: Int, taskSec: Double, heapMb: Long)
     val loadSweep = loadavg() // load right as the timed loop begins
     val results = SparkEntry.queries.filter(q => only.forall(_(q._1)))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -172,6 +183,7 @@ object Bench {
       val mark = SessionMemos.mark()
       SessionMemos.beginWindow(mark)
       val pre0 = SessionMemos.preHitCount
+      val task0 = taskMs.get()
       val gc0 = gcMillis()
       val r1 = once(fn, name)
       val gc1 = gcMillis()
@@ -191,10 +203,21 @@ object Bench {
       // counting them would misread drain overhead as a regression
       val gcSec = ((gc1 - gc0) + (gc3 - gc2)) / 1e3
       drain()
-      QueryResult(name, best, gcSec, (r1, r2), memoPre, memoCold)
+      // after the final drain: the listener bus is flushed (task events
+      // for this query's jobs delivered — task window is exact) and the
+      // two forced GCs make heap-used a live-set reading, not garbage —
+      // `heap_mb` traces the in-sweep-inflation hypothesis (r15 VERDICT
+      // item 3): a climbing post-drain live set marks driver state
+      // accumulating across the sweep
+      val taskSec = (taskMs.get() - task0) / 1e3
+      val heapMb = (Runtime.getRuntime.totalMemory()
+        - Runtime.getRuntime.freeMemory()) >> 20
+      QueryResult(name, best, gcSec, (r1, r2), memoPre, memoCold,
+        taskSec, heapMb)
     }
     currentQuery = "post-sweep"
-    val ok = results.collect { case QueryResult(n, Right(t), _, _, _, _) => n -> t }
+    val ok = results.collect {
+      case QueryResult(n, Right(t), _, _, _, _, _, _) => n -> t }
     val totalSink = ok.collect { case (n, t) if sinkIds(n) => t }.sum
     val totalRead = ok.collect { case (n, t) if !sinkIds(n) => t }.sum
     // Fresh-JVM re-probe targets (full sweeps only). Two triggers, both
@@ -292,14 +315,24 @@ object Bench {
             Seq.empty
           }
       }
-    val failed = results.collect { case QueryResult(n, Left(_), _, _, _, _) => n }
-    val errors = results.collect { case QueryResult(n, Left(e), _, _, _, _) => n -> e }
-    val gcByQuery = results.collect { case QueryResult(n, Right(_), g, _, _, _) => n -> g }
+    val failed = results.collect {
+      case QueryResult(n, Left(_), _, _, _, _, _, _) => n }
+    val errors = results.collect {
+      case QueryResult(n, Left(e), _, _, _, _, _, _) => n -> e }
+    val gcByQuery = results.collect {
+      case QueryResult(n, Right(_), g, _, _, _, _, _) => n -> g }
+    // task_sec / heap_mb: the r16 SF-robustness + inflation-trace columns
+    // (see the listener comment above) — additions-only
+    val taskByQuery = results.collect {
+      case QueryResult(n, Right(_), _, _, _, _, t, _) => n -> t }
+    val heapByQuery = results.collect {
+      case QueryResult(n, Right(_), _, _, _, _, _, h) => n -> h }
     // both timed runs, in order — the between-runs evictSince makes them
     // equally cold wrt the query's OWN memo builds, so a large r1/r2 gap
     // now reads as noise/GC, not a hidden memo hit
     val runsByQuery = results.collect {
-      case QueryResult(n, Right(_), _, (Right(a), Right(b)), _, _) => n -> Seq(a, b)
+      case QueryResult(n, Right(_), _, (Right(a), Right(b)), _, _, _, _) =>
+        n -> Seq(a, b)
     }
     // memo tags (nonzero only): memo_pre = run 1 lookup hits on state
     // built BEFORE this query (its time rides cross-query reuse);
@@ -361,6 +394,7 @@ object Bench {
       s""""sink_ids":${sinkIds.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s"""$ctx,"queries":${qsJson(ok)},""" +
       s""""gc_sec":${qsJson(gcByQuery)},"runs":${runsJson(runsByQuery)},""" +
+      s""""task_sec":${qsJson(taskByQuery)},"heap_mb":${nJson(heapByQuery)},""" +
       s""""memo_pre":${nJson(memoPreByQuery)},""" +
       s""""memo_cold":${nJson(memoColdByQuery)},""" +
       s""""fresh_probe":${qsJson(freshProbe.sortBy(_._1))},""" +

@@ -89,9 +89,14 @@ object Harness {
     * scheduling (the default) gives exactly the back-fill behaviour.
     * At a LOWER core count the jobs simply share the pool — total CPU
     * work is unchanged, so the driver's scaling run is not penalized.
-    * The first failure propagates loudly (same contract as sequential
-    * execution); remaining tasks are awaited so no write is in flight
-    * when the caller proceeds. */
+    * Every task is wrapped in Try and ALL completions are awaited before
+    * the first failure (in argument order) is rethrown — so when the
+    * exception reaches the caller no sibling write is still in flight
+    * (a retrying caller's deleteRecursively/wipeLog cannot race a
+    * half-dead batch; r15 ADVICE finding — the old Future.sequence
+    * failed fast with siblings still running). The only path that can
+    * leave tasks running is the 20-min timeout, which interrupts the
+    * pool best-effort before propagating. */
   def inParallel[T](fs: Seq[() => T]): Seq[T] = {
     if (fs.sizeIs <= 1) fs.map(_())
     else {
@@ -99,12 +104,15 @@ object Harness {
         .newFixedThreadPool(math.min(fs.size, 8))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            fs.map(f => scala.concurrent.Future(f()))),
-          scala.concurrent.duration.Duration(20, "min"))
-      finally pool.shutdown()
+      try {
+        val done =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              fs.map(f => scala.concurrent.Future(scala.util.Try(f())))),
+            scala.concurrent.duration.Duration(20, "min"))
+          catch { case t: Throwable => pool.shutdownNow(); throw t }
+        done.map(_.get) // all tasks COMPLETED; first failure rethrows
+      } finally pool.shutdown()
     }
   }
 

@@ -23,7 +23,9 @@ object PlanDump {
     // localCheckpoint/memo materialization — dumped for plan evidence
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("l02_pair_spine" -> ((s, d) =>
-        llm.Llm.pairSpineForPlan(Tables.documents(s, d))))
+        llm.Llm.pairSpineForPlan(Tables.documents(s, d))),
+        "cooc_pair_spine" -> ((s, d) =>
+          operators.Graph.coocSpineForPlan(s, d)))
     val unknown = ids.filterNot(i =>
       SparkEntry.queries.contains(i) || extra.contains(i))
     require(unknown.isEmpty, s"unknown query ids: ${unknown.mkString(",")}")

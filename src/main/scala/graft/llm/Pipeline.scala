@@ -501,26 +501,38 @@ object Pipeline extends QueryModule {
     val pairs = Llm.verifiedPairsFrom(sh, bands, 0.4, Llm.BandBucketCap)
       .select("a", "b")
       .localCheckpoint()
-    val labels = incrementalCcLabels(spark, pairs, isNew,
-      Tables.scratchPath("l64_labels", dir))
-    val csize = labels.groupBy("label").agg(count(lit(1)).as("cs"))
     val exactIdx = docs.filter(!isNew(col("doc_id")))
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("hist_id"))
-    val newExact = docs.filter(isNew(col("doc_id")))
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(exactIdx, Seq("h"), "left")
-      .select(col("doc_id"), col("hist_id").as("exact_of"))
-    val near = pairs.select(col("a").as("d"), col("b").as("o"))
-      .unionAll(pairs.select(col("b").as("d"), col("a").as("o")))
-      .filter(isNew(col("d")) && !isNew(col("o")))
-      .groupBy("d").agg(min("o").as("near_of"))
     val histBuckets = bands.filter(!isNew(col("doc_id")))
       .groupBy("band", "m0", "m1").agg(count(lit(1)).as("n_hist"))
-    val newBuckets = bands.filter(isNew(col("doc_id")))
-      .join(histBuckets, Seq("band", "m0", "m1"), "left")
-      .groupBy("doc_id")
-      .agg(sum(when(col("n_hist").isNull, 1L).otherwise(0L)).as("n_new_buckets"))
+    // The CC label maintenance is a driver-side fixpoint loop of TINY
+    // jobs (the contracted graph is delta-sized) that leaves the
+    // executor pool idle, while the three probe legs are independent
+    // aggregates over the already-materialized pairs/bands/docs — so
+    // the legs materialize CONCURRENTLY with the label loop (guide
+    // §2.6) instead of waiting for it. Same algebra, same inputs; each
+    // leg is localCheckpoint-materialized and released after the
+    // composed result materializes.
+    val Seq(labels, newExact, near, newBuckets) = graft.Harness.inParallel(Seq(
+      () => incrementalCcLabels(spark, pairs, isNew,
+        Tables.scratchPath("l64_labels", dir)),
+      () => docs.filter(isNew(col("doc_id")))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(exactIdx, Seq("h"), "left")
+        .select(col("doc_id"), col("hist_id").as("exact_of"))
+        .localCheckpoint(),
+      () => pairs.select(col("a").as("d"), col("b").as("o"))
+        .unionAll(pairs.select(col("b").as("d"), col("a").as("o")))
+        .filter(isNew(col("d")) && !isNew(col("o")))
+        .groupBy("d").agg(min("o").as("near_of"))
+        .localCheckpoint(),
+      () => bands.filter(isNew(col("doc_id")))
+        .join(histBuckets, Seq("band", "m0", "m1"), "left")
+        .groupBy("doc_id")
+        .agg(sum(when(col("n_hist").isNull, 1L).otherwise(0L)).as("n_new_buckets"))
+        .localCheckpoint()))
+    val csize = labels.groupBy("label").agg(count(lit(1)).as("cs"))
     val out = newExact
       .join(near, col("doc_id") === col("d"), "left")
       .join(labels.withColumnRenamed("id", "lid"),
@@ -537,8 +549,8 @@ object Pipeline extends QueryModule {
         coalesce(col("n_new_buckets"), lit(0L)).as("n_new_buckets"))
       .orderBy("doc_id")
       .localCheckpoint()
-    graft.Fixpoint.release(labels)
-    graft.Fixpoint.release(pairs)
+    Seq(labels, pairs, newExact, near, newBuckets)
+      .foreach(graft.Fixpoint.release)
     bands.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     out

@@ -193,29 +193,84 @@ object Graph extends QueryModule {
   def g03(spark: SparkSession, dir: String): DataFrame =
     coocPairs(spark, dir).orderBy("p1", "p2")
 
+  /** Session-scoped memos (graft.FrameMemo) for the two shared
+    * co-occurrence artifacts EIGHT registered queries re-derive from one
+    * input: the capped edge list (g06's degrees) and the pair table
+    * (g03/g05/g06 directly; g07/g08/g09/g11/g12 via the near-id band).
+    * Same disclosed-reuse contract as Llm.pairsMemo → l21/l53: entries
+    * are tagged by SessionMemos (Bench publishes memo_pre/memo_cold per
+    * query), evicted by the bench's between-runs evictSince so best-of-2
+    * stays a cold number, and keyed by the RAW distinct-edge plan + the
+    * cap (the FrameMemo keying contract — never a checkpointed
+    * intermediate). A composed pipeline — or the sweep's registered
+    * queries — derives the projection once per corpus instead of once
+    * per query. */
+  private val cappedMemo = new graft.FrameMemo[Int]()
+  private val coocMemo = new graft.FrameMemo[Int]()
+
+  /** Staleness hook (FrameMemo contract): a harness that rewrites the
+    * lineitem source in place between generations clears here. */
+  def clearCoocMemos(): Unit = { cappedMemo.clear(); coocMemo.clear() }
+
+  /** The UNMEMOIZED pair spine, for plan evidence only (PlanDump — the
+    * registered queries now return memoized/checkpointed frames whose
+    * plans are opaque RDD scans). Not used by any registered query. */
+  def coocSpineForPlan(spark: SparkSession, dir: String): DataFrame = {
+    val edges = rawEdges(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
+    pairsFrom(edges
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CoocCap)
+      .select("s", "p"))
+  }
+
+  /** The raw distinct bipartite edge list — the memo KEY plan (and the
+    * derivation input). */
+  private def rawEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+
   /** The capped co-occurrence pair table (p1 < p2, n_common ≥ 2) —
     * g03's body, shared with g05 which treats it as a projected
-    * unipartite part graph. */
-  def coocPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsFrom(cappedEdges(spark, dir))
+    * unipartite part graph. Memoized per corpus (localCheckpoint-
+    * materialized; see the memo doc above). */
+  def coocPairs(spark: SparkSession, dir: String): DataFrame = {
+    val key = rawEdges(spark, dir)
+    coocMemo.getOrCompute(spark, key.queryExecution.normalized, CoocCap) {
+      pairsFrom(cappedEdges(spark, dir)).localCheckpoint()
+    }
+  }
 
   /** The deterministically capped bipartite edge list (≤ CoocCap parts
     * per supplier, lowest part ids win) — the skew guard every
-    * co-occurrence consumer shares. */
+    * co-occurrence consumer shares. Memoized per corpus. */
   private def cappedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
-    edges
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= CoocCap)
-      .select("s", "p")
+    val edges = rawEdges(spark, dir)
+    cappedMemo.getOrCompute(spark, edges.queryExecution.normalized, CoocCap) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
+      edges
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= CoocCap)
+        .select("s", "p")
+        .localCheckpoint()
+    }
   }
 
-  /** Bounded-array pair generation from a capped edge list. */
+  /** Bounded-array pair generation from a capped edge list. The
+    * supplier-key exchange is PINNED at the session's parallelism: its
+    * input is KB-sized, so AQE's bytes-based coalescing lawfully folds
+    * it to one partition — but the stage's per-row work is the O(C²)
+    * pair explode, which then runs serially (measured: 1 task, 0.7 s
+    * task-time at sf0.1). Bytes-blind coalescing under-parallelizes a
+    * fan-out stage at ANY scale, so the explicit width is the
+    * scale-honest shape, not a local tune (the Tables.spread lesson);
+    * the groupBy reuses the pinned partitioning — no extra exchange. */
   private def pairsFrom(capped: DataFrame): DataFrame =
-    capped.groupBy("s")
+    capped
+      .repartition(capped.sparkSession.sparkContext.defaultParallelism,
+        col("s"))
+      .groupBy("s")
       .agg(sort_array(collect_list(col("p"))).as("a"))
       .filter(size(col("a")) >= 2)
       .select(explode(expr(
@@ -239,9 +294,12 @@ object Graph extends QueryModule {
     * Ratio is floor-rounded at 1e-6 so the double division can't hash-
     * diverge between engines. */
   def g06(spark: SparkSession, dir: String): DataFrame = {
-    val capped = cappedEdges(spark, dir).localCheckpoint()
+    // both memoized frames derive from ONE capped edge set (coocPairs is
+    // pairsFrom(cappedEdges) by construction), so intersection (pair
+    // counts) and union (capped degrees) stay mutually consistent
+    val capped = cappedEdges(spark, dir)
     val deg = capped.groupBy("p").agg(count(lit(1)).as("deg"))
-    val out = pairsFrom(capped)
+    coocPairs(spark, dir)
       .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
       .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
       .select(col("p1"), col("p2"), col("n_common"),
@@ -249,8 +307,6 @@ object Graph extends QueryModule {
           * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
       .orderBy("p1", "p2")
       .localCheckpoint()
-    graft.Fixpoint.release(capped)
-    out
   }
 
   /** g07: multi-source BFS layers — min-hop distance (≤ 3 rounds) from a
@@ -530,7 +586,12 @@ object Graph extends QueryModule {
     * on the (v, w) pair key, the final per-node count — all equi-keyed,
     * no product. */
   def g05(spark: SparkSession, dir: String): DataFrame = {
-    val und = coocPairs(spark, dir).select("p1", "p2").localCheckpoint()
+    // the memoized pair table is already localCheckpoint-materialized —
+    // its three consumers below (deg, the wedge join, the closure
+    // semi-join) read one materialization; re-checkpointing it here
+    // would only add a copy job (and releasing that copy was g05's old
+    // shape — the memo owns the frame now, so no release here)
+    val und = coocPairs(spark, dir).select("p1", "p2")
     val deg = und.select(col("p1").as("node"))
       .unionAll(und.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -542,6 +603,16 @@ object Graph extends QueryModule {
           col("p1")).otherwise(col("p2")).as("src"),
         when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
           col("p2")).otherwise(col("p1")).as("dst"))
+      // pin the pivot-key exchange: the oriented edge list is KB-sized,
+      // so AQE's bytes-based coalescing folds the wedge self-join to a
+      // few partitions — but that stage's per-row work is the O(outdeg²)
+      // wedge fan-out, which then runs near-serially (measured: 3 tasks,
+      // 5.2 s task-time at sf0.1). Fan-out is invisible to bytes-based
+      // coalescing at any scale; the explicit session-parallelism width
+      // is the scale shape (Tables.spread lesson). Both wedge sides
+      // below project THIS frame, so the pinned exchange is planned
+      // once and shuffle-reused — no second exchange.
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
     val a = o.select(col("src"), col("dst").as("v"))
     val b = o.select(col("src"), col("dst").as("w"))
     val tri = a.join(b, "src").filter(col("v") < col("w"))
@@ -553,7 +624,6 @@ object Graph extends QueryModule {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .orderBy("node")
       .localCheckpoint()
-    graft.Fixpoint.release(und)
     out
   }
 

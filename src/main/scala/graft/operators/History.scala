@@ -532,11 +532,26 @@ object History extends QueryModule {
   def h15(spark: SparkSession, dir: String): DataFrame = {
     val lake = graft.operators.Lakehouse
     val log = lake.s28StepsTable(spark, dir)
-    var view = cdfViewOf(lake.s28Snapshot(spark, log, 0)).localCheckpoint()
-    for (v <- 0 until 3)
-      view = cdfFold(view,
-        cdfSigned(lake.s28Cdf(spark, log, v, v + 1, "o_orderkey")))
-        .localCheckpoint() // persisted state between commits
+    // The bootstrap aggregate and the three per-commit signed-delta
+    // feeds are all independent reads of COMMITTED artifacts (none
+    // depends on the folded view), so they materialize concurrently
+    // (guide §2.6) — the serialized chain used to pay each feed's
+    // delta-scan + per-window file-classification collect back to back.
+    // The fold chain itself is unchanged: each fold still consumes ONLY
+    // its own commit's deltas + the PERSISTED previous view state
+    // (localCheckpoint = the stored-view handoff), in commit order.
+    val parts = graft.Harness.inParallel(
+      (() => cdfViewOf(lake.s28Snapshot(spark, log, 0)).localCheckpoint()) +:
+        (0 until 3).map(v => () =>
+          cdfSigned(lake.s28Cdf(spark, log, v, v + 1, "o_orderkey"))
+            .localCheckpoint()))
+    var view = parts.head
+    for (v <- 0 until 3) {
+      val next = cdfFold(view, parts(v + 1)).localCheckpoint()
+      graft.Fixpoint.release(view) // superseded state (r15: was leaked)
+      view = next
+    }
+    parts.drop(1).foreach(graft.Fixpoint.release) // deltas are folded in
     cdfSurface(view)
   }
 
@@ -562,16 +577,18 @@ object History extends QueryModule {
   def h16(spark: SparkSession, dir: String): DataFrame = {
     val lake = graft.operators.Lakehouse
     val log = lake.s31Table(spark, dir)
-    val feed = lake.s31Cdf(spark, log, 0, 3, "_row_id")
-      .localCheckpoint() // consumed by the fold AND the observable below
+    // feed and bootstrap view are independent reads of committed
+    // artifacts — overlapped (guide §2.6), same move as h15
+    val Seq(feed, view0) = graft.Harness.inParallel(Seq(
+      () => lake.s31Cdf(spark, log, 0, 3, "_row_id")
+        .localCheckpoint(), // consumed by the fold AND the observable below
+      () => cdfViewOf(lake.s28Snapshot(spark, log, 0)).localCheckpoint()))
     // DATA-DERIVED observable: commits in the window minus commits the
     // feed actually tagged — a walker that misclassified the rewrite as
     // a data commit would tag version-2 rows and read 0 here, failing
     // the oracle even if the aggregates happened to coincide
     val skipped = 3L - feed.select("commit_version").distinct().count()
-    cdfSurface(cdfFold(
-      cdfViewOf(lake.s28Snapshot(spark, log, 0)),
-      cdfSigned(feed)))
+    cdfSurface(cdfFold(view0, cdfSigned(feed)))
       .withColumn("rewrites_skipped", lit(skipped))
   }
 

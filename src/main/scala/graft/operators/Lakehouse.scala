@@ -221,6 +221,13 @@ object Lakehouse extends QueryModule {
     val moved: Seq[(String, Int, String)] = (0 until 4).flatMap { g =>
       promoteMonthFiles(stages(g), root).map { case (m, p) => (m, g, p) }
     }
+    // write-side stats assume ONE file per (month, group) slice — if the
+    // write path ever gains rebalance/maxRecordsPerFile/AQE splitting,
+    // the v1 join below would attach full-slice stats to several files
+    // and double-count; fail loudly at build time (r15 ADVICE finding)
+    require(moved.map(t => (t._1, t._2)).distinct.size == moved.size,
+      "s23 layout drift: a (month, group) slice landed in more than one " +
+        "file — write-side manifest stats require one file per slice")
     // v1 stats computed WRITE-SIDE: each (month, group) slice IS one
     // file's exact contents (the slice was written whole into that one
     // file), so one aggregate over the source replaces the per-file
@@ -253,6 +260,15 @@ object Lakehouse extends QueryModule {
       .repartition(col("ship_month"))
       .write.mode("append").partitionBy("ship_month").parquet(root)
     val newFiles = listMonthFiles(root).diff(fragFiles)
+    // same loud-at-build contract for the rewrite delta: the v2 stats
+    // fold assumes exactly one rewrite file per 1997 month
+    locally {
+      val months = newFiles.map(monthOfFile)
+      require(months.distinct.size == months.size
+          && months.forall(_.startsWith("1997")),
+        "s23 layout drift: the 1997 compaction must land exactly one " +
+          "file per month — write-side delta stats would double-count")
+    }
     // incremental manifest maintenance: non-1997 rows CARRY OVER (their
     // files were not rescanned); the rewrite delta's stats FOLD from the
     // v1 manifest itself (a compacted month's file stats = the monoid
@@ -404,20 +420,30 @@ object Lakehouse extends QueryModule {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         // ONLY the capability refusal gets the hard-link diagnosis;
-        // other FileSystemExceptions (ENOSPC, EACCES, EIO) propagate
-        // with their own message — labeling a full disk "filesystem
-        // lacks hard-link support" misdiagnoses the load-bearing path
-        // (r14 ADVICE finding)
-        case e: UnsupportedOperationException =>
-          throw new IllegalStateException(
-            s"commit log $log requires hard-link (link(2)) support for " +
-              "atomic put-if-absent — rename-based fallbacks silently " +
-              "replace a concurrent winner's pointer; host the log on a " +
-              s"filesystem with link(2) or an object store with " +
-              s"conditional put (${e.getMessage})", e)
+        // other failures (ENOSPC, EACCES, EIO) propagate with their own
+        // message — labeling a full disk "filesystem lacks hard-link
+        // support" misdiagnoses the load-bearing path (r14 ADVICE
+        // finding). On the mounts the diagnosis was written for
+        // (NFS/overlay) link(2) typically fails with EPERM inside a
+        // FileSystemException, not UnsupportedOperationException — so
+        // that class is ALSO diagnosed, but only when its reason names
+        // the capability (r15 ADVICE finding), never blanket.
+        case e: UnsupportedOperationException => throw noLinkSupport(log, e)
+        case e: java.nio.file.FileSystemException
+            if Option(e.getReason).map(_.toLowerCase).exists(r =>
+              r.contains("not permitted") || r.contains("not supported")) =>
+          throw noLinkSupport(log, e)
       }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
+
+  private def noLinkSupport(log: String, e: Throwable): IllegalStateException =
+    new IllegalStateException(
+      s"commit log $log requires hard-link (link(2)) support for " +
+        "atomic put-if-absent — rename-based fallbacks silently " +
+        "replace a concurrent winner's pointer; host the log on a " +
+        "filesystem with link(2) or an object store with " +
+        s"conditional put (${e.getMessage})", e)
 
   private[graft] def s24Read(spark: SparkSession, log: String, version: Int): DataFrame = {
     val p = java.nio.file.Paths.get(log).resolve(ptrName(version))
@@ -1074,12 +1100,20 @@ object Lakehouse extends QueryModule {
     val scan = spark.read.parquet(adds: _*)
       .withColumn("file_path", col("_metadata.file_path"))
       .withColumn("row_index", col("_metadata.row_index"))
-    // one physical snapshot scan per step: the DV projection, the update
-    // branch, and the insert branch all read this materialization
-    val s = (if (dvs.isEmpty) scan
+    // LAZY snapshot relation: the DV write prunes to (file_path,
+    // row_index, key) and the append prunes to the data columns — two
+    // column-pruned parquet scans running CONCURRENTLY (guide §2.6 /
+    // §6), where the r15 shape first paid a serialized localCheckpoint
+    // job that materialized the WHOLE snapshot (every column) only for
+    // the two writes to re-read it. At scale the checkpoint is also the
+    // wrong call: block-manager-materializing a full snapshot per merge
+    // step is O(table), the pruned scans are O(columns used). The KB
+    // DV broadcast is rebuilt by each write — planner metadata, not a
+    // scan.
+    val s = if (dvs.isEmpty) scan
       else scan.join(
         broadcast(dvs.map(spark.read.parquet(_)).reduce(_ unionByName _)),
-        Seq("file_path", "row_index"), "left_anti")).localCheckpoint()
+        Seq("file_path", "row_index"), "left_anti")
     val upd = pmod(col("o_orderkey"), lit(pUpd)) === 0
     val del = pmod(col("o_orderkey"), lit(pDel)) === 0 && !upd
     val sData = s.drop("file_path", "row_index")

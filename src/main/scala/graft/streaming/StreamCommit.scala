@@ -114,10 +114,17 @@ object StreamCommit extends QueryModule {
       .map(_.getName.drop(1).toInt).foldLeft(-1)(math.max)
   }
 
-  /** Drop one single-file version NOTIFICATION per committed version into
-    * the consumer's source directory (the file-arrival image of a commit
+  /** Drop version NOTIFICATIONS for the committed versions into the
+    * consumer's source directory (the file-arrival image of a commit
     * hook / log tail — what tells a streaming consumer "version v
-    * exists"; the versions themselves live in the commit log). */
+    * exists"; the versions themselves live in the commit log). FILE
+    * PACKING IS UNSPECIFIED: the one range-partitioned append usually
+    * lands one file per version, but RangePartitioner samples its
+    * boundaries, so two versions may lawfully share a file (r15 ADVICE
+    * finding — the old doc promised one file per version). Only the
+    * HINT SET matters: notifications are at-least-once, unordered hints
+    * and the consumer's catch-up logic ([[t31Apply]]) folds any gap, so
+    * packing changes micro-batch boundaries, never the applied state. */
   private[graft] def t31Notify(spark: SparkSession, root: String,
       versions: Seq[Int]): Unit =
     if (versions.nonEmpty) {

@@ -40,8 +40,12 @@ object ProfileQuery {
         val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val jid = stageToJob.get(e.stageId)
-        val j = jobs.get(jid)
+        // an unregistered stage (skipped/resubmitted, not in any
+        // JobStart's stageIds) must be dropped, not null-unboxed to job
+        // 0 (r15 ADVICE finding — it skewed job 0's task sums); the
+        // containsKey guard avoids Scala's unboxToInt(null) == 0
+        val j = if (stageToJob.containsKey(e.stageId))
+          jobs.get(stageToJob.get(e.stageId)) else null
         if (j != null && e.taskInfo != null) {
           j.tasks += 1; j.taskMs += e.taskInfo.duration
         }
