@@ -224,6 +224,25 @@ object Llm extends QueryModule {
       minHashNearDupPairsUncached(docs, jaccMin, bucketCap)
     }
 
+  /** [[minHashNearDupPairs]] for a caller that ALREADY holds the spine's
+    * cached (shingles, bands) — the fused day-close (Pipeline.l64),
+    * which needs the bands for its other legs anyway. Same memo, same
+    * key, same result: the cold build runs the one shared
+    * [[verifiedPairsFrom]] body over the caller's frames (sh/bands are
+    * themselves pure functions of `docs`, so whichever caller populates
+    * the entry, the frame is identical); a hit skips the candidate join
+    * + exact-Jaccard verify entirely — the dedup family's dominant
+    * shared cost, now shared by the composition too, tagged memo_pre
+    * like every other cross-query ride. */
+  private[llm] def minHashNearDupPairsWith(docs: DataFrame, sh: DataFrame,
+      bands: DataFrame, jaccMin: Double, bucketCap: Int): DataFrame =
+    pairsMemo.getOrCompute(docs.sparkSession,
+      docs.queryExecution.normalized, (jaccMin, bucketCap)) {
+      verifiedPairsFrom(sh, bands, jaccMin, bucketCap)
+        .orderBy("a", "b")
+        .localCheckpoint()
+    }
+
   /** The UNCHECKPOINTED pair spine, for plan evidence only (PlanDump):
     * the registered queries return memoized/localCheckpoint-materialized
     * frames whose plans are opaque RDD scans, so the optimization rounds

@@ -40,14 +40,23 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
 
   /** HLL sketch distinct — engine-specific, no DuckDB oracle; accuracy
-    * asserted in AggregateSpec (within 5% of exact at rsd=0.01). */
+    * asserted in AggregateSpec (within 5% of exact at rsd=0.01).
+    *
+    * Final ordering is coalesce(1) + sortWithinPartitions, NOT orderBy:
+    * rsd=0.01 makes the partial buffer 2×1639 longs per group (3278
+    * aggregate attributes in the plan — plans/r16), so the final HLL
+    * merge stage is expensive per evaluation, and a range-sort boundary
+    * EVALUATES IT TWICE (once to sample bounds, once to produce rows —
+    * measured +0.8 s, ProbeA03). Output cardinality is the returnflag
+    * domain (3 rows at any SF), so one sorted partition is the
+    * scale-honest shape for this result; same rows, same total order. */
   def a03(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))
-      .orderBy("l_returnflag")
+      .coalesce(1).sortWithinPartitions("l_returnflag")
 
   private def gkey(c: String): org.apache.spark.sql.Column =
     coalesce(col(c), lit("__ALL__"))
@@ -372,6 +381,12 @@ object Aggregates extends QueryModule {
       .groupBy("l_returnflag")
       .agg(min("v").as("weighted_median"),
         max(col("tot")).cast("double").as("total_weight"))
+      // a03's coalesce(1)+sortWithinPartitions move was TRIED here and
+      // measured flat-to-worse (2.70 vs 2.99 best-of-2, interleaved) —
+      // the window stage sits behind the final-agg exchange, so the
+      // range-sort bounds sample never re-evaluates it; the cost is the
+      // per-group cumulative scan itself (intrinsic order statistic,
+      // parallelism = #groups). Kept as orderBy.
       .orderBy("l_returnflag")
   }
 

@@ -25,14 +25,11 @@ object Graph extends QueryModule {
     * side; degrees ride along via equi-joins on the edge key (at scale:
     * the canonical vertex-cut gather — no driver collect anywhere). */
   def g01(spark: SparkSession, dir: String): DataFrame = {
-    // scoped cache (three consumers: two degree aggs + the gather join);
-    // released before returning — the small per-node result is
-    // localCheckpoint-materialized so the returned plan doesn't read the
-    // unpersisted edge table
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-      .cache()
+    // the memoized per-corpus edge list (three consumers here: two
+    // degree aggs + the gather join — they read the one
+    // checkpoint-materialized frame; the old scoped .cache() is gone
+    // with the per-query derivation)
+    val edges = rawEdges(spark, dir)
     val pdeg = edges.groupBy("p").agg(count(lit(1)).as("pdeg"))
     val sdeg = edges.groupBy("s").agg(count(lit(1)).as("sdeg"))
     val n = pdeg.select(count(lit(1)).as("np"))
@@ -66,7 +63,6 @@ object Graph extends QueryModule {
             / col("n")).as("rank"))
       .orderBy("node_type", "node_id")
       .localCheckpoint()
-    edges.unpersist(blocking = false)
     out
   }
 
@@ -83,9 +79,7 @@ object Graph extends QueryModule {
     * rank refresh — the same shape a 1000-executor run wants. */
   def pageRank(spark: SparkSession, dir: String,
       maxIter: Int = 30, tol: Double = 1e-9): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+    val edges = rawEdges(spark, dir)
     // directed both ways over one node-id space: node = type|id
     val dir2 = edges.select(
         concat(lit("part|"), col("p")).as("src"),
@@ -135,9 +129,7 @@ object Graph extends QueryModule {
     * same three steps as CTEs. Per round: one shuffle (the gather
     * groupBy) + one rank-refresh join — the 1000-executor shape. */
   def g02(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+    val edges = rawEdges(spark, dir)
     val dir2 = edges.select(
         concat(lit("part|"), col("p")).as("src"),
         concat(lit("supplier|"), col("s")).as("dst"))
@@ -205,18 +197,20 @@ object Graph extends QueryModule {
     * intermediate). A composed pipeline — or the sweep's registered
     * queries — derives the projection once per corpus instead of once
     * per query. */
+  private val edgesMemo = new graft.FrameMemo[Unit]()
   private val cappedMemo = new graft.FrameMemo[Int]()
   private val coocMemo = new graft.FrameMemo[Int]()
 
   /** Staleness hook (FrameMemo contract): a harness that rewrites the
     * lineitem source in place between generations clears here. */
-  def clearCoocMemos(): Unit = { cappedMemo.clear(); coocMemo.clear() }
+  def clearCoocMemos(): Unit =
+    { edgesMemo.clear(); cappedMemo.clear(); coocMemo.clear() }
 
   /** The UNMEMOIZED pair spine, for plan evidence only (PlanDump — the
     * registered queries now return memoized/checkpointed frames whose
     * plans are opaque RDD scans). Not used by any registered query. */
   def coocSpineForPlan(spark: SparkSession, dir: String): DataFrame = {
-    val edges = rawEdges(spark, dir)
+    val edges = rawEdgesPlan(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
     pairsFrom(edges
       .withColumn("rn", row_number().over(w))
@@ -224,19 +218,34 @@ object Graph extends QueryModule {
       .select("s", "p"))
   }
 
-  /** The raw distinct bipartite edge list — the memo KEY plan (and the
-    * derivation input). */
-  private def rawEdges(spark: SparkSession, dir: String): DataFrame =
+  /** The raw distinct bipartite edge list as a PURE PLAN — every graph
+    * memo's key (the FrameMemo keying contract: raw source read, never a
+    * checkpointed intermediate, so keys stay stable across memo
+    * rebuilds). */
+  private def rawEdgesPlan(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
+
+  /** The distinct bipartite edge list, MATERIALIZED once per corpus —
+    * the module docstring's "the part↔supplier bipartite graph is the
+    * edge list": every query in the family starts from this frame
+    * (g01/g02/g04/g10 directly; the capped projection below derives from
+    * it), and each used to re-pay the lineitem scan + distinct exchange.
+    * Same tagged machinery and disclosure as the pair-table memo. */
+  private def rawEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = rawEdgesPlan(spark, dir)
+    edgesMemo.getOrCompute(spark, e.queryExecution.normalized, ()) {
+      e.localCheckpoint()
+    }
+  }
 
   /** The capped co-occurrence pair table (p1 < p2, n_common ≥ 2) —
     * g03's body, shared with g05 which treats it as a projected
     * unipartite part graph. Memoized per corpus (localCheckpoint-
     * materialized; see the memo doc above). */
   def coocPairs(spark: SparkSession, dir: String): DataFrame = {
-    val key = rawEdges(spark, dir)
+    val key = rawEdgesPlan(spark, dir)
     coocMemo.getOrCompute(spark, key.queryExecution.normalized, CoocCap) {
       pairsFrom(cappedEdges(spark, dir)).localCheckpoint()
     }
@@ -244,12 +253,13 @@ object Graph extends QueryModule {
 
   /** The deterministically capped bipartite edge list (≤ CoocCap parts
     * per supplier, lowest part ids win) — the skew guard every
-    * co-occurrence consumer shares. Memoized per corpus. */
+    * co-occurrence consumer shares. Memoized per corpus; derives from
+    * the memoized edge list (one lineitem scan per corpus, total). */
   private def cappedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val edges = rawEdges(spark, dir)
-    cappedMemo.getOrCompute(spark, edges.queryExecution.normalized, CoocCap) {
+    val key = rawEdgesPlan(spark, dir)
+    cappedMemo.getOrCompute(spark, key.queryExecution.normalized, CoocCap) {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("p")
-      edges
+      rawEdges(spark, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= CoocCap)
         .select("s", "p")
@@ -501,9 +511,7 @@ object Graph extends QueryModule {
     * join + a map-side-combinable sum on the opposite key — g01's
     * vertex-cut gather with alternating directions. */
   def g10(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct().cache()
+    val edges = rawEdges(spark, dir) // memoized; four gathers read it
     val a1 = edges.groupBy("p").agg(count(lit(1)).as("a1")) // h0 ≡ 1
     val h1 = edges.join(a1, "p").groupBy("s").agg(sum("a1").as("h1"))
     val a2 = edges.join(h1, "s").groupBy("p").agg(sum("h1").as("a2"))
@@ -516,7 +524,6 @@ object Graph extends QueryModule {
           col("h1").as("score_r1"), col("h2").as("score_r2")))
       .orderBy("node_type", "node_id")
       .localCheckpoint()
-    edges.unpersist(blocking = false)
     out
   }
 
@@ -532,9 +539,7 @@ object Graph extends QueryModule {
     * the query hash-gateable (convergence-count output would be
     * tolerance-dependent). */
   def g04(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+    val edges = rawEdges(spark, dir)
     // nodes and labels live in ONE numeric id space (part → 2·id,
     // supplier → 2·id+1): every shuffle key and every label value is an
     // 8-byte long instead of a "part|123" string — the join/agg rounds
