@@ -341,7 +341,15 @@ object Joins extends QueryModule {
       explode(sequence(expr(s"a0 div ${WeekMs}L"), expr(s"(a1 - 1) div ${WeekMs}L"))))
     val obins = oms.withColumn("bin",
       explode(sequence(expr(s"t0 div ${WeekMs}L"), expr(s"(t1 - 1) div ${WeekMs}L"))))
-    abins.join(obins, Seq("bin"))
+    // pin the bin-key exchange width: both exploded sides are KB-sized,
+    // so AQE's bytes-based coalescing folds the join to ONE task — but
+    // the stage's per-row work is the per-bin pair fan-out + the overlap
+    // residual (measured: 1 task, 0.98 s — the g05 wedge lesson; fan-out
+    // is invisible to bytes-based coalescing at any scale). The pinned
+    // side forces the partner exchange to the same width.
+    abins.repartition(
+        abins.sparkSession.sparkContext.defaultParallelism, col("bin"))
+      .join(obins, Seq("bin"))
       .filter(col("a0") < col("t1") && col("t0") < col("a1")
         && col("a_key") =!= col("o_orderkey"))
       .select(col("a_key"), col("o_orderkey").as("b_key"),

@@ -179,8 +179,15 @@ class FixpointSpec extends SparkSuite {
   }
 
   test("full pageRank conserves probability mass and cleans up its checkpoints") {
+    val mark = SessionMemos.mark()
     val (pr, retained) = newPersistedAfter {
-      operators.Graph.pageRank(spark, sf, maxIter = 8, tol = 1e-6)
+      val out = operators.Graph.pageRank(spark, sf, maxIter = 8, tol = 1e-6)
+      // the memoized edge list is DELIBERATE cross-query state (released
+      // by the session-memo discipline, exactly as Bench evicts between
+      // runs), not a leaked loop checkpoint — evict it so the retained
+      // count below measures what this test pins: loop-internal leaks
+      SessionMemos.evictSince(mark)
+      out
     }
     val ranks = pr.select("rank").as[Double].collect()
     assert(math.abs(ranks.sum - 1.0) < 1e-6, s"mass ${ranks.sum}")
