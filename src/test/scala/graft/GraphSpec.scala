@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSuite {
 
   test("cooc memos: repeat calls serve ONE materialized frame; evictSince drops it") {
+    // another suite in the same session may already have populated the
+    // memos (entries stamped BEFORE this test's mark would make the
+    // evict below a no-op) — start cold
+    operators.Graph.clearCoocMemos()
     val mark = SessionMemos.mark()
     val p1 = operators.Graph.coocPairs(spark, sf)
     val p2 = operators.Graph.coocPairs(spark, sf)
