@@ -442,6 +442,17 @@ object EventTime extends QueryModule {
     Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
       .withColumn("vm", expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)"))
+      // pin the window's exchange width: the corpus-sized frame is only
+      // MBs here, so AQE's bytes-based coalescing folds the event_type
+      // exchange to ONE partition and the two sliding-frame sums run
+      // serially — twice, because the final range sort's bounds sampler
+      // re-executes its child (measured: 2 × 0.6 s single-task jobs).
+      // The explicit session-parallelism width is the g05/j16 pin: AQE
+      // never coalesces a user REPARTITION_BY_NUM, the window reuses the
+      // exchange (same key, ENSURE_REQUIREMENTS satisfied — no second
+      // shuffle), and at real scale the exchange is past the advisory
+      // size anyway, so the pin is a no-op there.
+      .repartition(spark.sparkContext.defaultParallelism, col("event_type"))
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("s1", sum("vm").over(w))
       .withColumn("s2", sum(expr("vm * vm")).over(w))

@@ -130,19 +130,30 @@ object Graph extends QueryModule {
     * groupBy) + one rank-refresh join — the 1000-executor shape. */
   def g02(spark: SparkSession, dir: String): DataFrame = {
     val edges = rawEdges(spark, dir)
+    // g04's numeric node-id space (part → 2·id, supplier → 2·id+1):
+    // every per-round shuffle key, join key and aggregate key is an
+    // 8-byte long instead of a "part|123" string — three gather rounds
+    // hash and compare longs (guide §2.3 "narrower types"; the string
+    // form measured ~2× the per-round task time). The id decodes back to
+    // (type, id) only in the final projection, where the oracle's
+    // string-built ids produce the identical (node_type, node_id) rows.
     val dir2 = edges.select(
-        concat(lit("part|"), col("p")).as("src"),
-        concat(lit("supplier|"), col("s")).as("dst"))
+        (col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(edges.select(
-        concat(lit("supplier|"), col("s")).as("src"),
-        concat(lit("part|"), col("p")).as("dst")))
+        (col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .localCheckpoint()
     val deg = dir2.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val nNodes = deg.count()
+    // hoist the loop-invariant dir2⋈deg join: each round used to re-pay
+    // the degree attach on the edge-sized frame; (src, dst, deg) is fixed
+    // across rounds, so it materializes once and the loop joins only the
+    // per-round rank table (one join per round, not two)
+    val wdir = dir2.join(deg, "src").localCheckpoint()
+    graft.Fixpoint.release(dir2) // superseded by wdir for the loop
     val init = deg.select(col("src").as("node"),
       lit(1000000000000L / nNodes).as("r"))
     val (fin, _) = graft.Fixpoint.loopObserved(init, maxIter = 3) { cur =>
-      val gathered = dir2.join(deg, "src")
+      val gathered = wdir
         .join(cur.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("g"))
@@ -153,13 +164,14 @@ object Graph extends QueryModule {
             + expr("(85 * coalesce(g, 0L)) div 100")).as("r"))
     } (lit(true)) // fixed 3 rounds: maxIter is the stop, not convergence
     val out = fin.select(
-        split(col("node"), "\\|").getItem(0).as("node_type"),
-        split(col("node"), "\\|").getItem(1).cast("bigint").as("node_id"),
+        when(pmod(col("node"), lit(2)) === 0, "part").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").cast("bigint").as("node_id"),
         col("r").as("rank_units"),
         (col("r").cast("double") / lit(1000000000000.0)).as("rank"))
       .orderBy("node_type", "node_id")
       .localCheckpoint()
-    Seq(fin, dir2, deg).foreach(graft.Fixpoint.release)
+    Seq(fin, wdir, deg).foreach(graft.Fixpoint.release)
     out
   }
 
