@@ -30,6 +30,10 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // NOT spread (measured, r16): the distinct-agg Expand looks like the
+  // a05 shape, but its partial agg collapses hard map-side, so the extra
+  // row exchange costs more than the 3-split scan stage saves
+  // (interleaved A/B min-of-3: 1.35 → 1.57 — the l18/l20 lesson).
   def a02(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -62,7 +66,10 @@ object Aggregates extends QueryModule {
     coalesce(col(c), lit("__ALL__"))
 
   def a04(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_a04_lineitem")
+    // same §2.5 spread as a05/a06 — the GROUPING SETS expand runs on the
+    // scan stage; the SQL body is unchanged
+    Tables.spread(Tables.lineitem(spark, dir), "l_orderkey")
+      .createOrReplaceTempView("graft_a04_lineitem")
     spark.sql(
       """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
         |       coalesce(l_linestatus, '__ALL__') AS ls,
@@ -74,8 +81,14 @@ object Aggregates extends QueryModule {
         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
   }
 
+  // a05/a06: the rollup/cube partial aggregate is the per-row-heavy
+  // stage (each row expands to 3/4 grouping-set rows of DECIMAL(38,4)
+  // sums) and it runs ON the scan stage — a handful of splits at fixture
+  // size, so 32 cores idle while 3 tasks grind (measured: one 3-task job,
+  // 1.1-1.2 s taskSum ≈ wall). Tables.spread restores parallelism ahead
+  // of it and is a planner-metadata no-op on any at-scale input (§2.5).
   def a05(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.spread(Tables.lineitem(spark, dir), "l_orderkey")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .select(gkey("l_returnflag").as("rf"), gkey("l_linestatus").as("ls"),
@@ -83,7 +96,7 @@ object Aggregates extends QueryModule {
       .orderBy("rf", "ls")
 
   def a06(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.spread(Tables.lineitem(spark, dir), "l_orderkey")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .select(gkey("l_returnflag").as("rf"), gkey("l_linestatus").as("ls"),
@@ -95,6 +108,10 @@ object Aggregates extends QueryModule {
     * comma-joined string — the harness's column hasher can't order raw
     * array cells, and the string form is engine-portable. */
   def a07(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread (measured, r16): repartitioning on the group key ahead
+    // of the collect looked like it should reuse the exchange, but the
+    // collect buffers ship whole either way — A/B worse in 2 of 3 rounds
+    // (1.99/1.52/1.61 before vs 1.36/2.30/1.94 after); reverted.
     Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
       .agg(
@@ -129,7 +146,12 @@ object Aggregates extends QueryModule {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
       "l_returnflag", Seq(0.5))
       .select(col("l_returnflag"), col("v").as("median_cents"))
-    li.groupBy("l_returnflag")
+    // the six-decimal-power-sum partial agg is the heavy stage (1.45 s on
+    // the 3-split scan) — spread it (§2.5; decimal sums are exact, so the
+    // repartition cannot change a bit). The median leg is NOT spread: its
+    // rank window partitions by l_returnflag, so its parallelism is the
+    // group count regardless of the exchange width (a21's story).
+    Tables.spread(li, "l_orderkey").groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"),
@@ -303,7 +325,13 @@ object Aggregates extends QueryModule {
     * true count, over-count bounded by collisions) is surfaced by
     * emitting both the exact count and the estimate per key. */
   def a18(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("event_type").as("k"))
+    // the CmDepth-way explode + cell hash is a fan-out stage riding the
+    // events scan (ONE split at fixture size → serial). Spread on the
+    // uniform event_id BEFORE projecting it away (event_type has only 5
+    // values — useless as a spread key); at-scale no-op (§2.5).
+    val e = Tables.spread(Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type").as("k")), "event_id")
+      .select("k")
     val sketch = e
       .select(col("k"), explode(expr(s"sequence(0, ${CmDepth - 1})")).as("d"))
       .withColumn("cell", expr(cmCell))

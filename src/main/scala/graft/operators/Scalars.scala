@@ -49,8 +49,13 @@ object Scalars extends QueryModule {
         (Tables.epochMs(col("o_orderdate")) / 1000L).cast("long").as("epoch_s"))
       .orderBy("o_orderkey")
 
+  // the math projection is the per-row-heavy stage and the final
+  // order-by-ALL's range sampler executes it TWICE (bounds sample +
+  // output) — on the fixture's 3-split scan that was 2 × 3-task jobs.
+  // Spreading the base rows ahead of the projection (§2.5; at-scale
+  // no-op) parallelizes BOTH evaluations; the sort keys are untouched.
   def f03(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.spread(Tables.lineitem(spark, dir), "l_orderkey")
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         round(col("l_extendedprice"), 1).as("price_r1"),
