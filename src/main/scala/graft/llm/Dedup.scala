@@ -552,7 +552,9 @@ object Dedup extends QueryModule {
         |                     '?ref=2&utm_medium=z')
         |  ELSE concat('https://Other.org/p?q=', o_orderkey % 2000)
         |END AS url""".stripMargin)
-    urls
+    // spread (§2.5): five regex passes per url are the heavy stage on
+    // the 3-split orders scan; at-scale no-op
+    Tables.spread(urls, "o_orderkey")
       .withColumn("s1", expr("regexp_replace(url, '#.*', '')"))
       .withColumn("pre", expr(
         "regexp_replace(lower(regexp_extract(s1, '^[a-zA-Z]+://[^/?#]+', 0)), ':80$', '')"))
@@ -597,7 +599,10 @@ object Dedup extends QueryModule {
 
   def l34(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val segs = segmentsOf(docs)
+    // spread (§2.5): the 8-word slice/join transform is the heavy stage
+    // and both consumers of segs (boiler agg + clean rebuild) re-run it
+    // over the single-split scan; at-scale no-op
+    val segs = segmentsOf(Tables.spread(docs, "doc_id"))
     val boiler = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 3)

@@ -795,7 +795,11 @@ object Llm extends QueryModule {
   /** Document fingerprinting: order-independent 64-bit sketches over the
     * token multiset (min-hash + xor-fold + unique count). */
   def l09(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread (§2.5): the per-TOKEN md5 below is the heavy stage and ran
+    // on the single-split documents scan (measured ~1 s serial); the
+    // explode preserves the pinned partitioning and the doc_id groupBy
+    // reuses it — no second exchange. At-scale no-op.
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
       .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
       .groupBy("doc_id")
@@ -899,7 +903,11 @@ object Llm extends QueryModule {
   def l12(spark: SparkSession, dir: String): DataFrame = {
     val numRe = "[0-9]+"
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-    Tables.documents(spark, dir)
+    // spread (§2.5): three regex passes per document are the heavy
+    // stage, and the final order-by's bounds sampler evaluates the
+    // projection twice — both passes ran on the single-split scan
+    // (f03's shape; measured ~1 s serial). At-scale no-op.
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(numRe)).cast("long").as("n_numbers"),
@@ -913,7 +921,11 @@ object Llm extends QueryModule {
     * total shingles (boilerplate/looping-generation signal; a standard
     * pre-training quality filter next to l07's ratios). */
   def l13(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread (§2.5): the 3-shingle transform + concat per word is the
+    // heavy stage (shingles are near-unique, so the (doc_id, sh) partial
+    // agg does NOT collapse map-side — this is the l02d class, not the
+    // l18/l20 class); both doc_id aggregates reuse the pinned exchange.
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(

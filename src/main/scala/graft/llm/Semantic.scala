@@ -126,7 +126,10 @@ object Semantic extends QueryModule {
     * md5 per word, no shuffle anywhere; the chunk table is the input to
     * chunk-level exact dedup (l01 on chunk_md5). */
   def l28(spark: SparkSession, dir: String): DataFrame =
-    chunkCdc(Tables.documents(spark, dir))
+    // spread (§2.5): the per-word md5 boundary filter + zip transforms
+    // are the heavy stage and ran on the single-split scan; at-scale
+    // no-op
+    chunkCdc(Tables.spread(Tables.documents(spark, dir), "doc_id"))
 
   /** The chunker over any (doc_id, text) frame — SemanticSpec drives it
     * on synthetic edits to prove boundary locality. */
