@@ -37,7 +37,9 @@ object EventTime extends QueryModule {
     * next < last + gap, i.e. a gap of exactly 30 min starts a new session —
     * the oracle's islands flag uses >= to match. */
   def t03(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // spread (§2.5): session aggregation clusters by user_id — the pinned
+    // exchange satisfies it (no extra shuffle); at-scale no-op
+    Tables.spread(Tables.events(spark, dir), "user_id")
       .groupBy(session_window(col("event_ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
@@ -144,6 +146,9 @@ object EventTime extends QueryModule {
     * gap rule and tie order can never diverge between the two. */
   private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    // NOT spread (measured, r16): the lag/running-sum window is trivial
+    // per row, so the 32-task pin costs more than the serial stage saves
+    // (A/B: t09/t27 worse in 2 of 3 rounds) — the w01/w02/w05 result.
     Tables.events(spark, dir)
       .select("user_id", "event_id", "ts_ms", "event_type")
       .withColumn("prev", lag("ts_ms", 1).over(w))
@@ -351,10 +356,11 @@ object EventTime extends QueryModule {
     * the max merged span end — surfaced to pin the variable-gap merge,
     * not just membership. */
   def t14(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir), "user_id")
       .withColumn("gap",
         when(col("event_type") === "click", lit("10 minutes"))
           .otherwise(lit("30 minutes")))
+      // §2.5 session-window pin, same as t03
       .groupBy(session_window(col("event_ts"), col("gap")).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
@@ -792,7 +798,7 @@ object EventTime extends QueryModule {
       struct(col("ts_ms"), col("event_id"), col("event_type")))
     val wr = Window.partitionBy("user_id").orderBy("ts_ms")
       .rangeBetween(-weekMs, -1L)
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir), "user_id") // §2.5 window pin
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"),
         // one select, not three withColumns: Catalyst fuses same-spec
         // window functions into ONE Window operator only when they land

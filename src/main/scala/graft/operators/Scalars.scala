@@ -101,7 +101,10 @@ object Scalars extends QueryModule {
       .orderBy("event_id")
 
   def f06(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // spread (§2.5): two JSON parses per row on the single-split events
+    // scan, evaluated twice by the order-by bounds sampler (f03's
+    // shape; measured ~1.2 s serial). At-scale no-op.
+    Tables.spread(Tables.events(spark, dir), "event_id")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_gjo"),

@@ -20,6 +20,11 @@ object Windows extends QueryModule {
     val unique = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val ties = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
+    // NOT spread (measured, r16): rank/row_number windows do trivial
+    // per-row work, so pinning the exchange to 32 tasks costs more than
+    // the serial stage saves (A/B: w01 flat, w02 0.53→0.73, w05
+    // 0.41→0.63, o03 0.54→0.73 WORSE) — only frame-aggregation windows
+    // (w03/w04/w07/t26) and session aggs (t03/t14) keep the pin.
     Tables.orders(spark, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
@@ -32,7 +37,7 @@ object Windows extends QueryModule {
 
   def w02(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(spark, dir)
+    Tables.orders(spark, dir) // NOT spread — see w01 (lag is trivial per row)
       .select(
         col("o_custkey"), col("o_orderkey"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
@@ -47,7 +52,7 @@ object Windows extends QueryModule {
   def w03(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.orders(spark, dir)
+    Tables.spread(Tables.orders(spark, dir), "o_custkey") // §2.5 window pin
       .select(
         col("o_custkey"), col("o_orderkey"),
         sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"),
@@ -61,7 +66,7 @@ object Windows extends QueryModule {
   def w04(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("t"))
       .rangeBetween(-30L * 86400000L, 0L)
-    Tables.orders(spark, dir)
+    Tables.spread(Tables.orders(spark, dir), "o_custkey") // §2.5 window pin
       .withColumn("t", epochMs(col("o_orderdate")))
       .select(
         col("o_custkey"), col("o_orderkey"), col("t"),
@@ -73,7 +78,7 @@ object Windows extends QueryModule {
   def w05(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_ms").desc, col("event_id").desc)
-    Tables.events(spark, dir)
+    Tables.events(spark, dir) // NOT spread — see w01 (row_number is trivial)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "ts_ms", "event_type")
@@ -95,7 +100,7 @@ object Windows extends QueryModule {
   def o03(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
+    Tables.orders(spark, dir) // NOT spread — see w01 (row_number is trivial)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
@@ -208,7 +213,7 @@ object Windows extends QueryModule {
     * fill that keeps the original event spine.) */
   def w07(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir), "user_id") // §2.5 window pin
       .withColumn("v_sparse",
         when(pmod(col("event_id"), lit(5)) === 0, col("value")))
       .select(col("user_id"), col("event_id"), col("ts_ms"), col("v_sparse"),
